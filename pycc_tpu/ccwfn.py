@@ -1,0 +1,215 @@
+"""CC T-amplitude solver driver.
+
+API parity with the reference ccwfn (/root/reference/pycc/ccwfn.py:19-329):
+``ccwfn(scf_wfn, model=..., precision=..., local=...)`` then
+``solve_cc(e_conv, r_conv, maxiter, max_diis, start_diis)``.
+
+TPU-native internals: the Hamiltonian is an immutable pytree of device
+arrays, the residual evaluation + Jacobi update + DIIS extrapolation are one
+jitted XLA graph (one dispatch per iteration), and the model variant picks
+the residual function at trace time.  There is no CPU/GPU split and no
+per-contraction data migration.
+"""
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .hamiltonian import Hamiltonian, build_hamiltonian
+from .models import ccsd as eqs
+from .ops.diis import DIIS
+
+_VALID_MODELS = ["CCD", "CC2", "CCSD", "CCSD(T)", "CC3"]
+
+_RESIDUALS = {
+    "CCD": eqs.residuals_ccd,
+    "CC2": eqs.residuals_cc2,
+    "CCSD": eqs.residuals_ccsd,
+    "CCSD(T)": eqs.residuals_ccsd,
+}
+
+_ENERGY = {
+    "CCD": eqs.ccd_energy,
+    "CC2": eqs.cc_energy,
+    "CCSD": eqs.cc_energy,
+    "CCSD(T)": eqs.cc_energy,
+    "CC3": eqs.cc_energy,
+}
+
+
+class ccwfn:
+    """An RHF-CC wave function and energy object (TPU-native)."""
+
+    def __init__(self, scf_wfn, **kwargs):
+        time_init = time.time()
+
+        model = kwargs.pop("model", "CCSD").upper()
+        if model not in _VALID_MODELS:
+            raise Exception("%s is not an allowed CC model." % model)
+        self.model = model
+        self.make_t3_density = kwargs.pop("make_t3_density", False)
+        self.real_time = kwargs.pop("real_time", False)
+
+        valid_local = [None, "PNO", "PAO", "CPNO++", "PNO++"]
+        local = kwargs.pop("local", None)
+        if local not in valid_local:
+            raise Exception("%s is not an allowed local-CC model." % local)
+        self.local = local
+        self.local_cutoff = kwargs.pop("local_cutoff", 1e-5)
+        self.local_mos = kwargs.pop("local_mos", "PIPEK_MEZEY")
+        self.it2_opt = kwargs.pop("it2_opt", True)
+        self.filter = kwargs.pop("filter", False)
+
+        precision = kwargs.pop("precision", "DP").upper()
+        if precision not in ("SP", "DP"):
+            raise Exception("%s is not an allowed precision arithmetic." % precision)
+        self.precision = precision
+        # `device` kept for API parity; placement is governed by JAX/pjit.
+        kwargs.pop("device", None)
+
+        self.ref = scf_wfn
+        self.eref = scf_wfn.energy()
+        self.nfzc = scf_wfn.frzcpi()[0]
+        self.no = scf_wfn.doccpi()[0] - self.nfzc
+        self.nmo = scf_wfn.nmo()
+        self.nv = self.nmo - self.no - self.nfzc
+        self.nact = self.no + self.nv
+
+        dtype = jnp.float64 if precision == "DP" else jnp.float32
+        self.H = build_hamiltonian(scf_wfn)
+        if precision == "SP":
+            self.H = Hamiltonian(F=self.H.F.astype(dtype),
+                                 ERI=self.H.ERI.astype(dtype),
+                                 L=self.H.L.astype(dtype),
+                                 mu=self.H.mu, m=self.H.m, p=self.H.p,
+                                 Q=self.H.Q, no=self.H.no)
+        self.o = slice(0, self.no)
+        self.v = slice(self.no, self.nact)
+
+        o, v = self.o, self.v
+        eps = jnp.diag(self.H.F)
+        self.Dia = (eps[o, None] - eps[None, v]).astype(dtype)
+        self.Dijab = (eps[o, None, None, None] + eps[None, o, None, None]
+                      - eps[None, None, v, None] - eps[None, None, None, v]).astype(dtype)
+
+        self.t1 = jnp.zeros((self.no, self.nv), dtype=dtype)
+        self.t2 = (self.H.ERI[o, o, v, v] / self.Dijab).astype(dtype)
+
+        if local is not None:
+            from .local import Local
+            from .lccwfn import lccwfn as _lccwfn
+            C_all = np.asarray(scf_wfn.Ca_subset("AO", "ACTIVE"))
+            self.Local = Local(local, C_all, self.nfzc, self.no, self.nv,
+                               self.H, self.local_cutoff, self.it2_opt,
+                               wfn=scf_wfn, local_mos=self.local_mos)
+            # localization replaces occupied MOs: rebuild H in the local basis
+            self.H = self.Local.H
+            eps = jnp.diag(self.H.F)
+            self.Dia = (eps[o, None] - eps[None, v]).astype(dtype)
+            self.Dijab = (eps[o, None, None, None] + eps[None, o, None, None]
+                          - eps[None, None, v, None] - eps[None, None, None, v]).astype(dtype)
+            t1g = jnp.zeros((self.no, self.nv), dtype=dtype)
+            self.t1, self.t2 = self.Local.filter_amps(t1g, self.H.ERI[o, o, v, v])
+            if not self.filter:
+                self.lccwfn = _lccwfn(self.no, self.nv, self.H, self.local,
+                                      self.model, self.eref, self.Local)
+
+        self._residual_fn = _RESIDUALS.get(self.model)
+        self._energy_fn = _ENERGY[self.model]
+        if self.model == "CC3":
+            from .models.cc3 import residuals_cc3
+            self._residual_fn = partial(residuals_cc3, real_time=self.real_time,
+                                        F_ref=self.H.F)
+
+        print("CCWFN object initialized in %.3f seconds." % (time.time() - time_init))
+
+    # ------------------------------------------------------------------
+    def residuals(self, F, t1, t2):
+        """T1/T2 residuals r_mu = <mu|HBAR|0> for the current amplitudes."""
+        return self._residual_fn(F, self.H.ERI, self.H.L, t1, t2, self.no)
+
+    def cc_energy(self, t1, t2, F=None):
+        F = self.H.F if F is None else F
+        return self._energy_fn(F, self.H.L, t1, t2, self.no)
+
+    # ------------------------------------------------------------------
+    def solve_cc(self, e_conv=1e-7, r_conv=1e-7, maxiter=100, max_diis=8,
+                 start_diis=1):
+        tstart = time.time()
+        no = self.no
+        H = self.H
+        Dia, Dijab = self.Dia, self.Dijab
+        residual_fn = self._residual_fn
+        energy_fn = self._energy_fn
+        use_filter = self.local is not None
+        if use_filter:
+            filter_fn = self.Local.filter_amps
+
+        diis = DIIS((self.t1, self.t2), max_diis=max(max_diis, 1))
+
+        @jax.jit
+        def step(t1, t2, state, do_extrap):
+            r1, r2 = residual_fn(H.F, H.ERI, H.L, t1, t2, no)
+            if use_filter:
+                inc1, inc2 = filter_fn(r1, r2)
+            else:
+                inc1 = r1 / Dia
+                inc2 = r2 / Dijab
+            t1n = t1 + inc1
+            t2n = t2 + inc2
+            rms = jnp.sqrt(jnp.sum(jnp.abs(inc1) ** 2)
+                           + jnp.sum(jnp.abs(inc2) ** 2))
+            ecc = energy_fn(H.F, H.L, t1n, t2n, no)
+            # DIIS error = the Jacobi increment (new - the amplitudes this
+            # iteration actually started from, i.e. post-extrapolation).
+            state = diis.push(state, (t1n, t2n), (t1, t2))
+            t1e, t2e = jax.lax.cond(
+                do_extrap,
+                lambda s: diis.extrapolate(s, (t1n, t2n)),
+                lambda s: (t1n, t2n),
+                state)
+            return t1n, t2n, t1e, t2e, state, ecc, rms
+
+        t1, t2 = self.t1, self.t2
+        ecc = float(jnp.real(self.cc_energy(t1, t2)))
+        print("CC Iter %3d: CC Ecorr = %.15f  dE = % .5E  MP2" % (0, ecc, -ecc))
+        state = diis.init()
+        for niter in range(1, maxiter + 1):
+            ecc_last = ecc
+            do_ext = (max_diis > 0) and (niter >= start_diis)
+            t1n, t2n, t1, t2, state, ecc_j, rms = step(t1, t2, state,
+                                                       jnp.asarray(do_ext))
+            ecc = float(jnp.real(ecc_j))
+            rms = float(rms)
+            ediff = ecc - ecc_last
+            print("CC Iter %3d: CC Ecorr = %.15f  dE = % .5E  rms = % .5E"
+                  % (niter, ecc, ediff, rms))
+            if abs(ediff) < e_conv and rms < r_conv:
+                # converged amplitudes = pre-extrapolation update
+                self.t1, self.t2 = t1n, t2n
+                print("\nCCWFN converged in %.3f seconds.\n" % (time.time() - tstart))
+                print("E(REF)  = %20.15f" % self.eref)
+                if self.model == "CCSD(T)":
+                    from .triples import t_tjl
+                    print("E(CCSD) = %20.15f" % ecc)
+                    if self.make_t3_density:
+                        et = float(self.t3_density())
+                    else:
+                        et = float(t_tjl(self))
+                    print("E(T)    = %20.15f" % et)
+                    ecc = ecc + et
+                else:
+                    print("E(%s) = %20.15f" % (self.model, ecc))
+                self.ecc = ecc
+                print("E(TOT)  = %20.15f" % (ecc + self.eref))
+                return ecc
+        self.t1, self.t2 = t1, t2
+        self.ecc = ecc
+        return ecc
+
+    def t3_density(self):
+        from .triples import t3_density_energy
+        return t3_density_energy(self)

@@ -1,0 +1,51 @@
+"""CCD / CC2 / CCSD(T) energies vs the reference suite's frozen values.
+
+Oracles: test_017_ccd.py:31 (CFOUR-checked CCD), test_020_cc2.py:31,
+test_005_ccsd_t_energy.py:37,49 (three mutually-agreeing (T) algorithms).
+"""
+
+import contextlib
+import io
+
+import pycc_tpu
+from pycc_tpu.triples import t_tjl, t_vikings, t_vikings_inverted
+from .common import scf
+
+
+def _solve(cc, **kw):
+    with contextlib.redirect_stdout(io.StringIO()):
+        return cc.solve_cc(e_conv=1e-12, r_conv=1e-12, maxiter=100, **kw)
+
+
+def test_ccd_h2o():
+    wfn = scf("H2O", "cc-pvdz", freeze_core=False)
+    cc = pycc_tpu.ccwfn(wfn, model="CCD")
+    ecc = _solve(cc)
+    assert abs(ecc - -0.222559319034) < 1e-11
+
+
+def test_cc2_h2o():
+    wfn = scf("H2O", "cc-pvdz", freeze_core=False)
+    cc = pycc_tpu.ccwfn(wfn, model="CC2")
+    ecc = _solve(cc)
+    assert abs(ecc - -0.215857544656) < 1e-11
+
+
+def test_ccsd_t_h2o_sto3g():
+    wfn = scf("H2O", "sto-3g")
+    cc = pycc_tpu.ccwfn(wfn, model="CCSD(T)")
+    _solve(cc)
+    epsi4 = -0.000099957499645
+    assert abs(float(t_vikings(cc)) - epsi4) < 1e-11
+    assert abs(float(t_vikings_inverted(cc)) - epsi4) < 1e-11
+    assert abs(float(t_tjl(cc)) - epsi4) < 1e-11
+
+
+def test_ccsd_t_h2o_ccpvdz():
+    wfn = scf("H2O", "cc-pvdz")
+    cc = pycc_tpu.ccwfn(wfn, model="CCSD(T)")
+    _solve(cc)
+    epsi4 = -0.003861236558801
+    assert abs(float(t_vikings(cc)) - epsi4) < 1e-11
+    assert abs(float(t_vikings_inverted(cc)) - epsi4) < 1e-11
+    assert abs(float(t_tjl(cc)) - epsi4) < 1e-11

@@ -1,6 +1,187 @@
-"""Placeholder — implemented in a later milestone this round."""
+"""Lambda-amplitude solver: left-hand eigenvector of HBAR.
+
+Functional rebuild of /root/reference/pycc/cclambda.py:17-581.  The residual
+is a pure function of (hbar, t, l); the solver reuses the same jitted
+DIIS/Jacobi scaffold as the T-amplitude solver.  The standalone
+`lambda_residuals_from_F` entry rebuilds HBAR from a (possibly
+field-dressed) Fock matrix for the real-time module.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+from .cchbar import build_hbar
+from .models.ccsd import build_tau, slices
+from .ops.contract import contract
+from .ops.diis import DIIS
+
+
+def build_Goo(t2, l2):
+    return contract("mjab,ijab->mi", t2, l2)
+
+
+def build_Gvv(t2, l2):
+    return -1.0 * contract("ijeb,ijab->ae", t2, l2)
+
+
+def lambda_residuals(model, hb, F, ERI, L, t1, t2, l1, l2, no,
+                     S1=None, S2=None):
+    """r_L1, r_L2 for CCD/CC2/CCSD (+ optional (T) source terms S1/S2)."""
+    o, v = slices(no)
+    Goo = build_Goo(t2, l2)
+    Gvv = build_Gvv(t2, l2)
+    ccd = model == "CCD"
+    cc2 = model == "CC2"
+
+    Hovvo_s = 2.0 * hb.Hovvo - hb.Hovov.swapaxes(2, 3)
+
+    if ccd:
+        r1 = jnp.zeros_like(l1)
+    else:
+        r1 = 2.0 * hb.Hov
+        if S1 is not None:
+            r1 = r1 + S1
+        r1 += contract("ie,ea->ia", l1, hb.Hvv)
+        r1 -= contract("ma,im->ia", l1, hb.Hoo)
+        r1 += contract("imef,efam->ia", l2, hb.Hvvvo)
+        r1 -= contract("mnae,iemn->ia", l2, hb.Hovoo)
+        r1 += contract("me,ieam->ia", l1, Hovvo_s)
+        if cc2:
+            tmp = contract("me,nmfe->nf", l1, t2)
+            r1 += contract("nf,inaf->ia", tmp, 2.0 * L[o, o, v, v])
+            tmp = contract("me,mnfe->nf", l1, build_tau(t1, t2))
+            r1 -= contract("nf,inaf->ia", tmp, 2.0 * ERI[o, o, v, v])
+            r1 += contract("nf,inaf->ia", tmp, ERI[o, o, v, v].swapaxes(2, 3))
+        else:
+            r1 -= 2.0 * contract("ef,eifa->ia", Gvv, hb.Hvovv)
+            r1 += contract("ef,eiaf->ia", Gvv, hb.Hvovv)
+            r1 -= 2.0 * contract("mn,mina->ia", Goo, hb.Hooov)
+            r1 += contract("mn,imna->ia", Goo, hb.Hooov)
+
+    r2 = L[o, o, v, v]
+    if not ccd:
+        if S2 is not None:
+            r2 = r2 + 0.5 * S2
+        r2 = r2 + 2.0 * contract("ia,jb->ijab", l1, hb.Hov)
+        r2 -= contract("ja,ib->ijab", l1, hb.Hov)
+        r2 += 2.0 * contract("ie,ejab->ijab", l1, hb.Hvovv)
+        r2 -= contract("ie,ejba->ijab", l1, hb.Hvovv)
+        r2 -= 2.0 * contract("mb,jima->ijab", l1, hb.Hooov)
+        r2 += contract("mb,ijma->ijab", l1, hb.Hooov)
+    if cc2:
+        r2 += contract("ijeb,ea->ijab", l2,
+                       F[v, v] - contract("me,ma->ae", F[o, v], t1))
+        r2 -= contract("mjab,im->ijab", l2,
+                       F[o, o] + contract("ie,me->mi", t1, F[o, v]))
+    else:
+        r2 = r2 + contract("ijeb,ea->ijab", l2, hb.Hvv)
+        r2 -= contract("mjab,im->ijab", l2, hb.Hoo)
+        r2 += 0.5 * contract("mnab,ijmn->ijab", l2, hb.Hoooo)
+        r2 += 0.5 * contract("ijef,efab->ijab", l2, hb.Hvvvv)
+        r2 += contract("mjeb,ieam->ijab", l2, Hovvo_s)
+        r2 -= contract("mibe,jema->ijab", l2, hb.Hovov)
+        r2 -= contract("mieb,jeam->ijab", l2, hb.Hovvo)
+        r2 += contract("ae,ijeb->ijab", Gvv, L[o, o, v, v])
+        r2 -= contract("mi,mjab->ijab", Goo, L[o, o, v, v])
+    r2 = r2 + r2.transpose(1, 0, 3, 2)
+    return r1, r2
+
+
+def lambda_residuals_from_F(model, F, ERI, L, t1, t2, l1, l2, no):
+    """Rebuild HBAR from F on the fly (RT propagation path; mirrors
+    cclambda.residuals, /root/reference/pycc/cclambda.py:281-448)."""
+    hb = build_hbar(model, F, ERI, L, t1, t2, no)
+    return lambda_residuals(model, hb, F, ERI, L, t1, t2, l1, l2, no)
+
+
+def pseudoenergy(ERI, l2, no):
+    o, v = slices(no)
+    return 0.5 * contract("ijab,ijab->", ERI[o, o, v, v], l2)
 
 
 class cclambda:
-    def __init__(self, *a, **k):
-        raise NotImplementedError("cclambda: coming in a later milestone")
+    """API-parity driver: cclambda(ccwfn, hbar).solve_lambda(...)."""
+
+    def __init__(self, ccwfn, hbar):
+        self.ccwfn = ccwfn
+        self.hbar = hbar
+        self.l1 = 2.0 * ccwfn.t1
+        self.l2 = 2.0 * (2.0 * ccwfn.t2 - ccwfn.t2.swapaxes(2, 3))
+
+    def residuals(self, F, t1, t2, l1, l2):
+        """Standalone residuals rebuilding HBAR from F (for RT-CC)."""
+        cc = self.ccwfn
+        return lambda_residuals_from_F(cc.model, F, cc.H.ERI, cc.H.L,
+                                       t1, t2, l1, l2, cc.no)
+
+    def solve_lambda(self, e_conv=1e-7, r_conv=1e-7, maxiter=100, max_diis=8,
+                     start_diis=1):
+        tstart = time.time()
+        cc = self.ccwfn
+        no = cc.no
+        H = cc.H
+        hb = self.hbar.hbar if hasattr(self.hbar, "hbar") else self.hbar
+        Dia, Dijab = cc.Dia, cc.Dijab
+        model = cc.model
+        t1, t2 = cc.t1, cc.t2
+        use_filter = cc.local is not None
+        if use_filter:
+            filter_fn = cc.Local.filter_amps
+
+        S1 = getattr(cc, "S1", None)
+        S2 = getattr(cc, "S2", None)
+        if model == "CCSD(T)" and S1 is None:
+            from .triples import t3_lambda_sources
+            S1, S2 = t3_lambda_sources(cc)
+            cc.S1, cc.S2 = S1, S2
+
+        diis = DIIS((self.l1, self.l2), max_diis=max(max_diis, 1))
+
+        @jax.jit
+        def step(l1, l2, state, do_extrap):
+            r1, r2 = lambda_residuals(model, hb, H.F, H.ERI, H.L,
+                                      t1, t2, l1, l2, no, S1, S2)
+            if use_filter:
+                inc1, inc2 = filter_fn(r1, r2)
+            else:
+                inc1 = r1 / Dia
+                inc2 = r2 / Dijab
+            l1n = l1 + inc1
+            l2n = l2 + inc2
+            rms = jnp.sqrt(jnp.sum(jnp.abs(inc1) ** 2)
+                           + jnp.sum(jnp.abs(inc2) ** 2))
+            lecc = pseudoenergy(H.ERI, l2n, no)
+            state = diis.push(state, (l1n, l2n), (l1, l2))
+            l1e, l2e = jax.lax.cond(
+                do_extrap,
+                lambda s: diis.extrapolate(s, (l1n, l2n)),
+                lambda s: (l1n, l2n),
+                state)
+            return l1n, l2n, l1e, l2e, state, lecc, rms
+
+        l1, l2 = self.l1, self.l2
+        lecc = float(jnp.real(pseudoenergy(H.ERI, l2, no)))
+        print("\nLCC Iter %3d: LCC PseudoE = %.15f  dE = % .5E" % (0, lecc, -lecc))
+        state = diis.init()
+        for niter in range(1, maxiter + 1):
+            lecc_last = lecc
+            do_ext = (max_diis > 0) and (niter >= start_diis)
+            l1n, l2n, l1, l2, state, lecc_j, rms = step(l1, l2, state,
+                                                        jnp.asarray(do_ext))
+            lecc = float(jnp.real(lecc_j))
+            rms = float(rms)
+            ediff = lecc - lecc_last
+            print("LCC Iter %3d: LCC PseudoE = %.15f  dE = % .5E  rms = % .5E"
+                  % (niter, lecc, ediff, rms))
+            if abs(ediff) < e_conv and rms < r_conv:
+                self.l1, self.l2 = l1n, l2n
+                print("\nLambda-CC has converged in %.3f seconds.\n"
+                      % (time.time() - tstart))
+                return lecc
+        self.l1, self.l2 = l1, l2
+        return lecc
+
+    def pseudoenergy(self, o, v, ERI, l2):
+        return pseudoenergy(ERI, l2, self.ccwfn.no)

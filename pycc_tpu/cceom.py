@@ -1,6 +1,211 @@
-"""Placeholder — implemented in a later milestone this round."""
+"""EOM-CCSD: right-hand Davidson eigensolver over HBAR.
+
+Rebuild of /root/reference/pycc/cceom.py:13-315.  The sigma builds are pure
+functions, jit-compiled and vmapped over all subspace vectors at once (the
+reference loops states in Python); the small-subspace QR/eig stay on host.
+A `dense_matrix` helper materializes the full EOM-CCSD matrix from vmapped
+sigmas — used by the test-suite as an internal oracle in place of the
+reference's in-test Psi4 EOM run.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.ccsd import slices
+from .ops.contract import contract
+
+HARTREE2EV = 27.211386245988
+
+
+def sigma1(hb, C1, C2, L, no):
+    o, v = slices(no)
+    s1 = contract("ie,ae->ia", C1, hb.Hvv)
+    s1 -= contract("mi,ma->ia", hb.Hoo, C1)
+    s1 += 2.0 * contract("maei,me->ia", hb.Hovvo, C1)
+    s1 -= contract("maie,me->ia", hb.Hovov, C1)
+    s1 += 2.0 * contract("miea,me->ia", C2, hb.Hov)
+    s1 -= contract("imea,me->ia", C2, hb.Hov)
+    s1 += 2.0 * contract("imef,amef->ia", C2, hb.Hvovv)
+    s1 -= contract("imef,amfe->ia", C2, hb.Hvovv)
+    s1 -= 2.0 * contract("mnie,mnae->ia", hb.Hooov, C2)
+    s1 += contract("nmie,mnae->ia", hb.Hooov, C2)
+    return s1
+
+
+def sigma2(hb, C1, C2, L, t2, no):
+    o, v = slices(no)
+    Zvv = 2.0 * contract("amef,mf->ae", hb.Hvovv, C1)
+    Zvv -= contract("amfe,mf->ae", hb.Hvovv, C1)
+    Zvv -= contract("nmaf,nmef->ae", C2, L[o, o, v, v])
+
+    Zoo = -2.0 * contract("mnie,ne->mi", hb.Hooov, C1)
+    Zoo += contract("nmie,ne->mi", hb.Hooov, C1)
+    Zoo -= contract("mnef,inef->mi", L[o, o, v, v], C2)
+
+    s2 = contract("ie,abej->ijab", C1, hb.Hvvvo)
+    s2 -= contract("mbij,ma->ijab", hb.Hovoo, C1)
+    s2 += contract("ijeb,ae->ijab", t2, Zvv)
+    s2 += contract("mi,mjab->ijab", Zoo, t2)
+    s2 += contract("ijeb,ae->ijab", C2, hb.Hvv)
+    s2 -= contract("mi,mjab->ijab", hb.Hoo, C2)
+    s2 += 0.5 * contract("mnij,mnab->ijab", hb.Hoooo, C2)
+    s2 += 0.5 * contract("ijef,abef->ijab", C2, hb.Hvvvv)
+    s2 -= contract("imeb,maje->ijab", C2, hb.Hovov)
+    s2 -= contract("imea,mbej->ijab", C2, hb.Hovvo)
+    s2 += 2.0 * contract("miea,mbej->ijab", C2, hb.Hovvo)
+    s2 -= contract("miea,mbje->ijab", C2, hb.Hovov)
+    return s2 + s2.transpose(1, 0, 3, 2)
 
 
 class cceom:
-    def __init__(self, *a, **k):
-        raise NotImplementedError("cceom: coming in a later milestone")
+    """EOM-CCSD Davidson solver over a converged cchbar."""
+
+    def __init__(self, cchbar):
+        self.hbar = cchbar
+        cc = cchbar.ccwfn
+        self.ccwfn = cc
+        self.no, self.nv = cc.no, cc.nv
+        hbar_occ = jnp.diag(cchbar.Hoo)
+        hbar_vir = jnp.diag(cchbar.Hvv)
+        Dia = hbar_occ[:, None] - hbar_vir[None, :]
+        Dijab = (hbar_occ[:, None, None, None] + hbar_occ[None, :, None, None]
+                 - hbar_vir[None, None, :, None] - hbar_vir[None, None, None, :])
+        self.D = np.hstack((np.asarray(Dia).flatten(),
+                            np.asarray(Dijab).flatten()))
+
+        hb = cchbar.hbar
+        L = cc.H.L
+        t2 = cc.t2
+        no = cc.no
+        nv = cc.nv
+
+        def sig(cvec):
+            C1 = cvec[:no * nv].reshape(no, nv)
+            C2 = cvec[no * nv:].reshape(no, no, nv, nv)
+            s1 = sigma1(hb, C1, C2, L, no)
+            s2 = sigma2(hb, C1, C2, L, t2, no)
+            return jnp.concatenate([s1.ravel(), s2.ravel()])
+
+        self._sigma = jax.jit(jax.vmap(sig))
+
+    # ------------------------------------------------------------------
+    def dense_matrix(self):
+        """Materialize the full EOM-CCSD matrix (test oracle; small systems)."""
+        n = self.no * self.nv + (self.no * self.nv) ** 2
+        eye = jnp.eye(n)
+        cols = []
+        bs = 256
+        for i in range(0, n, bs):
+            cols.append(np.asarray(self._sigma(eye[i:i + bs])))
+        return np.concatenate(cols, axis=0).T
+
+    def guess(self, M, method):
+        hbar = self.hbar
+        no, nv = self.no, self.nv
+        D = self.D
+        method = method.upper()
+        if method == "UNIT":
+            idx = D[:no * nv].argsort()[::-1][:M]
+            c = np.eye(no * nv)[:, idx]
+            eps = np.sort(D[:no * nv])[::-1]
+        elif method == "CIS":
+            F = np.asarray(self.ccwfn.H.F)
+            L = np.asarray(self.ccwfn.H.L)
+            o, v = slices(no)
+            H = L[v, o, o, v].swapaxes(0, 1).swapaxes(0, 2).copy()
+            H += np.einsum("ab,ij->iajb", F[no:, no:][:nv, :nv], np.eye(no))
+            H -= np.einsum("ij,ab->iajb", F[:no, :no], np.eye(nv))
+            eps, c = np.linalg.eigh(H.reshape(no * nv, no * nv))
+        elif method == "HBAR_SS":
+            Hovvo = np.asarray(hbar.Hovvo)
+            Hovov = np.asarray(hbar.Hovov)
+            H = (2.0 * Hovvo.swapaxes(1, 2).swapaxes(2, 3)
+                 - Hovov.swapaxes(1, 3)).copy()
+            H += np.einsum("ab,ij->iajb", np.asarray(hbar.Hvv), np.eye(no))
+            H -= np.einsum("ij,ab->iajb", np.asarray(hbar.Hoo), np.eye(nv))
+            eps, c = np.linalg.eig(H.reshape(no * nv, no * nv))
+            idx = eps.argsort()
+            eps = eps[idx]
+            c = c[:, idx]
+        else:
+            raise Exception("%s is not a valid choice of initial guess vectors."
+                            % method)
+        guesses = np.reshape(c.T[:M, :], (M, no, nv)).copy()
+        return eps[:M], guesses
+
+    def solve_eom(self, N=1, e_conv=1e-5, r_conv=1e-5, maxiter=100,
+                  guess="HBAR_SS"):
+        t_init = time.time()
+        no, nv = self.no, self.nv
+        D = self.D
+        s1_len = no * nv
+        s2_len = (no * nv) ** 2
+        sigma_len = s1_len + s2_len
+
+        M = N * 2
+        maxM = N * 10
+
+        _, C1 = self.guess(M, guess)
+        C = np.hstack((C1.reshape(M, s1_len), np.zeros((M, s2_len))))
+        # orthonormalize the initial guesses
+        C = np.linalg.qr(C.T)[0].T.copy()
+        S = np.asarray(self._sigma(jnp.asarray(C)))
+        E = np.zeros(N)
+
+        converged = False
+        for niter in range(1, maxiter + 1):
+            E_old = E
+            M = C.shape[0]
+
+            G = C @ S.T
+            E, a = np.linalg.eig(G)
+            idx = np.real(E).argsort()[:N]
+            E = np.real(E[idx])
+            a = np.real(a[:, idx])
+
+            r = a.T @ S - np.diag(E) @ a.T @ C
+            delta = r / np.subtract.outer(E, D)
+
+            dE = E - E_old
+            if np.abs(np.linalg.norm(dE)) <= e_conv:
+                converged = True
+                break
+
+            if M >= maxM:
+                # collapse to the current best N vectors
+                C = np.linalg.qr((a.T @ C).T)[0].T.copy()
+                S = np.asarray(self._sigma(jnp.asarray(C)))
+                continue
+
+            # Gram-Schmidt the corrections against the subspace; drop
+            # linearly-dependent directions (keeps the subspace full rank,
+            # which the reference's QR-phase scheme does not guarantee)
+            added = []
+            for k in range(N):
+                d = delta[k]
+                for _ in range(2):
+                    d = d - (d @ C.T) @ C
+                    for prev in added:
+                        d = d - (d @ prev) * prev
+                n = np.linalg.norm(d)
+                if n > 1e-7:
+                    added.append(d / n)
+            if not added:
+                converged = True
+                break
+            new = np.array(added)
+            S_new = np.asarray(self._sigma(jnp.asarray(new)))
+            C = np.vstack((C, new))
+            S = np.vstack((S, S_new))
+
+        if converged:
+            print("\nCCEOM converged in %.3f seconds." % (time.time() - t_init))
+            print("\nState     E_h           eV")
+            for state in range(N):
+                print("  %3d  %12.10f  %12.10f"
+                      % (state, E[state], E[state] * HARTREE2EV))
+            return E, C
+        return E, C

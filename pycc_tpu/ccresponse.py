@@ -1,11 +1,455 @@
-"""Placeholder — implemented in a later milestone this round."""
+"""CC linear-response functions (dynamic polarizabilities etc.).
 
+Rebuild of /root/reference/pycc/ccresponse.py:13-861: similarity-transformed
+perturbations (pertbar), iterative perturbed-amplitude solvers solve_right
+(X) / solve_left (Y) sharing the jitted DIIS scaffold, and the asymmetric
+linear-response function linresp_asym.  The reference's partially-broken
+`linresp` (ccresponse.py:288-296) is intentionally not reproduced.
+"""
 
-class ccresponse:
-    def __init__(self, *a, **k):
-        raise NotImplementedError
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cclambda import build_Goo, build_Gvv
+from .models.ccsd import slices
+from .ops.contract import contract
+from .ops.diis import DIIS
+
+CART = ["X", "Y", "Z"]
 
 
 class pertbar:
-    def __init__(self, *a, **k):
-        raise NotImplementedError
+    """Similarity-transformed one-electron perturbation blocks."""
+
+    def __init__(self, pert, ccwfn):
+        o, v = ccwfn.o, ccwfn.v
+        t1, t2 = ccwfn.t1, ccwfn.t2
+        self.Aov = pert[o, v]
+        self.Aoo = pert[o, o] + contract("ie,me->mi", t1, pert[o, v])
+        self.Avv = pert[v, v] - contract("ma,me->ae", t1, pert[o, v])
+        Avo = pert[v, o]
+        Avo += contract("ie,ae->ai", t1, pert[v, v])
+        Avo -= contract("ma,mi->ai", t1, pert[o, o])
+        Avo += contract("miea,me->ai", 2.0 * t2 - t2.swapaxes(2, 3), pert[o, v])
+        Avo -= contract("ie,ma,me->ai", t1, t1, pert[o, v])
+        self.Avo = Avo
+        self.Aovoo = contract("ijeb,me->mbij", t2, pert[o, v])
+        self.Avvvo = -1.0 * contract("miab,me->abei", t2, pert[o, v])
+        Avvoo = contract("ijeb,ae->ijab", t2, self.Avv)
+        Avvoo -= contract("mjab,mi->ijab", t2, self.Aoo)
+        self.Avvoo = 0.5 * (Avvoo + Avvoo.transpose(1, 0, 3, 2))
+
+
+def r_X(hb, L, t2, A, omega, X1, X2, no):
+    o, v = slices(no)
+    r1 = A["Avo"].T - omega * X1
+    r1 += contract("ie,ae->ia", X1, hb.Hvv)
+    r1 -= contract("ma,mi->ia", X1, hb.Hoo)
+    r1 += 2.0 * contract("me,maei->ia", X1, hb.Hovvo)
+    r1 -= contract("me,maie->ia", X1, hb.Hovov)
+    r1 += contract("me,miea->ia", hb.Hov, 2.0 * X2 - X2.swapaxes(0, 1))
+    r1 += contract("imef,amef->ia", X2, 2.0 * hb.Hvovv - hb.Hvovv.swapaxes(2, 3))
+    r1 -= contract("mnae,mnie->ia", X2, 2.0 * hb.Hooov - hb.Hooov.swapaxes(0, 1))
+
+    Zvv = contract("amef,mf->ae", 2.0 * hb.Hvovv - hb.Hvovv.swapaxes(2, 3), X1)
+    Zvv -= contract("mnef,mnaf->ae", L[o, o, v, v], X2)
+    Zoo = -1.0 * contract("mnie,ne->mi",
+                          2.0 * hb.Hooov - hb.Hooov.swapaxes(0, 1), X1)
+    Zoo -= contract("mnef,inef->mi", L[o, o, v, v], X2)
+
+    r2 = A["Avvoo"] - 0.5 * omega * X2
+    r2 += contract("ie,abej->ijab", X1, hb.Hvvvo)
+    r2 -= contract("ma,mbij->ijab", X1, hb.Hovoo)
+    r2 += contract("mi,mjab->ijab", Zoo, t2)
+    r2 += contract("ae,ijeb->ijab", Zvv, t2)
+    r2 += contract("ijeb,ae->ijab", X2, hb.Hvv)
+    r2 -= contract("mjab,mi->ijab", X2, hb.Hoo)
+    r2 += 0.5 * contract("mnab,mnij->ijab", X2, hb.Hoooo)
+    r2 += 0.5 * contract("ijef,abef->ijab", X2, hb.Hvvvv)
+    r2 -= contract("imeb,maje->ijab", X2, hb.Hovov)
+    r2 -= contract("imea,mbej->ijab", X2, hb.Hovvo)
+    r2 += 2.0 * contract("miea,mbej->ijab", X2, hb.Hovvo)
+    r2 -= contract("miea,mbje->ijab", X2, hb.Hovov)
+    r2 = r2 + r2.transpose(1, 0, 3, 2)
+    return r1, r2
+
+
+def in_Y1(hb, L, t2, l1, l2, A, X1, X2, no):
+    o, v = slices(no)
+    r = 2.0 * A["Aov"]
+    r -= contract("im,ma->ia", A["Aoo"], l1)
+    r += contract("ie,ea->ia", l1, A["Avv"])
+    r += contract("imfe,feam->ia", l2, A["Avvvo"])
+    r -= 0.5 * contract("ienm,mnea->ia", A["Aovoo"], l2)
+    r -= 0.5 * contract("iemn,mnae->ia", A["Aovoo"], l2)
+
+    r += 2.0 * contract("imae,me->ia", L[o, o, v, v], X1)
+
+    tmp = -1.0 * contract("ma,ie->miae", hb.Hov, l1)
+    tmp -= contract("ma,ie->miae", l1, hb.Hov)
+    tmp -= 2.0 * contract("mina,ne->miae", hb.Hooov, l1)
+    tmp += contract("imna,ne->miae", hb.Hooov, l1)
+    tmp -= 2.0 * contract("imne,na->miae", hb.Hooov, l1)
+    tmp += contract("mine,na->miae", hb.Hooov, l1)
+    tmp += 2.0 * contract("fmae,if->miae", hb.Hvovv, l1)
+    tmp -= contract("fmea,if->miae", hb.Hvovv, l1)
+    tmp += 2.0 * contract("fiea,mf->miae", hb.Hvovv, l1)
+    tmp -= contract("fiae,mf->miae", hb.Hvovv, l1)
+    r += contract("miae,me->ia", tmp, X1)
+
+    tmp = 2.0 * contract("mnef,nf->me", X2, l1)
+    tmp -= contract("mnfe,nf->me", X2, l1)
+    r += contract("imae,me->ia", L[o, o, v, v], tmp)
+    r -= contract("ni,na->ia", build_Goo(X2, L[o, o, v, v]), l1)
+    r += contract("ie,ea->ia", l1, build_Gvv(L[o, o, v, v], X2))
+
+    tmp = -1.0 * contract("nief,mfna->iema", l2, hb.Hovov)
+    tmp -= contract("ifne,nmaf->iema", hb.Hovov, l2)
+    tmp -= contract("inef,mfan->iema", l2, hb.Hovvo)
+    tmp -= contract("ifen,nmfa->iema", hb.Hovvo, l2)
+    tmp += 0.5 * contract("imfg,fgae->iema", l2, hb.Hvvvv)
+    tmp += 0.5 * contract("imgf,fgea->iema", l2, hb.Hvvvv)
+    tmp += 0.5 * contract("imno,onea->iema", hb.Hoooo, l2)
+    tmp += 0.5 * contract("mino,noea->iema", hb.Hoooo, l2)
+    r += contract("iema,me->ia", tmp, X1)
+
+    Gvv_l2t2 = build_Gvv(l2, t2)
+    Goo_t2l2 = build_Goo(t2, l2)
+    tmp = contract("nb,fb->nf", X1, Gvv_l2t2)
+    r += contract("inaf,nf->ia", L[o, o, v, v], tmp)
+    tmp = contract("me,fa->mefa", X1, Gvv_l2t2)
+    r += contract("mief,mefa->ia", L[o, o, v, v], tmp)
+    tmp = contract("me,ni->meni", X1, Goo_t2l2)
+    r -= contract("meni,mnea->ia", tmp, L[o, o, v, v])
+    tmp = contract("jf,nj->fn", X1, Goo_t2l2)
+    r -= contract("inaf,fn->ia", L[o, o, v, v], tmp)
+
+    r -= contract("mi,ma->ia", build_Goo(X2, l2), hb.Hov)
+    r += contract("ie,ea->ia", hb.Hov, build_Gvv(l2, X2))
+    tmp = contract("imfg,mnef->igne", l2, X2)
+    r -= contract("igne,gnea->ia", tmp, hb.Hvovv)
+    tmp = contract("mifg,mnef->igne", l2, X2)
+    r -= contract("igne,gnae->ia", tmp, hb.Hvovv)
+    tmp = contract("mnga,mnef->gaef", l2, X2)
+    r -= contract("gief,gaef->ia", hb.Hvovv, tmp)
+    tmp = 2.0 * contract("gmae,mnef->ganf", hb.Hvovv, X2)
+    tmp -= contract("gmea,mnef->ganf", hb.Hvovv, X2)
+    r += contract("nifg,ganf->ia", l2, tmp)
+    Gvv_X2l2 = build_Gvv(X2, l2)
+    r -= 2.0 * contract("giea,ge->ia", hb.Hvovv, Gvv_X2l2)
+    r += contract("giae,ge->ia", hb.Hvovv, Gvv_X2l2)
+    tmp = contract("oief,mnef->oimn", l2, X2)
+    r += contract("oimn,mnoa->ia", tmp, hb.Hooov)
+    tmp = contract("mofa,mnef->oane", l2, X2)
+    r += contract("inoe,oane->ia", hb.Hooov, tmp)
+    tmp = contract("onea,mnef->oamf", l2, X2)
+    r += contract("miof,oamf->ia", hb.Hooov, tmp)
+    Goo_X2l2 = build_Goo(X2, l2)
+    r -= 2.0 * contract("mioa,mo->ia", hb.Hooov, Goo_X2l2)
+    r += contract("imoa,mo->ia", hb.Hooov, Goo_X2l2)
+    tmp = -2.0 * contract("imoe,mnef->ionf", hb.Hooov, X2)
+    tmp += contract("mioe,mnef->ionf", hb.Hooov, X2)
+    r += contract("ionf,nofa->ia", tmp, l2)
+    return r
+
+
+def in_Y2(hb, L, ERI, t2, l1, l2, A, X1, X2, no):
+    o, v = slices(no)
+    r = 2.0 * contract("ia,jb->ijab", l1, A["Aov"])
+    r -= contract("ja,ib->ijab", l1, A["Aov"])
+    r += contract("ijeb,ea->ijab", l2, A["Avv"])
+    r -= contract("im,mjab->ijab", A["Aoo"], l2)
+
+    tmp = contract("me,ja->meja", X1, l1)
+    r -= contract("mieb,meja->ijab", L[o, o, v, v], tmp)
+    tmp = contract("me,mb->eb", X1, l1)
+    r -= contract("ijae,eb->ijab", L[o, o, v, v], tmp)
+    tmp = contract("me,ie->mi", X1, l1)
+    r -= contract("mi,jmba->ijab", tmp, L[o, o, v, v])
+    tmp = 2.0 * contract("me,jb->mejb", X1, l1)
+    r += contract("imae,mejb->ijab", L[o, o, v, v], tmp)
+
+    tmp = contract("me,ma->ea", X1, hb.Hov)
+    r -= contract("ijeb,ea->ijab", l2, tmp)
+    tmp = contract("me,ie->mi", X1, hb.Hov)
+    r -= contract("mi,jmba->ijab", tmp, l2)
+    tmp = contract("me,ijef->mijf", X1, l2)
+    r -= contract("mijf,fmba->ijab", tmp, hb.Hvovv)
+    tmp = contract("me,imbf->eibf", X1, l2)
+    r -= contract("eibf,fjea->ijab", tmp, hb.Hvovv)
+    tmp = contract("me,jmfa->ejfa", X1, l2)
+    r -= contract("fibe,ejfa->ijab", hb.Hvovv, tmp)
+    tmp = 2.0 * contract("me,fmae->fa", X1, hb.Hvovv)
+    tmp -= contract("me,fmea->fa", X1, hb.Hvovv)
+    r += contract("ijfb,fa->ijab", l2, tmp)
+    tmp = 2.0 * contract("me,fiea->mfia", X1, hb.Hvovv)
+    tmp -= contract("me,fiae->mfia", X1, hb.Hvovv)
+    r += contract("mfia,jmbf->ijab", tmp, l2)
+    tmp = contract("me,jmna->ejna", X1, hb.Hooov)
+    r += contract("ineb,ejna->ijab", l2, tmp)
+    tmp = contract("me,mjna->ejna", X1, hb.Hooov)
+    r += contract("nieb,ejna->ijab", l2, tmp)
+    tmp = contract("me,nmba->enba", X1, l2)
+    r += contract("jine,enba->ijab", hb.Hooov, tmp)
+    tmp = 2.0 * contract("me,mina->eina", X1, hb.Hooov)
+    tmp -= contract("me,imna->eina", X1, hb.Hooov)
+    r -= contract("eina,njeb->ijab", tmp, l2)
+    tmp = 2.0 * contract("me,imne->in", X1, hb.Hooov)
+    tmp -= contract("me,mine->in", X1, hb.Hooov)
+    r -= contract("in,jnba->ijab", tmp, l2)
+
+    tmp = 0.5 * contract("ijef,mnef->ijmn", l2, X2)
+    r += contract("ijmn,mnab->ijab", tmp, ERI[o, o, v, v])
+    tmp = 0.5 * contract("ijfe,mnef->ijmn", ERI[o, o, v, v], X2)
+    r += contract("ijmn,mnba->ijab", tmp, l2)
+    tmp = contract("mifb,mnef->ibne", l2, X2)
+    r += contract("ibne,jnae->ijab", tmp, ERI[o, o, v, v])
+    tmp = contract("imfb,mnef->ibne", l2, X2)
+    r += contract("ibne,njae->ijab", tmp, ERI[o, o, v, v])
+    tmp = contract("mjfb,mnef->jbne", l2, X2)
+    r -= contract("jbne,inae->ijab", tmp, L[o, o, v, v])
+    r -= contract("in,jnba->ijab", build_Goo(L[o, o, v, v], X2), l2)
+    r += contract("ijfb,af->ijab", l2, build_Gvv(X2, L[o, o, v, v]))
+    r += contract("ijae,be->ijab", L[o, o, v, v], build_Gvv(X2, l2))
+    r -= contract("imab,jm->ijab", L[o, o, v, v], build_Goo(l2, X2))
+    tmp = contract("nifb,mnef->ibme", l2, X2)
+    r -= contract("ibme,mjea->ijab", tmp, L[o, o, v, v])
+    tmp = 2.0 * contract("njfb,mnef->jbme", l2, X2)
+    r += contract("imae,jbme->ijab", L[o, o, v, v], tmp)
+    return r
+
+
+def r_Y(hb, L, t2, imY1, imY2, omega, Y1, Y2, no):
+    o, v = slices(no)
+    r1 = imY1 + omega * Y1
+    r1 += contract("ie,ea->ia", Y1, hb.Hvv)
+    r1 -= contract("im,ma->ia", hb.Hoo, Y1)
+    r1 += 2.0 * contract("ieam,me->ia", hb.Hovvo, Y1)
+    r1 -= contract("iema,me->ia", hb.Hovov, Y1)
+    r1 += contract("imef,efam->ia", Y2, hb.Hvvvo)
+    r1 -= contract("iemn,mnae->ia", hb.Hovoo, Y2)
+    Gvv_t2Y2 = build_Gvv(t2, Y2)
+    r1 -= 2.0 * contract("eifa,ef->ia", hb.Hvovv, Gvv_t2Y2)
+    r1 += contract("eiaf,ef->ia", hb.Hvovv, Gvv_t2Y2)
+    Goo_t2Y2 = build_Goo(t2, Y2)
+    r1 -= 2.0 * contract("mina,mn->ia", hb.Hooov, Goo_t2Y2)
+    r1 += contract("imna,mn->ia", hb.Hooov, Goo_t2Y2)
+
+    r2 = imY2 + 0.5 * omega * Y2
+    r2 += 2.0 * contract("ia,jb->ijab", Y1, hb.Hov)
+    r2 -= contract("ja,ib->ijab", Y1, hb.Hov)
+    r2 += contract("ijeb,ea->ijab", Y2, hb.Hvv)
+    r2 -= contract("im,mjab->ijab", hb.Hoo, Y2)
+    r2 += 0.5 * contract("ijmn,mnab->ijab", hb.Hoooo, Y2)
+    r2 += 0.5 * contract("ijef,efab->ijab", Y2, hb.Hvvvv)
+    r2 += 2.0 * contract("ie,ejab->ijab", Y1, hb.Hvovv)
+    r2 -= contract("ie,ejba->ijab", Y1, hb.Hvovv)
+    r2 -= 2.0 * contract("mb,jima->ijab", Y1, hb.Hooov)
+    r2 += contract("mb,ijma->ijab", Y1, hb.Hooov)
+    r2 += 2.0 * contract("ieam,mjeb->ijab", hb.Hovvo, Y2)
+    r2 -= contract("iema,mjeb->ijab", hb.Hovov, Y2)
+    r2 -= contract("mibe,jema->ijab", Y2, hb.Hovov)
+    r2 -= contract("mieb,jeam->ijab", Y2, hb.Hovvo)
+    r2 += contract("ijeb,ae->ijab", L[o, o, v, v], build_Gvv(t2, Y2))
+    r2 -= contract("mi,mjab->ijab", build_Goo(t2, Y2), L[o, o, v, v])
+    r2 = r2 + r2.transpose(1, 0, 3, 2)
+    return r1, r2
+
+
+class ccresponse:
+    """RHF-CC response-property driver (API parity with the reference)."""
+
+    def __init__(self, ccdensity, omega1=0, omega2=0):
+        self.ccwfn = ccdensity.ccwfn
+        self.cclambda = ccdensity.cclambda
+        self.H = self.ccwfn.H
+        self.hbar = self.cclambda.hbar
+        self.cart = CART
+
+        cc = self.ccwfn
+        self.pertbar = {}
+        for axis in range(3):
+            self.pertbar["MU_" + CART[axis]] = pertbar(self.H.mu[axis], cc)
+        for axis in range(3):
+            self.pertbar["M_" + CART[axis]] = pertbar(self.H.m[axis], cc)
+        for axis in range(3):
+            self.pertbar["M*_" + CART[axis]] = pertbar(jnp.conj(self.H.m[axis]), cc)
+        for axis in range(3):
+            self.pertbar["P_" + CART[axis]] = pertbar(self.H.p[axis], cc)
+        for axis in range(3):
+            self.pertbar["P*_" + CART[axis]] = pertbar(jnp.conj(self.H.p[axis]), cc)
+        ij = 0
+        for a1 in range(3):
+            for a2 in range(a1, 3):
+                key = "Q_" + CART[a1] + CART[a2]
+                self.pertbar[key] = pertbar(self.H.Q[ij], cc)
+                if a1 != a2:
+                    self.pertbar["Q_" + CART[a2] + CART[a1]] = self.pertbar[key]
+                ij += 1
+
+        hbar_obj = self.hbar
+        eps_occ = jnp.diag(hbar_obj.Hoo)
+        eps_vir = jnp.diag(hbar_obj.Hvv)
+        self.Dia = eps_occ[:, None] - eps_vir[None, :]
+        self.Dijab = (eps_occ[:, None, None, None] + eps_occ[None, :, None, None]
+                      - eps_vir[None, None, :, None] - eps_vir[None, None, None, :])
+
+    def _Adict(self, A):
+        return {"Aov": A.Aov, "Aoo": A.Aoo, "Avv": A.Avv, "Avo": A.Avo,
+                "Aovoo": A.Aovoo, "Avvvo": A.Avvvo, "Avvoo": A.Avvoo}
+
+    def pseudoresponse(self, A, X1, X2):
+        polar1 = 2.0 * contract("ai,ia->", jnp.conj(A.Avo), X1)
+        polar2 = 2.0 * contract("ijab,ijab->", jnp.conj(A.Avvoo),
+                                2.0 * X2 - X2.swapaxes(2, 3))
+        return -2.0 * (polar1 + polar2)
+
+    # ------------------------------------------------------------------
+    def solve_right(self, A, omega, e_conv=1e-12, r_conv=1e-12, maxiter=200,
+                    max_diis=7, start_diis=1):
+        t0 = time.time()
+        cc = self.ccwfn
+        no = cc.no
+        hb = self.hbar.hbar if hasattr(self.hbar, "hbar") else self.hbar
+        L, t2 = cc.H.L, cc.t2
+        Dia = self.Dia + omega
+        Dijab = self.Dijab + omega
+        Ad = self._Adict(A)
+
+        X1 = A.Avo.T / Dia
+        X2 = A.Avvoo / Dijab
+        diis = DIIS((X1, X2), max_diis=max(max_diis, 1))
+
+        @jax.jit
+        def step(X1, X2, state, do_extrap):
+            r1, r2 = r_X(hb, L, t2, Ad, omega, X1, X2, no)
+            inc1 = r1 / Dia
+            inc2 = r2 / Dijab
+            X1n, X2n = X1 + inc1, X2 + inc2
+            rms = jnp.sqrt(jnp.sum(jnp.abs(inc1) ** 2)
+                           + jnp.sum(jnp.abs(inc2) ** 2))
+            state = diis.push(state, (X1n, X2n), (X1, X2))
+            X1e, X2e = jax.lax.cond(
+                do_extrap, lambda s: diis.extrapolate(s, (X1n, X2n)),
+                lambda s: (X1n, X2n), state)
+            return X1n, X2n, X1e, X2e, state, rms
+
+        pseudo = complex(self.pseudoresponse(A, X1, X2))
+        state = diis.init()
+        for niter in range(1, maxiter + 1):
+            pseudo_last = pseudo
+            do_ext = (max_diis > 0) and (niter >= start_diis)
+            X1n, X2n, X1, X2, state, rms = step(X1, X2, state,
+                                                jnp.asarray(do_ext))
+            pseudo = complex(self.pseudoresponse(A, X1n, X2n))
+            rms = float(rms)
+            if abs(pseudo - pseudo_last) < e_conv and rms < r_conv:
+                print("\nPerturbed wave function converged in %.3f seconds.\n"
+                      % (time.time() - t0))
+                self.X1, self.X2 = X1n, X2n
+                return X1n, X2n, pseudo
+        self.X1, self.X2 = X1, X2
+        return X1, X2, pseudo
+
+    def solve_left(self, A, omega, e_conv=1e-12, r_conv=1e-12, maxiter=200,
+                   max_diis=7, start_diis=1):
+        t0 = time.time()
+        cc = self.ccwfn
+        no = cc.no
+        hb = self.hbar.hbar if hasattr(self.hbar, "hbar") else self.hbar
+        L, ERI, t2 = cc.H.L, cc.H.ERI, cc.t2
+        l1, l2 = self.cclambda.l1, self.cclambda.l2
+        Dia = self.Dia + omega
+        Dijab = self.Dijab + omega
+        Ad = self._Adict(A)
+
+        X1g = A.Avo.T / Dia
+        X2g = A.Avvoo / Dijab
+        Y1 = 2.0 * X1g
+        Y2 = 4.0 * X2g - 2.0 * X2g.swapaxes(2, 3)
+
+        imY1 = in_Y1(hb, L, t2, l1, l2, Ad, self.X1, self.X2, no)
+        imY2 = in_Y2(hb, L, ERI, t2, l1, l2, Ad, self.X1, self.X2, no)
+
+        diis = DIIS((Y1, Y2), max_diis=max(max_diis, 1))
+
+        @jax.jit
+        def step(Y1, Y2, state, do_extrap):
+            r1, r2 = r_Y(hb, L, t2, imY1, imY2, omega, Y1, Y2, no)
+            inc1 = r1 / Dia
+            inc2 = r2 / Dijab
+            Y1n, Y2n = Y1 + inc1, Y2 + inc2
+            rms = jnp.sqrt(jnp.sum(jnp.abs(inc1) ** 2)
+                           + jnp.sum(jnp.abs(inc2) ** 2))
+            state = diis.push(state, (Y1n, Y2n), (Y1, Y2))
+            Y1e, Y2e = jax.lax.cond(
+                do_extrap, lambda s: diis.extrapolate(s, (Y1n, Y2n)),
+                lambda s: (Y1n, Y2n), state)
+            return Y1n, Y2n, Y1e, Y2e, state, rms
+
+        pseudo = complex(self.pseudoresponse(A, Y1, Y2))
+        state = diis.init()
+        for niter in range(1, maxiter + 1):
+            pseudo_last = pseudo
+            do_ext = (max_diis > 0) and (niter >= start_diis)
+            Y1n, Y2n, Y1, Y2, state, rms = step(Y1, Y2, state,
+                                                jnp.asarray(do_ext))
+            pseudo = complex(self.pseudoresponse(A, Y1n, Y2n))
+            rms = float(rms)
+            if abs(pseudo - pseudo_last) < e_conv and rms < r_conv:
+                print("\nPerturbed wave function converged in %.3f seconds.\n"
+                      % (time.time() - t0))
+                self.Y1, self.Y2 = Y1n, Y2n
+                return Y1n, Y2n, pseudo
+        self.Y1, self.Y2 = Y1, Y2
+        return Y1, Y2, pseudo
+
+    # ------------------------------------------------------------------
+    def linresp_asym(self, pertkey_a, X1_B, X2_B, Y1_B, Y2_B):
+        l1, l2 = self.cclambda.l1, self.cclambda.l2
+        A = self.pertbar[pertkey_a]
+        Avvoo = A.Avvoo.swapaxes(0, 2).swapaxes(1, 3)
+        polar1 = contract("ai,ia->", A.Avo, Y1_B)
+        polar1 += 0.5 * contract("abij,ijab->", Avvoo, Y2_B)
+        polar1 += 0.5 * contract("baji,ijab->", Avvoo, Y2_B)
+        polar2 = 2.0 * contract("ia,ia->", A.Aov, X1_B)
+        tmp = contract("ia,ic->ac", l1, X1_B)
+        polar2 += contract("ac,ac->", tmp, A.Avv)
+        tmp = contract("ia,ka->ik", l1, X1_B)
+        polar2 -= contract("ik,ki->", tmp, A.Aoo)
+        tmp = contract("ia,jb->ijab", l1, A.Aov)
+        polar2 += 2.0 * contract("ijab,ijab->", tmp, X2_B)
+        polar2 -= contract("ijab,ijba->", tmp, X2_B)
+        tmp = contract("ijbc,bcaj->ia", l2, A.Avvvo)
+        polar2 += contract("ia,ia->", tmp, X1_B)
+        tmp = contract("ijab,kbij->ak", l2, A.Aovoo)
+        polar2 -= 0.5 * contract("ak,ka->", tmp, X1_B)
+        tmp = contract("ijab,kaji->bk", l2, A.Aovoo)
+        polar2 -= 0.5 * contract("bk,kb->", tmp, X1_B)
+        tmp = contract("ijab,kjab->ik", l2, X2_B)
+        polar2 -= 0.5 * contract("ik,ki->", tmp, A.Aoo)
+        tmp = contract("ijab,kiba->jk", l2, X2_B)
+        polar2 -= 0.5 * contract("jk,kj->", tmp, A.Aoo)
+        tmp = contract("ijab,ijac->bc", l2, X2_B)
+        polar2 += 0.5 * contract("bc,bc->", tmp, A.Avv)
+        tmp = contract("ijab,ijcb->ac", l2, X2_B)
+        polar2 += 0.5 * contract("ac,ac->", tmp, A.Avv)
+        return -1.0 * (polar1 + polar2)
+
+    def pertcheck(self, omega, e_conv=1e-13, r_conv=1e-13, maxiter=200,
+                  max_diis=8, start_diis=1):
+        """Converge X for every available perturbation; return dict of
+        pseudoresponses (mirrors ccresponse.pertcheck)."""
+        check = {}
+        for key, A in self.pertbar.items():
+            X1, X2, pseudo = self.solve_right(A, omega, e_conv, r_conv,
+                                              maxiter, max_diis, start_diis)
+            check[key] = pseudo
+            if omega != 0.0:
+                X1, X2, pseudo = self.solve_right(A, -omega, e_conv, r_conv,
+                                                  maxiter, max_diis, start_diis)
+                check[key + "_mω"] = pseudo
+        return check

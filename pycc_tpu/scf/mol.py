@@ -123,7 +123,7 @@ class Molecule:
             com = (masses[:, None] * coords).sum(0) / masses.sum()
             coords = coords - com
         if not noreorient and len(syms) > 1:
-            coords = _principal_frame(coords, masses)
+            coords = _principal_frame(coords, masses, syms)
 
         self.symbols = syms
         self.coords = coords
@@ -161,27 +161,58 @@ def _canon(sym):
     return s
 
 
-def _principal_frame(coords, masses):
-    """Rotate to the principal axes of inertia (Psi4's default orientation):
-    axes ordered so the largest moment is along x... Psi4 orders eigenvalues
-    ascending and maps them to (x, y, z); degenerate/linear cases fall back
-    to aligning the molecular axis with z."""
+def _is_c2_axis(coords, syms, axis, tol=1e-6):
+    """Does a 180-degree rotation about `axis` map the molecule onto itself?"""
+    rot = 2.0 * np.outer(axis, axis) - np.eye(3)
+    new = coords @ rot.T
+    for i, r in enumerate(new):
+        ok = False
+        for j, r2 in enumerate(coords):
+            if syms[i] == syms[j] and np.linalg.norm(r - r2) < tol:
+                ok = True
+                break
+        if not ok:
+            return False
+    return True
+
+
+def _principal_frame(coords, masses, syms):
+    """Rotate to Psi4's canonical orientation.
+
+    Psi4 orients by the detected full point group even under `symmetry c1`:
+    linear molecules along z; a (unique) C2 axis along z with a planar
+    molecule placed in the yz-plane (sigma_v); otherwise principal axes with
+    ascending moments mapped to (z, y, x).  Validated against the reference
+    suite's frame-dependent polarizability/dipole components.
+    """
     inertia = np.zeros((3, 3))
     for m, r in zip(masses, coords):
         inertia += m * (np.dot(r, r) * np.eye(3) - np.outer(r, r))
     w, V = np.linalg.eigh(inertia)
-    # ascending eigenvalues: V columns are principal axes.
-    # Psi4 convention: smallest moment -> z? Empirically Psi4 places linear
-    # molecules along z (smallest moment = 0 along the axis), and asymmetric
-    # tops with the largest moment along z is NOT what Psi4 does; it uses
-    # ascending order onto (x,y,z) then fixes phases.  We map ascending
-    # moments to (z, y, x)^T ... chosen to match Psi4 water orientation
-    # (C2 axis along z). See _orient notes; validated against reference
-    # dipole-component tests.
-    order = [2, 1, 0]
-    R = V[:, order]
-    # ensure right-handed
+
+    if w[0] < 1e-8 * max(w[2], 1.0):  # linear: molecular axis -> z
+        R = V[:, [2, 1, 0]]
+        if np.linalg.det(R) < 0:
+            R[:, 0] *= -1
+        return coords @ R
+
+    c2 = [k for k in range(3) if _is_c2_axis(coords, syms, V[:, k])]
+    # planarity: normal candidate is the largest-moment axis
+    planar = np.all(np.abs(coords @ V[:, 2]) < 1e-6)
+
+    if len(c2) == 1 and planar:
+        zax = V[:, c2[0]]
+        xax = V[:, 2] if c2[0] != 2 else V[:, 1]  # plane normal -> x
+        yax = np.cross(zax, xax)
+        R = np.column_stack([xax, yax, zax])
+    elif len(c2) == 1:
+        zax = V[:, c2[0]]
+        rest = [k for k in range(3) if k != c2[0]]
+        xax = V[:, rest[1]]  # larger remaining moment -> x
+        yax = np.cross(zax, xax)
+        R = np.column_stack([xax, yax, zax])
+    else:
+        R = V[:, [2, 1, 0]]
     if np.linalg.det(R) < 0:
         R[:, 0] *= -1
-    new = coords @ R
-    return new
+    return coords @ R

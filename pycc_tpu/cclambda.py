@@ -89,11 +89,20 @@ def lambda_residuals(model, hb, F, ERI, L, t1, t2, l1, l2, no,
     return r1, r2
 
 
-def lambda_residuals_from_F(model, F, ERI, L, t1, t2, l1, l2, no):
+def lambda_residuals_from_F(model, F, ERI, L, t1, t2, l1, l2, no,
+                            real_time=False, F_ref=None):
     """Rebuild HBAR from F on the fly (RT propagation path; mirrors
     cclambda.residuals, /root/reference/pycc/cclambda.py:281-448)."""
-    hb = build_hbar(model, F, ERI, L, t1, t2, no)
-    return lambda_residuals(model, hb, F, ERI, L, t1, t2, l1, l2, no)
+    hb = build_hbar("CCSD" if model == "CC3" else model, F, ERI, L, t1, t2, no)
+    r1, r2 = lambda_residuals("CCSD" if model == "CC3" else model,
+                              hb, F, ERI, L, t1, t2, l1, l2, no)
+    if model == "CC3":
+        from .models.cc3 import cc3_lambda_extra
+        Y1, Y2 = cc3_lambda_extra(F, ERI, L, t1, t2, l1, l2, no,
+                                  real_time=real_time, F_ref=F_ref)
+        r1 = r1 + Y1
+        r2 = r2 + Y2
+    return r1, r2
 
 
 def pseudoenergy(ERI, l2, no):
@@ -139,10 +148,20 @@ class cclambda:
 
         diis = DIIS((self.l1, self.l2), max_diis=max(max_diis, 1))
 
+        is_cc3 = model == "CC3"
+        if is_cc3:
+            from .models.cc3 import cc3_lambda_extra
+
         @jax.jit
         def step(l1, l2, state, do_extrap):
-            r1, r2 = lambda_residuals(model, hb, H.F, H.ERI, H.L,
+            r1, r2 = lambda_residuals("CCSD" if is_cc3 else model,
+                                      hb, H.F, H.ERI, H.L,
                                       t1, t2, l1, l2, no, S1, S2)
+            if is_cc3:
+                Y1, Y2 = cc3_lambda_extra(H.F, H.ERI, H.L, t1, t2, l1, l2,
+                                          no, real_time=False)
+                r1 = r1 + Y1
+                r2 = r2 + Y2
             if use_filter:
                 inc1, inc2 = filter_fn(r1, r2)
             else:

@@ -79,7 +79,26 @@ class ccwfn:
         self.nact = self.no + self.nv
 
         dtype = jnp.float64 if precision == "DP" else jnp.float32
-        self.H = build_hamiltonian(scf_wfn)
+        if local is not None:
+            # localize the active occupied orbitals, then rebuild H in the
+            # localized basis (reference flow: ccwfn.py:145-154)
+            from .scf import integrals as ints
+            from .scf.localize import boys, pipek_mezey
+            C_act = np.array(scf_wfn.Ca_subset("AO", "ACTIVE"))
+            if self.local_mos == "PIPEK_MEZEY":
+                C_act[:, :self.no] = pipek_mezey(C_act[:, :self.no],
+                                                 np.asarray(scf_wfn.S_ao),
+                                                 scf_wfn.basisset())
+            elif self.local_mos == "BOYS":
+                dip = ints.dipole(scf_wfn.basisset())
+                C_act[:, :self.no] = boys(C_act[:, :self.no], dip)
+            else:
+                raise Exception("%s is not an allowed MO localization method."
+                                % self.local_mos)
+            self.C = C_act
+            self.H = build_hamiltonian(scf_wfn, C=C_act)
+        else:
+            self.H = build_hamiltonian(scf_wfn)
         if precision == "SP":
             self.H = Hamiltonian(F=self.H.F.astype(dtype),
                                  ERI=self.H.ERI.astype(dtype),
@@ -100,22 +119,18 @@ class ccwfn:
 
         if local is not None:
             from .local import Local
-            from .lccwfn import lccwfn as _lccwfn
-            C_all = np.asarray(scf_wfn.Ca_subset("AO", "ACTIVE"))
-            self.Local = Local(local, C_all, self.nfzc, self.no, self.nv,
+            self.Local = Local(local, self.C, self.nfzc, self.no, self.nv,
                                self.H, self.local_cutoff, self.it2_opt,
-                               wfn=scf_wfn, local_mos=self.local_mos)
-            # localization replaces occupied MOs: rebuild H in the local basis
-            self.H = self.Local.H
-            eps = jnp.diag(self.H.F)
-            self.Dia = (eps[o, None] - eps[None, v]).astype(dtype)
-            self.Dijab = (eps[o, None, None, None] + eps[None, o, None, None]
-                          - eps[None, None, v, None] - eps[None, None, None, v]).astype(dtype)
+                               wfn=scf_wfn)
             t1g = jnp.zeros((self.no, self.nv), dtype=dtype)
             self.t1, self.t2 = self.Local.filter_amps(t1g, self.H.ERI[o, o, v, v])
             if not self.filter:
-                self.lccwfn = _lccwfn(self.no, self.nv, self.H, self.local,
-                                      self.model, self.eref, self.Local)
+                from .lccwfn import lccwfn as _lccwfn
+                self.Local.trans_integrals(self.o, self.v)
+                self.Local.overlaps()
+                self.lccwfn = _lccwfn(self.o, self.v, self.no, self.nv,
+                                      self.H, self.local, self.model,
+                                      self.eref, self.Local)
 
         self._residual_fn = _RESIDUALS.get(self.model)
         self._energy_fn = _ENERGY[self.model]
@@ -151,8 +166,8 @@ class ccwfn:
         diis = DIIS((self.t1, self.t2), max_diis=max(max_diis, 1))
 
         @jax.jit
-        def step(t1, t2, state, do_extrap):
-            r1, r2 = residual_fn(H.F, H.ERI, H.L, t1, t2, no)
+        def step(F, ERI, L, Dia, Dijab, t1, t2, state, do_extrap):
+            r1, r2 = residual_fn(F, ERI, L, t1, t2, no)
             if use_filter:
                 inc1, inc2 = filter_fn(r1, r2)
             else:
@@ -162,7 +177,7 @@ class ccwfn:
             t2n = t2 + inc2
             rms = jnp.sqrt(jnp.sum(jnp.abs(inc1) ** 2)
                            + jnp.sum(jnp.abs(inc2) ** 2))
-            ecc = energy_fn(H.F, H.L, t1n, t2n, no)
+            ecc = energy_fn(F, L, t1n, t2n, no)
             # DIIS error = the Jacobi increment (new - the amplitudes this
             # iteration actually started from, i.e. post-extrapolation).
             state = diis.push(state, (t1n, t2n), (t1, t2))
@@ -180,8 +195,9 @@ class ccwfn:
         for niter in range(1, maxiter + 1):
             ecc_last = ecc
             do_ext = (max_diis > 0) and (niter >= start_diis)
-            t1n, t2n, t1, t2, state, ecc_j, rms = step(t1, t2, state,
-                                                       jnp.asarray(do_ext))
+            t1n, t2n, t1, t2, state, ecc_j, rms = step(
+                H.F, H.ERI, H.L, Dia, Dijab, t1, t2, state,
+                jnp.asarray(do_ext))
             ecc = float(jnp.real(ecc_j))
             rms = float(rms)
             ediff = ecc - ecc_last

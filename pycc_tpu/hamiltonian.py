@@ -54,15 +54,19 @@ def _mo_eri_dirac(ERI_ao, C):
     return t.swapaxes(1, 2)  # <pq|rs>
 
 
-def build_hamiltonian(wfn, dtype=jnp.float64):
+def build_hamiltonian(wfn, C=None, dtype=jnp.float64):
     """Build the active-space Hamiltonian pytree from an SCF wavefunction.
 
     `wfn` is a pycc_tpu.scf.RHFWavefunction (or anything with the same
     Psi4-style accessors).  Property integrals are computed from the basis.
+    `C` optionally overrides the active MO coefficients (e.g. localized
+    occupied orbitals).
     """
     from .scf import integrals as ints
 
-    C = np.asarray(wfn.Ca_subset("AO", "ACTIVE"))
+    if C is None:
+        C = np.asarray(wfn.Ca_subset("AO", "ACTIVE"))
+    C = np.asarray(C)
     F = C.T @ np.asarray(wfn.Fa()) @ C
 
     basis = wfn.basisset()

@@ -1,1 +1,343 @@
-"""Placeholder — implemented in a later milestone this round."""
+"""Local-correlation machinery: PAO / PNO / PNO++ / CPNO++ virtual spaces.
+
+Rebuild of /root/reference/pycc/local.py:6-1031.  The per-pair truncated
+spaces are ragged; XLA wants static shapes, so the per-pair transforms
+(Q: canonical-virtual -> local, L: local -> semicanonical local) are stored
+as zero-padded stacked tensors of shape (no^2, nv, D1) / (no^2, D1, D2) with
+the semicanonical energies padded by a large sentinel.  The amplitude/residual
+filters then run as single batched einsum chains under jit instead of
+per-pair Python loops.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_EPS_PAD = 1.0e8
+
+
+class Local:
+    def __init__(self, local, C, nfzc, no, nv, H, cutoff, it2_opt,
+                 wfn=None, core_cut=5e-2, lindep_cut=1e-6,
+                 e_conv=1e-12, r_conv=1e-12, **kwargs):
+        self.cutoff = cutoff
+        self.nfzc = nfzc
+        self.no = no
+        self.nv = nv
+        self.H = H
+        self.C = np.asarray(C)
+        self.local = local
+        self.it2_opt = it2_opt
+        self.wfn = wfn
+        self.core_cut = core_cut
+        self.lindep_cut = lindep_cut
+        self.e_conv = e_conv
+        self.r_conv = r_conv
+
+        self._build()
+        self._stack_and_compile()
+
+    # ------------------------------------------------------------------
+    def _build(self):
+        kind = self.local.upper()
+        if kind == "PNO":
+            self._build_PNO()
+        elif kind == "PAO":
+            self._build_PAO()
+        elif kind == "PNO++":
+            self._build_PNOpp()
+        elif kind == "CPNO++":
+            self._build_cPNOpp()
+        else:
+            raise Exception("Not a valid local type!")
+
+    # ------------------------------------------------------------------
+    def _mp2_t2(self):
+        no, nv = self.no, self.nv
+        o, v = slice(0, no), slice(no, no + nv)
+        F = np.asarray(self.H.F)
+        ERI = np.asarray(self.H.ERI)
+        L = np.asarray(self.H.L)
+        eps_o = np.diag(F)[o]
+        eps_v = np.diag(F)[v]
+        Dijab = (eps_o[:, None, None, None] + eps_o[None, :, None, None]
+                 - eps_v[None, None, :, None] - eps_v[None, None, None, :])
+        t2 = ERI[o, o, v, v] / Dijab
+        if self.it2_opt:
+            # non-canonical MP2 (Hylleraas minimization, local.py:587-636)
+            emp2 = np.einsum("ijab,ijab->", t2, L[o, o, v, v])
+            for niter in range(200):
+                elast = emp2
+                r2 = 0.5 * ERI[o, o, v, v].copy()
+                r2 += np.einsum("ijae,be->ijab", t2, F[v, v])
+                r2 -= np.einsum("imab,mj->ijab", t2, F[o, o])
+                r2 = r2 + r2.transpose(1, 0, 3, 2)
+                t2 = t2 + r2 / Dijab
+                rmsd = np.sqrt(np.einsum("ijab,ijab->", r2 / Dijab, r2 / Dijab))
+                emp2 = np.einsum("ijab,ijab->", t2, L[o, o, v, v])
+                if abs(emp2 - elast) < self.e_conv and rmsd < self.r_conv:
+                    break
+        return t2
+
+    def _pairdensity(self, t_ijab):
+        no, nv = self.no, self.nv
+        T = np.asarray(t_ijab).reshape(no * no, nv, nv)
+        Tt = 2.0 * T - T.swapaxes(1, 2)
+        D = np.zeros((no * no, nv, nv))
+        for ij in range(no * no):
+            i, j = ij // no, ij % no
+            d = T[ij] @ Tt[ij].T + T[ij].T @ Tt[ij]
+            d = d * (2.0 / (1.0 + int(i == j)))
+            D[ij] = 0.5 * (d + d.T)
+        return D
+
+    def _pert_pairdensity(self, t2):
+        """Perturbed (dipole) pair density for PNO++ (local.py:467-530)."""
+        no, nv = self.no, self.nv
+        o, v = slice(0, no), slice(no, no + nv)
+        F = np.asarray(self.H.F)
+        L = np.asarray(self.H.L)
+        Hbar_ii = (F[o, o] + np.einsum("inef,mnef->mi", t2, L[o, o, v, v])).diagonal()
+        Hbar_aa = (F[v, v] - np.einsum("mnfa,mnfe->ae", t2, L[o, o, v, v])).diagonal()
+        denom_ijab = (Hbar_ii[:, None, None, None] + Hbar_ii[None, :, None, None]
+                      - Hbar_aa[None, None, :, None] - Hbar_aa[None, None, None, :])
+        D = np.zeros((no * no, nv, nv))
+        for ax in range(3):
+            A = np.asarray(self.H.mu[ax])
+            Avvoo = np.einsum("ijeb,ae->abij", t2, A[no:, no:])
+            Avvoo -= np.einsum("mjab,mi->abij", t2, A[:no, :no])
+            Abar = Avvoo.transpose(2, 3, 0, 1)
+            Abar = Abar + Abar.transpose(1, 0, 3, 2)
+            X = Abar / denom_ijab
+            D += self._pairdensity(X)
+        return D / 3.0
+
+    def _QL_tensors(self, t2, D):
+        no, nv = self.no, self.nv
+        F = np.asarray(self.H.F)
+        v = slice(no, no + nv)
+        Q, L, eps = [], [], []
+        dim = np.zeros(no * no, dtype=int)
+        for ij in range(no * no):
+            occ, Qf = np.linalg.eigh(D[ij])
+            dim[ij] = int((np.abs(occ) > self.cutoff).sum())
+            q = Qf[:, nv - dim[ij]:]
+            Q.append(q)
+            Floc = q.T @ F[v, v] @ q
+            ev, evec = np.linalg.eigh(Floc)
+            eps.append(ev)
+            L.append(evec)
+        print("Average %s dimension: %2.3f" % (self.local, np.average(dim)))
+        return Q, L, eps, dim
+
+    def _match_phases(self):
+        no = self.no
+        for i in range(no):
+            for j in range(i):
+                ij = i * no + j
+                ji = j * no + i
+                self.Q[ji] = self.Q[ij]
+                self.L[ji] = self.L[ij]
+                self.eps[ji] = self.eps[ij]
+                self.dim[ji] = self.dim[ij]
+
+    def _build_PNO(self):
+        t2 = self._mp2_t2()
+        D = self._pairdensity(t2)
+        self.Q, self.L, self.eps, self.dim = self._QL_tensors(t2, D)
+        self._match_phases()
+
+    def _build_PNOpp(self):
+        t2 = self._mp2_t2()
+        D = self._pert_pairdensity(t2)
+        self.Q, self.L, self.eps, self.dim = self._QL_tensors(t2, D)
+        self._match_phases()
+
+    def _build_cPNOpp(self):
+        """QR-combined PNO + PNO++ spaces (local.py:407-465)."""
+        no, nv = self.no, self.nv
+        F = np.asarray(self.H.F)
+        v = slice(no, no + nv)
+        self._build_PNO()
+        Q_PNO = self.Q
+        self._build_PNOpp()
+        Q_PNOpp = self.Q
+        Q, L, eps = [], [], []
+        dim = np.zeros(no * no, dtype=int)
+        for ij in range(no * no):
+            Q_comb = np.hstack((Q_PNO[ij], Q_PNOpp[ij]))
+            Q_ortho, _ = np.linalg.qr(Q_comb)
+            Q.append(Q_ortho)
+            Floc = Q_ortho.T @ F[v, v] @ Q_ortho
+            ev, evec = np.linalg.eigh(Floc)
+            eps.append(ev)
+            L.append(evec)
+            dim[ij] = Q_ortho.shape[1]
+        self.Q, self.L, self.eps, self.dim = Q, L, eps, dim
+        self._match_phases()
+
+    def _build_PAO(self):
+        """Projected atomic orbitals with Boughton-Pulay domains
+        (Hampel & Werner 1996; local.py:95-300)."""
+        from .scf import integrals as ints
+        no, nv, nfzc = self.no, self.nv, self.nfzc
+        wfn = self.wfn
+        basis = wfn.basisset()
+        S = np.asarray(wfn.S_ao)
+        C_all = np.asarray(wfn.Ca())
+        F_ao = np.asarray(wfn.Fa())
+        no_all = no + nfzc
+        nao = no + nv + nfzc
+        Dmat = C_all[:, :no_all] @ C_all[:, :no_all].T
+
+        # atom -> AO indices
+        natom = basis.molecule.natom
+        a2ao = {A: [] for A in range(natom)}
+        for sh, off in zip(basis.shells, basis.offsets):
+            a2ao[sh.atom_index].extend(range(off, off + sh.nfunc))
+
+        atom_domains, AO_domains = [], []
+        for i in range(no):
+            charges = np.zeros(natom)
+            SC = S @ self.C[:, i]
+            for A in range(natom):
+                idx = a2ao[A]
+                charges[A] = np.sum(self.C[idx, i] * SC[idx])
+            order = list(np.argsort(-np.abs(charges)))
+            atom_domains.append([order.pop(0)])
+            AOi = sorted(sum((a2ao[A] for A in atom_domains[i]), []))
+            chk = 1.0
+            while chk > self.cutoff:
+                A = S[np.ix_(AOi, AOi)]
+                SB = S[AOi, :]
+                Bvec = SB @ self.C[:, i]
+                Rp = np.linalg.solve(A, Bvec)
+                chk = 1 - Rp @ SB @ self.C[:, i]
+                if chk > self.cutoff:
+                    if not order:
+                        if self.cutoff == 0:
+                            chk = 0
+                            continue
+                        raise IndexError("Ran out of atoms in PAO domain build")
+                    n = order.pop(0)
+                    atom_domains[i].append(n)
+                    AOi = sorted(AOi + a2ao[n])
+            AO_domains.append(AOi)
+
+        Rt_full = np.eye(S.shape[0]) - Dmat @ S
+        for i in range(nao):
+            if np.linalg.norm(Rt_full[:, i]) < self.core_cut:
+                Rt_full[:, i] = 0
+        RS = self.C[:, no:].T @ S
+
+        Q, L, eps = [], [], []
+        dim = np.zeros(no * no, dtype=int)
+        for ij in range(no * no):
+            i, j = ij // no, ij % no
+            ij_domain = sorted(set(AO_domains[i] + AO_domains[j]))
+            Rt = Rt_full[:, ij_domain]
+            Q.append(RS @ Rt)
+            St = Rt.T @ S @ Rt
+            evals, evecs = np.linalg.eigh(St)
+            toss = np.abs(evals) < self.lindep_cut
+            Xt = evecs[:, ~toss] / np.sqrt(evals[~toss])
+            dim[ij] = Xt.shape[1]
+            Ft = Rt.T @ F_ao @ Rt
+            Fbar = Xt.T @ Ft @ Xt
+            evals, evecs = np.linalg.eigh(Fbar)
+            W = Xt @ evecs
+            eps.append(evals)
+            L.append(W)
+        print("Average PAO dimension: %.2f" % np.average(dim))
+        self.Q, self.L, self.eps, self.dim = Q, L, eps, dim
+
+    # ------------------------------------------------------------------
+    # padded stacks + jitted batched filters
+    # ------------------------------------------------------------------
+    def _stack_and_compile(self):
+        no, nv = self.no, self.nv
+        npair = no * no
+        D1 = max(q.shape[1] for q in self.Q)
+        D2 = max(l.shape[1] for l in self.L)
+        Qp = np.zeros((npair, nv, D1))
+        Lp = np.zeros((npair, D1, D2))
+        epsp = np.full((npair, D2), _EPS_PAD)
+        for ij in range(npair):
+            d1 = self.Q[ij].shape[1]
+            d2 = self.L[ij].shape[1]
+            Qp[ij, :, :d1] = self.Q[ij]
+            Lp[ij, :d1, :d2] = self.L[ij]
+            epsp[ij, :d2] = self.eps[ij]
+        self.Qp = jnp.asarray(Qp)
+        self.Lp = jnp.asarray(Lp)
+        self.epsp = jnp.asarray(epsp)
+        self.D1, self.D2 = D1, D2
+        # combined canonical-virtual -> semicanonical-local transform
+        self.QLp = jnp.einsum("pva,pab->pvb", self.Qp, self.Lp)
+
+        Fdiag = jnp.diag(self.H.F)
+        fo = Fdiag[:no]
+        ii_idx = jnp.arange(no) * no + jnp.arange(no)
+        Qii = self.Qp[ii_idx]
+        Lii = self.Lp[ii_idx]
+        epsii = self.epsp[ii_idx]
+        Qp_, Lp_, epsp_ = self.Qp, self.Lp, self.epsp
+
+        pair_i = jnp.arange(npair) // no
+        pair_j = jnp.arange(npair) % no
+
+        def _project2(r2, denom):
+            r2f = r2.reshape(npair, nv, nv)
+            X = jnp.einsum("pva,pvw,pwb->pab", Qp_, r2f, Qp_)
+            Y = jnp.einsum("pda,pde,peb->pab", Lp_, X, Lp_)
+            if denom:
+                Dp = (fo[pair_i][:, None, None] + fo[pair_j][:, None, None]
+                      - epsp_[:, :, None] - epsp_[:, None, :])
+                Y = Y / Dp
+            X = jnp.einsum("pda,pab,peb->pde", Lp_, Y, Lp_)
+            out = jnp.einsum("pvd,pde,pwe->pvw", Qp_, X, Qp_)
+            return out.reshape(no, no, nv, nv)
+
+        def _project1(r1, denom):
+            X = jnp.einsum("iva,iv->ia", Qii, r1)
+            Y = jnp.einsum("ida,id->ia", Lii, X)
+            if denom:
+                Y = Y / (fo[:, None] - epsii)
+            X = jnp.einsum("ida,ia->id", Lii, Y)
+            return jnp.einsum("ivd,id->iv", Qii, X)
+
+        self._filter_amps_jit = jax.jit(
+            lambda r1, r2: (_project1(r1, True), _project2(r2, True)))
+        self._filter_res_jit = jax.jit(
+            lambda r1, r2: (_project1(r1, False), _project2(r2, False)))
+        self._filter_t2_jit = jax.jit(lambda r2: _project2(r2, True))
+
+    def trans_integrals(self, o, v):
+        """Local-basis integral blocks (padded).  The reference stores 17
+        per-pair lists (local.py:871-971); the padded QLp stack makes most
+        of them one-einsum-away, so only the blocks the native solver and
+        energy actually index are materialized here."""
+        no, nv = self.no, self.nv
+        QLp = self.QLp
+        F = self.H.F
+        self.Fov_loc = jnp.einsum("ov,pvb->pob", F[o, v], QLp)
+        self.Fvv_loc = jnp.einsum("pva,vw,pwb->pab", QLp, F[v, v], QLp)
+        ERIoovv = self.H.ERI[o, o, v, v].reshape(no * no, nv, nv)
+        self.ERIoovv_loc = jnp.einsum("pva,pvw,pwb->pab", QLp, ERIoovv, QLp)
+        Loovv = self.H.L[o, o, v, v].reshape(no * no, nv, nv)
+        self.Loovv_loc = jnp.einsum("pva,pvw,pwb->pab", QLp, Loovv, QLp)
+
+    def overlaps(self, QL=None):
+        """Pair-pair overlap stack S[ij,kl] = QL_ij^T QL_kl (padded)."""
+        self.Sp = jnp.einsum("pva,qvb->pqab", self.QLp, self.QLp)
+
+    def filter_amps(self, r1, r2):
+        return self._filter_amps_jit(r1, r2)
+
+    def filter_res(self, r1, r2):
+        return self._filter_res_jit(r1, r2)
+
+    def filter_t2amps(self, r2):
+        return self._filter_t2_jit(r2)

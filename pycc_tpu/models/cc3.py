@@ -1,0 +1,258 @@
+"""CC3: iterative approximate triples model.
+
+Rebuild of the CC3 pieces of the reference (T1-dressed intermediates and
+per-triple T3 loops in /root/reference/pycc/ccwfn.py:371-404,625-710, the
+Lambda-CC3 Z-intermediates in cclambda.py:322-441, and the CC3 one-electron
+densities in ccdensity.py:277-346).  All per-(i,j,k) Python loops become
+full-tensor einsum batches over the whole (o^3 v^3) T3/L3 space — MXU-shaped
+dot_general graphs under jit.
+"""
+
+import jax.numpy as jnp
+
+from ..ops.contract import contract
+from ..triples import t3_denom, t3c_full, _swap_ac, _swap_bc
+from .ccsd import build_Fme, residuals_ccsd, slices
+
+
+# ---------------------------------------------------------------------------
+# T1-dressed intermediates (ccwfn.build_cc3_*)
+# ---------------------------------------------------------------------------
+
+def cc3_intermediates(ERI, t1, no):
+    o, v = slices(no)
+    Wmnij = ERI[o, o, o, o]
+    tmp = contract("ijma,na->ijmn", ERI[o, o, o, v], t1)
+    Wmnij = Wmnij + tmp + tmp.transpose(1, 0, 3, 2)
+    Wmnij = Wmnij + contract("mnif,jf->mnij",
+                             contract("ia,mnaf->mnif", t1, ERI[o, o, v, v]), t1)
+
+    Wmbij = ERI[o, v, o, o]
+    Wmbij = Wmbij - contract("mnij,nb->mbij", Wmnij, t1)
+    Wmbij = Wmbij + contract("mbie,je->mbij", ERI[o, v, o, v], t1)
+    tmp = ERI[o, v, v, o] + contract("mbef,jf->mbej", ERI[o, v, v, v], t1)
+    Wmbij = Wmbij + contract("ie,mbej->mbij", t1, tmp)
+
+    Wmnie = ERI[o, o, o, v] + contract("if,mnfe->mnie", t1, ERI[o, o, v, v])
+    Wamef = ERI[v, o, v, v] - contract("na,nmef->amef", t1, ERI[o, o, v, v])
+
+    # Wabei (ccwfn.build_cc3_Wabei)
+    Z = ERI[v, o, v, v]
+    tmp_ints = ERI[v, v, v, v] + ERI[v, v, v, v].swapaxes(2, 3)
+    Z1 = 0.5 * contract("if,abef->eiab", t1, tmp_ints)
+    tmp_ints = ERI[v, v, v, v] - ERI[v, v, v, v].swapaxes(2, 3)
+    Z2 = 0.5 * contract("if,abef->eiab", t1, tmp_ints)
+    Z_eiab = Z + Z1 + Z2
+    Zeiam = ERI[v, o, v, o]
+    Zamei = contract("amef,if->amei", ERI[v, o, v, v], t1)
+    Zeiam = Zeiam + Zamei.transpose(2, 3, 0, 1)
+    Z_eiab = Z_eiab - contract("eiam,mb->eiab", Zeiam, t1)
+    Zmnei = ERI[o, o, v, o] + contract("mnef,if->mnei", ERI[o, o, v, v], t1)
+    Zanei = contract("ma,mnei->anei", t1, Zmnei)
+    Z_eiab = Z_eiab + contract("anei,nb->eiab", Zanei, t1)
+    Zmbei = ERI[o, v, v, o] + contract("mbef,if->mbei", ERI[o, v, v, v], t1)
+    Z_abei = -1.0 * contract("ma,mbei->abei", t1, Zmbei)
+    Wabei = Z_abei + Z_eiab.transpose(2, 3, 0, 1)
+
+    return Wmnij, Wmbij, Wmnie, Wamef, Wabei
+
+
+# Lambda-side dressed intermediates (cclambda.build_cc3_W*)
+def cc3_lambda_intermediates(ERI, t1, no):
+    o, v = slices(no)
+    Wmbje = (ERI[o, v, o, v]
+             + contract("mbfe,jf->mbje", ERI[o, v, v, v], t1)
+             - contract("mnje,nb->mbje", ERI[o, o, o, v], t1)
+             - contract("mnfe,jf,nb->mbje", ERI[o, o, v, v], t1, t1))
+    Wmbej = (ERI[o, v, v, o]
+             + contract("mbef,jf->mbej", ERI[o, v, v, v], t1)
+             - contract("mnej,nb->mbej", ERI[o, o, v, o], t1)
+             - contract("mnef,jf,nb->mbej", ERI[o, o, v, v], t1, t1))
+    Wabef = ERI[v, v, v, v]
+    tmp = contract("mbef,ma->abef", ERI[o, v, v, v], t1)
+    Wabef = Wabef - tmp - tmp.transpose(1, 0, 3, 2)
+    Wabef = Wabef + contract("mnef,ma,nb->abef", ERI[o, o, v, v], t1, t1)
+    return Wmbje, Wmbej, Wabef
+
+
+# ---------------------------------------------------------------------------
+# T3 (full tensor), with the optional RT perturbation term
+# ---------------------------------------------------------------------------
+
+def t3_pert_full(F, F_ref, t2, no):
+    """Connected-T3 perturbation correction for RT-CC3
+    (cctriples.t3_pert_ijk over the full index space)."""
+    o, v = slices(no)
+    V = F - F_ref.astype(F.dtype)
+    tmp = contract("ld,ijad->ijal", V[o, v], t2)
+    t3 = contract("ijal,klcb->ijkabc", tmp, t2)
+    return t3 / t3_denom(F, no)
+
+
+def cc3_t3_full(F, ERI, t1, t2, no, real_time=False, F_ref=None):
+    Wmnij, Wmbij, Wmnie, Wamef, Wabei = cc3_intermediates(ERI, t1, no)
+    t3 = t3c_full(Wabei, Wmbij, t2, F, no)
+    if real_time:
+        t3 = t3 - t3_pert_full(F, F_ref, t2, no)
+    return t3, (Wmnij, Wmbij, Wmnie, Wamef, Wabei)
+
+
+# ---------------------------------------------------------------------------
+# CC3 ground-state residuals
+# ---------------------------------------------------------------------------
+
+def residuals_cc3(F, ERI, L, t1, t2, no, real_time=False, F_ref=None):
+    o, v = slices(no)
+    r1, r2 = residuals_ccsd(F, ERI, L, t1, t2, no)
+    Fme = build_Fme(F, L, t1, no)
+    t3, (Wmnij, Wmbij, Wmnie, Wamef, Wabei) = cc3_t3_full(
+        F, ERI, t1, t2, no, real_time=real_time, F_ref=F_ref)
+
+    td = t3 - _swap_ac(t3)
+    T = 2.0 * t3 - _swap_bc(t3) - _swap_ac(t3)
+    X1 = contract("ijkabc,jkbc->ia", td, L[o, o, v, v])
+    X2 = contract("ijkabc,kc->ijab", td, Fme)
+    X2 += contract("ijkabc,dkbc->ijad", T, Wamef)
+    X2 -= contract("ijkabc,jklc->ilab", T, Wmnie)
+
+    r1 = r1 + X1
+    r2 = r2 + X2 + X2.transpose(1, 0, 3, 2)
+    return r1, r2
+
+
+# ---------------------------------------------------------------------------
+# L3 (full tensor)
+# ---------------------------------------------------------------------------
+
+def l3_full(F, L, l1, l2, Fov, Wvovv, Wooov, no):
+    """L3 over the whole index space (cctriples.l3_ijk batched)."""
+    o, v = slices(no)
+    Lo = L[o, o, v, v]
+    l3 = contract("ijab,kc->ijkabc", Lo, l1) - contract("ijac,kb->ijkabc", Lo, l1)
+    l3 += contract("ikac,jb->ijkabc", Lo, l1) - contract("ikab,jc->ijkabc", Lo, l1)
+    l3 += contract("jiba,kc->ijkabc", Lo, l1) - contract("jibc,ka->ijkabc", Lo, l1)
+    l3 += contract("kica,jb->ijkabc", Lo, l1) - contract("kicb,ja->ijkabc", Lo, l1)
+    l3 += contract("jkbc,ia->ijkabc", Lo, l1) - contract("jkba,ic->ijkabc", Lo, l1)
+    l3 += contract("kjcb,ia->ijkabc", Lo, l1) - contract("kjca,ib->ijkabc", Lo, l1)
+
+    l3 += contract("ia,jkbc->ijkabc", Fov, l2) - contract("ib,jkac->ijkabc", Fov, l2)
+    l3 += contract("ia,kjcb->ijkabc", Fov, l2) - contract("ic,kjab->ijkabc", Fov, l2)
+    l3 += contract("jb,ikac->ijkabc", Fov, l2) - contract("ja,ikbc->ijkabc", Fov, l2)
+    l3 += contract("kc,ijab->ijkabc", Fov, l2) - contract("ka,ijcb->ijkabc", Fov, l2)
+    l3 += contract("jb,kica->ijkabc", Fov, l2) - contract("jc,kiba->ijkabc", Fov, l2)
+    l3 += contract("kc,jiba->ijkabc", Fov, l2) - contract("kb,jica->ijkabc", Fov, l2)
+
+    tW = 2.0 * Wvovv - Wvovv.swapaxes(2, 3)
+    l3 += contract("ejab,kice->ijkabc", tW, l2)
+    l3 += contract("ekac,jibe->ijkabc", tW, l2)
+    l3 += contract("eiba,kjce->ijkabc", tW, l2)
+    l3 += contract("eica,jkbe->ijkabc", tW, l2)
+    l3 += contract("ekbc,ijae->ijkabc", tW, l2)
+    l3 += contract("ejcb,ikae->ijkabc", tW, l2)
+
+    l3 -= contract("eibc,jkea->ijkabc", Wvovv, l2)
+    l3 -= contract("eicb,kjea->ijkabc", Wvovv, l2)
+    l3 -= contract("ekba,jiec->ijkabc", Wvovv, l2)
+    l3 -= contract("ejac,ikeb->ijkabc", Wvovv, l2)
+    l3 -= contract("ejca,kieb->ijkabc", Wvovv, l2)
+    l3 -= contract("ekab,ijec->ijkabc", Wvovv, l2)
+
+    tW = 2.0 * Wooov - Wooov.swapaxes(0, 1)
+    l3 -= contract("jima,kmcb->ijkabc", tW, l2)
+    l3 -= contract("kima,jmbc->ijkabc", tW, l2)
+    l3 -= contract("ijmb,kmca->ijkabc", tW, l2)
+    l3 -= contract("ikmc,jmba->ijkabc", tW, l2)
+    l3 -= contract("kjmb,imac->ijkabc", tW, l2)
+    l3 -= contract("jkmc,imab->ijkabc", tW, l2)
+
+    l3 += contract("ijmc,kmba->ijkabc", Wooov, l2)
+    l3 += contract("ikmb,jmca->ijkabc", Wooov, l2)
+    l3 += contract("kjma,imbc->ijkabc", Wooov, l2)
+    l3 += contract("jimc,kmab->ijkabc", Wooov, l2)
+    l3 += contract("jkma,imcb->ijkabc", Wooov, l2)
+    l3 += contract("kimb,jmac->ijkabc", Wooov, l2)
+
+    return l3 / t3_denom(F, no)
+
+
+# ---------------------------------------------------------------------------
+# Lambda-CC3 extra residual terms (cclambda.py:322-441 batched)
+# ---------------------------------------------------------------------------
+
+def cc3_lambda_extra(F, ERI, L, t1, t2, l1, l2, no, real_time=False,
+                     F_ref=None):
+    o, v = slices(no)
+    Fov = build_Fme(F, L, t1, no)
+    t3, (Woooo, Wovoo, Wooov, Wvovv, Wvvvo) = cc3_t3_full(
+        F, ERI, t1, t2, no, real_time=real_time, F_ref=F_ref)
+    Wovov, Wovvo, Wvvvv = cc3_lambda_intermediates(ERI, t1, no)
+
+    Lo = L[o, o, v, v]
+    Eo = ERI[o, o, v, v]
+
+    # t3 -> L1 couplings
+    Zmndi = contract("lmndef,ilef->mndi", t3, Eo)
+    Zmndi -= contract("lmnfed,ilef->mndi", t3, Lo)
+    Zmdfa = contract("lmndef,nlea->mdfa", t3, Eo)
+    Zmdfa -= contract("lmndfe,nlea->mdfa", t3, Lo)
+    Znf = contract("lmde,lmndef->nf", l2, t3 - t3.swapaxes(3, 5))
+
+    Y1 = contract("imdf,mdfa->ia", l2, Zmdfa)
+    Y1 += contract("imaf,mf->ia", Lo, Znf)
+    Y1 += contract("mnad,mndi->ia", l2, Zmndi)
+
+    # l3 terms
+    l3 = l3_full(F, L, l1, l2, Fov, Wvovv, Wooov, no)
+
+    Zbide = contract("jkbc,kijcde->bide", t2, l3)
+    Zblad1 = contract("jkbc,kijcad->biad", t2, l3)
+    Zblad2 = contract("jkbc,kijcda->biad", t2, l3)
+    Zjlma = contract("pkbc,kijcab->pija", t2, l3)
+    Zjlid1 = contract("pkbc,kijcbd->pijd", t2, l3)
+    Zjlid2 = contract("pkbc,kijcdb->pijd", t2, l3)
+
+    Y1 += contract("bide,deab->ia", Zbide, Wvvvv)
+    Y1 += contract("jlma,ijlm->ia", Zjlma, Woooo)
+    Y1 -= contract("jlid,jdla->ia", Zjlid1, Wovov)
+    Y1 -= contract("jlid,jdal->ia", Zjlid2, Wovvo)
+    Y1 -= contract("blad,pdlb->pa", Zblad1, Wovov)
+    Y1 -= contract("blad,pdbl->pa", Zblad2, Wovvo)
+
+    Y2 = contract("kijdeb,edak->ijab", l3, Wvvvo)
+    Y2 -= contract("kijdab,ldjk->ilab", l3, Wovoo)
+
+    return Y1, Y2 + Y2.transpose(1, 0, 3, 2)
+
+
+# ---------------------------------------------------------------------------
+# CC3 one-electron densities (ccdensity.py:277-346 batched)
+# ---------------------------------------------------------------------------
+
+def cc3_onepdm(cc, t1, t2, l1, l2, real_time=False):
+    from ..ccdensity import onepdm
+    no, nv, nact = cc.no, cc.nv, cc.nact
+    F, ERI, L = cc.H.F, cc.H.ERI, cc.H.L
+    o, v = slices(no)
+
+    if jnp.iscomplexobj(t1):
+        F = F.astype(t1.dtype)
+
+    Fov = build_Fme(F, L, t1, no)
+    t3, (Woooo, Wovoo, Wooov, Wvovv, Wvvvo) = cc3_t3_full(
+        F, ERI, t1, t2, no, real_time=real_time, F_ref=cc.H.F)
+    l3 = l3_full(F, L, l1, l2, Fov, Wvovv, Wooov, no)
+
+    # Dov
+    Zlmdi = contract("ijkdef,kpfe->ijdp", l3, t2)
+    Dov = contract("ijkabc,jkbc->ia", t3 - t3.swapaxes(3, 4), l2)
+    Dov -= contract("lmdp,lmda->pa", Zlmdi, t2)
+
+    # Doo / Dvv
+    Doo = -0.5 * contract("lmiabc,lmjabc->ij", t3, l3)
+    Dvv = 0.5 * contract("ijkbdc,ijkadc->ab", t3, l3)
+
+    opdm = onepdm(cc.model, t1, t2, l1, l2, no, nact, Dov_x=Dov)
+    opdm_cc3 = jnp.zeros((nact, nact), dtype=t1.dtype)
+    opdm_cc3 = opdm_cc3.at[o, o].set(Doo)
+    opdm_cc3 = opdm_cc3.at[v, v].set(Dvv)
+    return opdm, opdm_cc3

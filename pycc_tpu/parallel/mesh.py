@@ -1,0 +1,62 @@
+"""GSPMD mesh sharding for the CC tensors.
+
+New first-class component with no reference counterpart (the reference's
+only multi-device mechanism is a CPU<->GPU offload split,
+/root/reference/pycc/ccwfn.py:205-229).  Here the O(v^4) ERI tensor and the
+doubles amplitudes are sharded over a device mesh with named axes; the
+jitted residual graphs then run SPMD with XLA-generated ICI collectives
+(all-gather / reduce-scatter), never staging 4-index tensors through host.
+
+Layout: a 2D mesh ('va', 'vb').  ERI/L are sharded over their last two
+(virtual-heavy) axes; t2/r2 over their two virtual axes; 2-index tensors and
+o-space blocks are replicated.  With this layout the hot Hvvvv/Wabef-type
+contractions ('ijef,abef->ijab') contract along replicated axes locally and
+reduce-scatter onto the output shards.
+"""
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..hamiltonian import Hamiltonian
+
+
+def make_mesh(n_devices=None, devices=None, shape=None):
+    """Build a 2D ('va','vb') mesh over the given/available devices."""
+    if devices is None:
+        devices = jax.devices()[:n_devices] if n_devices else jax.devices()
+    n = len(devices)
+    if shape is None:
+        # most-square 2D factorization
+        a = int(np.floor(np.sqrt(n)))
+        while n % a:
+            a -= 1
+        shape = (a, n // a)
+    dev_array = np.array(devices).reshape(shape)
+    return Mesh(dev_array, axis_names=("va", "vb"))
+
+
+def _put(x, mesh, spec):
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def shard_hamiltonian(H, mesh):
+    """Distribute the Hamiltonian pytree: 4-index tensors sharded over their
+    last two axes, everything else replicated."""
+    spec4 = P(None, None, "va", "vb")
+    rep = P()
+    return Hamiltonian(
+        F=_put(H.F, mesh, rep),
+        ERI=_put(H.ERI, mesh, spec4),
+        L=_put(H.L, mesh, spec4),
+        mu=tuple(_put(m, mesh, rep) for m in H.mu),
+        m=tuple(_put(m, mesh, rep) for m in H.m),
+        p=tuple(_put(m, mesh, rep) for m in H.p),
+        Q=tuple(_put(m, mesh, rep) for m in H.Q),
+        no=H.no)
+
+
+def shard_amps(t1, t2, mesh):
+    """Shard amplitudes: t1 replicated, t2 over its virtual axes."""
+    return (_put(t1, mesh, P()),
+            _put(t2, mesh, P(None, None, "va", "vb")))

@@ -84,7 +84,9 @@ class rtcc:
                 rt1, rt2 = filter_res(rt1, rt2)
 
             rl1, rl2 = lambda_residuals_from_F(model, F, H.ERI, H.L,
-                                               t1, t2, l1, l2, no)
+                                               t1, t2, l1, l2, no,
+                                               real_time=ccwfn.real_time,
+                                               F_ref=H.F)
             rl1 = rl1 * (1.0j)
             rl2 = rl2 * (1.0j)
             if use_filter:

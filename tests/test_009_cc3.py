@@ -1,0 +1,74 @@
+"""CC3 energies, Lambda, dipole, and RT-CC3 vs Psi4/CFOUR frozen values.
+
+Oracles from /root/reference/pycc/tests/test_031_cc3.py:33-55 and
+test_037_rtcc3.py:60-69.
+"""
+
+import contextlib
+import io
+
+import numpy as np
+
+import pycc_tpu
+from pycc_tpu.rt.integrators import rk4
+from pycc_tpu.rt.lasers import qrcw_laser
+from .common import scf
+
+
+def _pipeline():
+    wfn = scf("H2O_Teach", "cc-pvdz", freeze_core=False)
+    with contextlib.redirect_stdout(io.StringIO()):
+        cc = pycc_tpu.ccwfn(wfn, model="CC3")
+        ecc = cc.solve_cc(1e-12, 1e-12)
+        hbar = pycc_tpu.cchbar(cc)
+        lam = pycc_tpu.cclambda(cc, hbar)
+        lecc = lam.solve_lambda(1e-12, 1e-12)
+        dens = pycc_tpu.ccdensity(cc, lam)
+    return wfn, cc, lam, dens, ecc, lecc
+
+
+def _scf_dipole(wfn):
+    from pycc_tpu.scf import integrals as ints
+    mu_ao = ints.dipole(wfn.basisset())
+    C = wfn.Ca()
+    nd = wfn.ndocc
+    mol = wfn.molecule()
+    return np.array([mol.nuclear_dipole()[ax]
+                     + 2 * np.trace(C[:, :nd].T @ mu_ao[ax] @ C[:, :nd])
+                     for ax in range(3)])
+
+
+def test_cc3_h2o():
+    wfn, cc, lam, dens, ecc, lecc = _pipeline()
+    assert abs(ecc - -0.227888246840310) < 1e-11      # Psi4
+    assert abs(ecc - -0.2278882468404231) < 1e-11     # CFOUR
+    assert abs(lecc - -0.2233231845185215) < 1e-11    # CFOUR
+
+    rt = pycc_tpu.rtcc(cc, lam, dens, None)
+    CFOUR = np.array([0, 0, 0.7703875967])            # total dipole
+    ref = CFOUR - _scf_dipole(wfn)
+    mu = rt.dipole(cc.t1, cc.t2, lam.l1, lam.l2)
+    assert abs(ref[1] - mu[1].real) < 1e-10
+    assert abs(ref[2] - mu[2].real) < 1e-10
+
+
+def test_rtcc3_h2o():
+    wfn = scf("H2O_Teach", "cc-pvdz", freeze_core=False)
+    with contextlib.redirect_stdout(io.StringIO()):
+        cc = pycc_tpu.ccwfn(wfn, model="CC3", real_time=True)
+        cc.solve_cc(1e-12, 1e-12)
+        hbar = pycc_tpu.cchbar(cc)
+        lam = pycc_tpu.cclambda(cc, hbar)
+        lam.solve_lambda(1e-12, 1e-12)
+        dens = pycc_tpu.ccdensity(cc, lam)
+    V = qrcw_laser(0.002, 0.078, 1)
+    rt = pycc_tpu.rtcc(cc, lam, dens, V, kick="x")
+    y = rt.collect_amps(cc.t1, cc.t2, lam.l1, lam.l2, 0).astype("complex128")
+    ODE = rk4(0.01)
+    t = 0.0
+    while t < 0.05:
+        y = ODE(rt.f, t, y)
+        t += 0.01
+    t1, t2, l1, l2, phase = rt.extract_amps(y)
+    mu_z = rt.dipole(t1, t2, l1, l2, real_time=True)[2]
+    assert abs(-0.0859645691 - mu_z.real) < 1e-10

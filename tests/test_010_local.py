@@ -1,0 +1,107 @@
+"""Local-correlation tests: PNO/PNO++/CPNO++/PAO simulation paths vs frozen
+Psi4/psi3 values, and the native local solver cross-validation oracle.
+
+Oracles: test_013_pnocc.py, test_028_pnoppcc.py, test_035_cpnoppcc.py,
+test_018_paocc.py, test_032_localccd.py / test_033_localccsd.py.
+"""
+
+import contextlib
+import io
+
+import pycc_tpu
+from pycc_tpu.scf import run_rhf
+from .common import scf
+
+H2_4 = """
+H 0.000000 0.000000 0.000000
+H 0.750000 0.000000 0.000000
+H 0.000000 1.500000 0.000000
+H 0.375000 1.500000 -0.649520
+H 0.000000 3.000000 0.000000
+H -0.375000 3.000000 -0.649520
+H 0.000000 4.500000 -0.000000
+H -0.750000 4.500000 -0.000000
+symmetry c1
+noreorient
+nocom
+"""
+
+
+def _solve(cc, **kw):
+    with contextlib.redirect_stdout(io.StringIO()):
+        return cc.solve_cc(1e-12, 1e-12, maxiter=100, **kw)
+
+
+def _lambda(cc):
+    with contextlib.redirect_stdout(io.StringIO()):
+        hbar = pycc_tpu.cchbar(cc)
+        lam = pycc_tpu.cclambda(cc, hbar)
+        return lam.solve_lambda(1e-12, 1e-12, maxiter=100)
+
+
+def test_pno_ccsd():
+    wfn = scf("H2O", "cc-pvdz", freeze_core=False)
+    cc = pycc_tpu.ccwfn(wfn, local="PNO", local_cutoff=1e-5, it2_opt=False,
+                        filter=True)
+    assert abs(_solve(cc) - -0.218394869543943) < 1e-7
+    assert abs(_lambda(cc) - -0.214461441319427) < 1e-7
+
+
+def test_pno_ccsd_opt():
+    wfn = scf("H2O", "cc-pvdz", freeze_core=False)
+    cc = pycc_tpu.ccwfn(wfn, local="PNO", local_cutoff=1e-5, filter=True)
+    assert abs(_solve(cc) - -0.221156413159672) < 1e-7
+    assert abs(_lambda(cc) - -0.217144045119534) < 1e-7
+
+
+def test_pnopp_ccsd():
+    wfn = scf("H2O", "cc-pvdz", freeze_core=False)
+    cc = pycc_tpu.ccwfn(wfn, local="PNO++", local_cutoff=1e-7, it2_opt=False,
+                        filter=True)
+    assert abs(_solve(cc) - -0.216064367834782) < 1e-7
+    assert abs(_lambda(cc) - -0.211938482158711) < 1e-7
+
+
+def test_cpnopp_ccsd():
+    wfn = scf("H2O", "cc-pvdz", freeze_core=False)
+    cc = pycc_tpu.ccwfn(wfn, local="CPNO++", local_cutoff=1e-7, it2_opt=False,
+                        filter=True)
+    assert abs(_solve(cc) - -0.22303320613504354) < 1e-7
+    assert abs(_lambda(cc) - -0.21890326836263854) < 1e-7
+
+
+def test_pao_h2_4_dz():
+    wfn = run_rhf(H2_4, "dz", freeze_core=False)
+    cc = pycc_tpu.ccwfn(wfn, local="PAO", local_cutoff=2e-2, filter=True)
+    assert abs(_solve(cc) - -0.108914240219735) < 1e-7
+
+
+def test_pao_h2o_631g():
+    wfn = scf("H2O", "6-31g", freeze_core=False)
+    cc = pycc_tpu.ccwfn(wfn, local="PAO", local_cutoff=2e-2, filter=True)
+    assert abs(_solve(cc) - -0.149361947815815) < 1e-7
+
+
+def test_local_vs_simulated_ccd():
+    """Native local solver equals the simulation path (test_032 oracle)."""
+    wfn = scf("H2O", "cc-pvdz", freeze_core=False)
+    sim = pycc_tpu.ccwfn(wfn, model="CCD", local="PNO", local_cutoff=1e-5,
+                         it2_opt=False, filter=True)
+    e_sim = _solve(sim)
+    lcc = pycc_tpu.ccwfn(wfn, model="CCD", local="PNO", local_cutoff=1e-5,
+                         it2_opt=False)
+    with contextlib.redirect_stdout(io.StringIO()):
+        e_lcc = lcc.lccwfn.solve_lcc(1e-12, 1e-12, maxiter=100)
+    assert abs(e_sim - e_lcc) < 1e-12
+
+
+def test_local_vs_simulated_ccsd():
+    wfn = scf("H2O", "cc-pvdz", freeze_core=False)
+    sim = pycc_tpu.ccwfn(wfn, model="CCSD", local="PNO", local_cutoff=1e-5,
+                         it2_opt=False, filter=True)
+    e_sim = _solve(sim)
+    lcc = pycc_tpu.ccwfn(wfn, model="CCSD", local="PNO", local_cutoff=1e-5,
+                         it2_opt=False)
+    with contextlib.redirect_stdout(io.StringIO()):
+        e_lcc = lcc.lccwfn.solve_lcc(1e-12, 1e-12, maxiter=100)
+    assert abs(e_sim - e_lcc) < 1e-12

@@ -219,3 +219,97 @@ def t_tjl(cc):
 
     es = jax.vmap(triple_energy)(ii, jj, kk)
     return jnp.sum(es)
+
+
+# ---------------------------------------------------------------------------
+# (T) contributions to Lambda residuals and one-/two-electron densities
+# (ccwfn.t3_density, /root/reference/pycc/ccwfn.py:721-855, batched)
+# ---------------------------------------------------------------------------
+
+def _perm_v(t3, order):
+    """Permute the three virtual axes (3,4,5) of the full T3 tensor."""
+    axes = (0, 1, 2) + tuple(3 + "abc".index(c) for c in order)
+    return jnp.transpose(t3, axes)
+
+
+def _perm_o(t3, order):
+    """Permute the three occupied axes (0,1,2)."""
+    axes = tuple("ijk".index(c) for c in order) + (3, 4, 5)
+    return jnp.transpose(t3, axes)
+
+
+def _X3_v(M):
+    return (8.0 * M - 4.0 * _perm_v(M, "bac") - 4.0 * _perm_v(M, "acb")
+            - 4.0 * _perm_v(M, "cba") + 2.0 * _perm_v(M, "cab")
+            + 2.0 * _perm_v(M, "bca"))
+
+
+def _X3_o(M):
+    return (8.0 * M - 4.0 * _perm_o(M, "jik") - 4.0 * _perm_o(M, "ikj")
+            - 4.0 * _perm_o(M, "kji") + 2.0 * _perm_o(M, "kij")
+            + 2.0 * _perm_o(M, "jki"))
+
+
+def t3_density(cc):
+    """(T) corrections: Lambda sources S1/S2, 1-pdm blocks Doo/Dvv/Dov,
+    2-pdm blocks Goovv/Gooov/Gvvvo; returns the (T) energy.  Results are
+    cached on the ccwfn object for ccdensity/cclambda."""
+    no = cc.no
+    F, ERI, L = cc.H.F, cc.H.ERI, cc.H.L
+    t1, t2 = cc.t1, cc.t2
+
+    @jax.jit
+    def compute(F, ERI, L, t1, t2):
+        o, v = _slices(no)
+        M = t3c_full(ERI[v, v, v, o], ERI[o, v, o, o], t2, F, no)
+        N = t3d_full(t1, t2, ERI[o, o, v, v], F, no)
+        X3 = _X3_v(M)
+        Y3 = _X3_v(N)
+        W = 2.0 * X3 + Y3
+        Md_ac = M - _swap_ac(M)
+        T = 2.0 * M - _swap_bc(M) - _swap_ac(M)
+
+        X2 = contract("ijkabc,kc->ijab", Md_ac, F[o, v])
+        X2 += contract("ijkabc,dkbc->ijad", T, ERI[v, o, v, v])
+        X2 -= contract("ijkabc,jklc->ilab", T, ERI[o, o, o, v])
+
+        Dvv = 0.5 * contract("ijkacd,ijkbcd->ab", M, X3 + Y3)
+        Dov = contract("ijkabc,jkbc->ia", Md_ac,
+                       4.0 * t2 - 2.0 * t2.swapaxes(2, 3))
+        Z3 = (2.0 * M - 2.0 * _swap_bc(M) - _perm_v(M, "bac")
+              + _perm_v(M, "bca"))
+        Goovv = 4.0 * contract("ijkabc,kc->ijab", Z3, t1)
+        Gooov = -contract("ijkabc,lkbc->jila", W, t2)
+        Gvvvo = contract("ijkabc,kicd->abdj", W, t2)
+
+        S1 = 2.0 * contract("ijkabc,jkbc->ia", M - _perm_v(M, "bac"),
+                            L[o, o, v, v])
+        S2 = -contract("ijkabc,jklc->ilab", W, ERI[o, o, o, v])
+        S2 += contract("ijkabc,kdcb->ijad", W, ERI[o, v, v, v])
+        S2 = S2 + S2.transpose(1, 0, 3, 2)
+
+        X3o = _X3_o(M)
+        Y3o = _X3_o(N)
+        Doo = -0.5 * contract("iklabc,jklabc->ij", M, X3o + Y3o)
+
+        ET = contract("ia,ia->", t1, S1)
+        ET += contract("ijab,ijab->", 4.0 * t2 - 2.0 * t2.swapaxes(2, 3), X2)
+        return ET, Doo, Dvv, Dov, Goovv, Gooov, Gvvvo, S1, S2
+
+    ET, Doo, Dvv, Dov, Goovv, Gooov, Gvvvo, S1, S2 = compute(F, ERI, L, t1, t2)
+    cc.Doo_t3, cc.Dvv_t3, cc.Dov_t3 = Doo, Dvv, Dov
+    cc.Goovv, cc.Gooov, cc.Gvvvo = Goovv, Gooov, Gvvvo
+    cc.S1, cc.S2 = S1, S2
+    return ET
+
+
+def t3_density_energy(cc):
+    return t3_density(cc)
+
+
+def t3_lambda_sources(cc):
+    """S1/S2 Lambda-residual sources for CCSD(T) (computes and caches the
+    full (T) density set)."""
+    if not hasattr(cc, "S1"):
+        t3_density(cc)
+    return cc.S1, cc.S2

@@ -1,0 +1,90 @@
+"""Benchmark: CCSD amplitude-iteration throughput (driver metric).
+
+Runs one jitted CCSD amplitude iteration (full residual + Jacobi/DIIS-free
+update) on a synthetic Hamiltonian at (o, v) = (32, 128) in float32, on the
+default JAX device (the real TPU chip when available, CPU otherwise), and
+prints ONE JSON line:
+
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+vs_baseline compares against the reference-equivalent CPU path: the same
+iteration executed in float64 through the XLA CPU backend on this host's
+single core measured at (16, 64) = 6.596 s/iter and scaled by the exact
+o^2 v^4 flop ratio (x64) to (32, 128) -> 422.1 s/iter.  (The reference
+publishes no performance numbers of its own; BASELINE.json `published` is
+empty, so the CPU path defines the baseline.)
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+CPU_BASELINE_S = 6.596 * 64.0  # see module docstring
+
+NO, NV = 32, 128
+
+
+def synth_device(no, nv, key):
+    import jax
+    import jax.numpy as jnp
+    k1, k2 = jax.random.split(key)
+    nact = no + nv
+    eps = jnp.concatenate([jnp.linspace(-2.0, -0.5, no),
+                           jnp.linspace(0.3, 3.0, nv)])
+    F = jnp.diag(eps) + 0.0005 * jax.random.normal(k1, (nact, nact), jnp.float32)
+    F = 0.5 * (F + F.T)
+    A = 0.05 * jax.random.normal(k2, (nact,) * 4, jnp.float32)
+    A = A + jnp.transpose(A, (1, 0, 2, 3))
+    A = A + jnp.transpose(A, (0, 1, 3, 2))
+    A = A + jnp.transpose(A, (2, 3, 0, 1))
+    ERI = jnp.swapaxes(A, 1, 2)
+    L = 2.0 * ERI - jnp.swapaxes(ERI, 2, 3)
+    return F, ERI, L
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import pycc_tpu  # noqa: F401
+    from pycc_tpu.models import ccsd as eqs
+
+    no, nv = NO, NV
+    build = jax.jit(lambda k: synth_device(no, nv, k))
+    F, ERI, L = build(jax.random.PRNGKey(0))
+    F.block_until_ready()
+
+    eps = jnp.diag(F)
+    Dia = eps[:no, None] - eps[None, no:]
+    Dijab = (eps[:no, None, None, None] + eps[None, :no, None, None]
+             - eps[None, None, no:, None] - eps[None, None, None, no:])
+    t1 = jnp.zeros((no, nv), jnp.float32)
+    t2 = ERI[:no, :no, no:, no:] / Dijab
+
+    @jax.jit
+    def step(F, ERI, L, t1, t2):
+        r1, r2 = eqs.residuals_ccsd(F, ERI, L, t1, t2, no)
+        return t1 + r1 / Dia, t2 + r2 / Dijab
+
+    # warmup/compile
+    a, b = step(F, ERI, L, t1, t2)
+    a.block_until_ready()
+
+    n = 10
+    t0 = time.time()
+    for _ in range(n):
+        a, b = step(F, ERI, L, a, b)
+    a.block_until_ready()
+    dt = (time.time() - t0) / n
+
+    print(json.dumps({
+        "metric": "ccsd_iteration_o32_v128_f32",
+        "value": round(dt, 6),
+        "unit": "s/iter",
+        "vs_baseline": round(CPU_BASELINE_S / dt, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

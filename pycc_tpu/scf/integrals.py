@@ -508,7 +508,21 @@ def nuclear_attraction(basis):
 # ---------------------------------------------------------------------------
 
 def eri(basis):
-    """Full (ab|cd) chemists'-notation ERI tensor over final AO functions."""
+    """Full (ab|cd) chemists'-notation ERI tensor over final AO functions.
+
+    Dispatches to the native C++ engine (native/mdints.cpp) when the
+    toolchain is available; the pure-Python path below is the reference
+    implementation and fallback."""
+    try:
+        from . import native
+        if native.available():
+            return native.eri_native(basis)
+    except Exception:
+        pass
+    return _eri_python(basis)
+
+
+def _eri_python(basis):
     shells = basis.shells
     nsh = len(shells)
     nbf = basis.nbf

@@ -37,3 +37,16 @@ def test_eri_permutational_symmetry():
     assert np.allclose(E, E.transpose(1, 0, 2, 3))
     assert np.allclose(E, E.transpose(0, 1, 3, 2))
     assert np.allclose(E, E.transpose(2, 3, 0, 1))
+
+
+def test_native_eri_matches_python():
+    """C++ MD engine vs the pure-Python reference implementation."""
+    from pycc_tpu.scf import native
+    if not native.available():
+        import pytest
+        pytest.skip("no native toolchain")
+    m = Molecule("O\nH 1 1.1\nH 1 1.1 2 104\nsymmetry c1")
+    b = BasisSet(m, "cc-pvdz")
+    E_py = ints._eri_python(b)
+    E_cc = native.eri_native(b)
+    assert np.abs(E_py - E_cc).max() < 1e-12

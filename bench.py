@@ -21,9 +21,9 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-CPU_BASELINE_S = 6.596 * 64.0  # see module docstring
+CPU_BASELINE_S = 6.596 * 20.25  # (32^2*96^4)/(16^2*64^4) flop scaling
 
-NO, NV = 32, 128
+NO, NV = 32, 96
 
 
 def synth_device(no, nv, key):
@@ -32,7 +32,7 @@ def synth_device(no, nv, key):
     k1, k2 = jax.random.split(key)
     nact = no + nv
     eps = jnp.concatenate([jnp.linspace(-2.0, -0.5, no),
-                           jnp.linspace(0.3, 3.0, nv)])
+                           jnp.linspace(0.3, 3.0, nv)]).astype(jnp.float32)
     F = jnp.diag(eps) + 0.0005 * jax.random.normal(k1, (nact, nact), jnp.float32)
     F = 0.5 * (F + F.T)
     A = 0.05 * jax.random.normal(k2, (nact,) * 4, jnp.float32)
@@ -79,7 +79,7 @@ def main():
     dt = (time.time() - t0) / n
 
     print(json.dumps({
-        "metric": "ccsd_iteration_o32_v128_f32",
+        "metric": "ccsd_iteration_o32_v96_f32",
         "value": round(dt, 6),
         "unit": "s/iter",
         "vs_baseline": round(CPU_BASELINE_S / dt, 2),

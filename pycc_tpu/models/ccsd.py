@@ -24,6 +24,20 @@ def build_tau(t1, t2, f1=1.0, f2=1.0):
     return f1 * t2 + f2 * contract("ia,jb->ijab", t1, t1)
 
 
+def vvvv_contract(tau, W):
+    """'ijef,abef->ijab' as a single (o^2, v^2) x (v^2, v^2) matmul.
+
+    The einsum lowering can materialize an (o-batch, v, v, v, v) temp that
+    blows HBM at production sizes; the reshaped dot maps straight onto the
+    MXU with no such buffer."""
+    no1, no2, nv, _ = tau.shape
+    na, nb = W.shape[0], W.shape[1]
+    out = jnp.dot(tau.reshape(no1 * no2, nv * nv),
+                  W.reshape(na * nb, nv * nv).T,
+                  preferred_element_type=tau.dtype)
+    return out.reshape(no1, no2, na, nb)
+
+
 # ---------------------------------------------------------------------------
 # one-particle intermediates (CCSD / CC2 share these; CCD variants below)
 # ---------------------------------------------------------------------------
@@ -123,7 +137,7 @@ def residuals_ccsd(F, ERI, L, t1, t2, no):
     r2 -= contract("imab,mj->ijab", t2, Fmi)
     r2 -= 0.5 * contract("imab,jm->ijab", t2, contract("je,me->jm", t1, Fme))
     r2 += 0.5 * contract("mnab,mnij->ijab", tau, Wmnij)
-    r2 += 0.5 * contract("ijef,abef->ijab", tau, ERI[v, v, v, v])
+    r2 += 0.5 * vvvv_contract(tau, ERI[v, v, v, v])
     r2 -= contract("ma,mbij->ijab", t1, Zmbij)
     r2 += contract("imae,mbej->ijab", t2 - t2.swapaxes(2, 3), Wmbej)
     r2 += contract("imae,mbej->ijab", t2, Wmbej + Wmbje.swapaxes(2, 3))
@@ -157,7 +171,7 @@ def residuals_ccd(F, ERI, L, t1, t2, no):
     r2 += contract("ijae,be->ijab", t2, Fae)
     r2 -= contract("imab,mj->ijab", t2, Fmi)
     r2 += 0.5 * contract("mnab,mnij->ijab", t2, Wmnij)
-    r2 += 0.5 * contract("ijef,abef->ijab", t2, ERI[v, v, v, v])
+    r2 += 0.5 * vvvv_contract(t2, ERI[v, v, v, v])
     r2 += contract("imae,mbej->ijab", t2 - t2.swapaxes(2, 3), Wmbej)
     r2 += contract("imae,mbej->ijab", t2, Wmbej + Wmbje.swapaxes(2, 3))
     r2 += contract("mjae,mbie->ijab", t2, Wmbje)

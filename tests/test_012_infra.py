@@ -1,0 +1,66 @@
+"""Infrastructure tests: pallas kernel, sharding dry-run, checkpoint utils,
+synthetic systems, moldict data."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import pycc_tpu
+from pycc_tpu.data import moldict
+from pycc_tpu.ops.kernels import vvvv_pallas
+from pycc_tpu.utils import (load_amps, mp2_guess, save_amps,
+                            synthetic_hamiltonian)
+
+
+def test_vvvv_pallas_interpret():
+    rng = np.random.default_rng(0)
+    A = jnp.asarray(rng.standard_normal((128, 512)), dtype=jnp.float32)
+    B = jnp.asarray(rng.standard_normal((512, 512)), dtype=jnp.float32)
+    ref = A @ B.T
+    out = vvvv_pallas(A, B, tm=128, tn=256, tk=256, interpret=True)
+    assert float(jnp.abs(out - ref).max()) < 1e-4
+    out16 = vvvv_pallas(A, B, bf16=True, interpret=True)
+    rel = float((jnp.abs(out16 - ref) / jnp.abs(ref).max()).max())
+    assert rel < 0.02
+
+
+def test_dryrun_multichip_8():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
+
+
+def test_sharded_ccsd_step_matches_single_device():
+    from pycc_tpu.models import ccsd as eqs
+    from pycc_tpu.parallel import make_mesh, shard_amps, shard_hamiltonian
+    H = synthetic_hamiltonian(4, 16, seed=3)
+    t1, t2, Dijab = mp2_guess(H)
+    no = H.no
+    r1_ref, r2_ref = eqs.residuals_ccsd(H.F, H.ERI, H.L, t1, t2, no)
+
+    mesh = make_mesh(n_devices=8)
+    Hs = shard_hamiltonian(H, mesh)
+    t1s, t2s = shard_amps(t1, t2, mesh)
+    r1, r2 = jax.jit(
+        lambda F, E, L, a, b: eqs.residuals_ccsd(F, E, L, a, b, no)
+    )(Hs.F, Hs.ERI, Hs.L, t1s, t2s)
+    assert np.allclose(np.asarray(r1), np.asarray(r1_ref), atol=1e-12)
+    assert np.allclose(np.asarray(r2), np.asarray(r2_ref), atol=1e-12)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    H = synthetic_hamiltonian(2, 4, seed=1)
+    t1, t2, _ = mp2_guess(H)
+    p = str(tmp_path / "amps.npz")
+    save_amps(p, t1=t1, t2=t2)
+    amps = load_amps(p)
+    assert np.allclose(amps["t1"], np.asarray(t1))
+    assert np.allclose(amps["t2"], np.asarray(t2))
+
+
+def test_moldict_data():
+    assert "H2O" in moldict and "benzene" in moldict
+    from pycc_tpu.scf import Molecule
+    m = Molecule(moldict["H2O"])
+    assert m.natom == 3

@@ -46,6 +46,10 @@ def synth_device(no, nv, key):
 
 def main():
     import jax
+    # persistent compile cache: the axon remote compile of the full CCSD
+    # residual graph takes ~10 min cold; cached runs start in seconds.
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import pycc_tpu  # noqa: F401
     from pycc_tpu.models import ccsd as eqs

@@ -447,9 +447,9 @@ class ccresponse:
         for key, A in self.pertbar.items():
             X1, X2, pseudo = self.solve_right(A, omega, e_conv, r_conv,
                                               maxiter, max_diis, start_diis)
-            check[key] = pseudo
+            check[key + "_%0.6f" % omega] = pseudo
             if omega != 0.0:
                 X1, X2, pseudo = self.solve_right(A, -omega, e_conv, r_conv,
                                                   maxiter, max_diis, start_diis)
-                check[key + "_mω"] = pseudo
+                check[key + "_%0.6f" % -omega] = pseudo
         return check

@@ -229,3 +229,62 @@ class ccwfn:
     def t3_density(self):
         from .triples import t3_density_energy
         return t3_density_energy(self)
+
+    # ------------------------------------------------------------------
+    def solve_cc_fused(self, e_conv=1e-7, r_conv=1e-7, maxiter=100,
+                       max_diis=8, start_diis=1):
+        """Entire CC solve as ONE on-device lax.while_loop (no per-iteration
+        host dispatch) — the TPU-preferred path; same fixed point as
+        solve_cc."""
+        no = self.no
+        H = self.H
+        Dia, Dijab = self.Dia, self.Dijab
+        residual_fn = self._residual_fn
+        energy_fn = self._energy_fn
+        use_filter = self.local is not None
+        filter_fn = self.Local.filter_amps if use_filter else None
+        diis = DIIS((self.t1, self.t2), max_diis=max(max_diis, 1))
+
+        def body(carry):
+            t1, t2, state, niter, ecc, _rms, _done = carry
+            r1, r2 = residual_fn(H.F, H.ERI, H.L, t1, t2, no)
+            if use_filter:
+                inc1, inc2 = filter_fn(r1, r2)
+            else:
+                inc1 = r1 / Dia
+                inc2 = r2 / Dijab
+            t1n = t1 + inc1
+            t2n = t2 + inc2
+            rms = jnp.sqrt(jnp.sum(jnp.abs(inc1) ** 2)
+                           + jnp.sum(jnp.abs(inc2) ** 2))
+            ecc_new = jnp.real(energy_fn(H.F, H.L, t1n, t2n, no))
+            done = (jnp.abs(ecc_new - ecc) < e_conv) & (rms < r_conv)
+            state = diis.push(state, (t1n, t2n), (t1, t2))
+            do_ext = (max_diis > 0) & (niter + 1 >= start_diis) & ~done
+            t1e, t2e = jax.lax.cond(
+                do_ext, lambda s: diis.extrapolate(s, (t1n, t2n)),
+                lambda s: (t1n, t2n), state)
+            return (t1e, t2e, state, niter + 1, ecc_new, rms, done)
+
+        def cond(carry):
+            niter, done = carry[3], carry[6]
+            return (~done) & (niter < maxiter)
+
+        @jax.jit
+        def run(t1, t2):
+            ecc0 = jnp.real(energy_fn(H.F, H.L, t1, t2, no))
+            carry = (t1, t2, diis.init(), jnp.array(0), ecc0,
+                     jnp.array(jnp.inf, dtype=ecc0.dtype), jnp.array(False))
+            return jax.lax.while_loop(cond, body, carry)
+
+        t1, t2, _state, niter, ecc, rms, done = run(self.t1, self.t2)
+        self.t1, self.t2 = t1, t2
+        self.ecc = float(ecc)
+        print("CCWFN (fused) converged=%s in %d iterations: E(%s) = %.15f"
+              % (bool(done), int(niter), self.model, self.ecc))
+        if self.model == "CCSD(T)":
+            from .triples import t_tjl
+            et = float(t_tjl(self))
+            self.ecc += et
+            print("E(T) = %.15f  E(total corr) = %.15f" % (et, self.ecc))
+        return self.ecc

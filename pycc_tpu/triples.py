@@ -313,3 +313,70 @@ def t3_lambda_sources(cc):
     if not hasattr(cc, "S1"):
         t3_density(cc)
     return cc.S1, cc.S2
+
+
+# ---------------------------------------------------------------------------
+# Memory-scalable (T): occupied-sliced T3 slabs (lax.map over i)
+# ---------------------------------------------------------------------------
+
+def _t3c_slab(i, Wvvvo, Wovoo, t2, eps_o, eps_v):
+    """t3[i] slab (j,k,a,b,c) for a fixed first occupied index."""
+    Wi = Wvvvo[:, :, :, i]
+    t2i = t2[i]
+    t2_i2 = t2[:, i]
+    t3 = contract("bae,kjce->jkabc", Wi, t2)
+    t3 += contract("cae,jkbe->jkabc", Wi, t2)
+    t3 += contract("acek,jbe->jkabc", Wvvvo, t2_i2)
+    t3 += contract("bcek,jae->jkabc", Wvvvo, t2i)
+    t3 += contract("cbej,kae->jkabc", Wvvvo, t2i)
+    t3 += contract("abej,kce->jkabc", Wvvvo, t2_i2)
+    t3 -= contract("mcjk,mab->jkabc", Wovoo, t2i)
+    t3 -= contract("mbkj,mac->jkabc", Wovoo, t2i)
+    t3 -= contract("mbj,kmca->jkabc", Wovoo[:, :, i, :], t2)
+    t3 -= contract("maj,kmcb->jkabc", Wovoo[:, :, :, i], t2)
+    t3 -= contract("mak,jmbc->jkabc", Wovoo[:, :, :, i], t2)
+    t3 -= contract("mck,jmba->jkabc", Wovoo[:, :, i, :], t2)
+    denom = (eps_o[i] + eps_o[:, None, None, None, None]
+             + eps_o[None, :, None, None, None]
+             - eps_v[None, None, :, None, None]
+             - eps_v[None, None, None, :, None]
+             - eps_v[None, None, None, None, :])
+    return t3 / denom
+
+
+def t_vikings_scan(cc):
+    """Occupied-driven (T) with O(no^2 v^3) working memory: one T3 slab per
+    occupied index, evaluated sequentially with lax.map.  Exact same energy
+    as t_vikings; usable at benzene-scale where the full (no^3 v^3) tensor
+    does not fit."""
+    no = cc.no
+    F, ERI, L = cc.H.F, cc.H.ERI, cc.H.L
+    t1, t2 = cc.t1, cc.t2
+
+    @jax.jit
+    def compute(F, ERI, L, t1, t2):
+        o, v = _slices(no)
+        eps = jnp.diagonal(F)
+        eps_o, eps_v = eps[:no], eps[no:]
+        Wvvvo = ERI[v, v, v, o]
+        Wovoo = ERI[o, v, o, o]
+        t2w = 4.0 * t2 - 2.0 * t2.swapaxes(2, 3)
+
+        def e_slab(i):
+            t3 = _t3c_slab(i, Wvvvo, Wovoo, t2, eps_o, eps_v)
+            td = t3 - jnp.swapaxes(t3, 2, 4)
+            T = 2.0 * t3 - jnp.swapaxes(t3, 3, 4) - jnp.swapaxes(t3, 2, 4)
+            X1 = contract("jkabc,jkbc->a", td, L[o, o, v, v])
+            X2 = contract("jkabc,kc->jab", td, F[o, v])
+            X2 += contract("jkabc,dkbc->jad", T, ERI[v, o, v, v])
+            # the 'ilab' term keeps i as the slab row
+            X2l = contract("jkabc,jklc->lab", T, ERI[o, o, o, v])
+            e = 2.0 * contract("a,a->", t1[i], X1)
+            e += contract("jab,jab->", t2w[i], X2)
+            e -= contract("lab,lab->", t2w[i], X2l)
+            return e
+
+        es = jax.lax.map(e_slab, jnp.arange(no))
+        return jnp.sum(es)
+
+    return compute(F, ERI, L, t1, t2)

@@ -49,3 +49,12 @@ def test_ccsd_t_h2o_ccpvdz():
     assert abs(float(t_vikings(cc)) - epsi4) < 1e-11
     assert abs(float(t_vikings_inverted(cc)) - epsi4) < 1e-11
     assert abs(float(t_tjl(cc)) - epsi4) < 1e-11
+
+
+def test_ccsd_t_scan_matches_full():
+    """Memory-scalable occupied-sliced (T) equals the full-tensor driver."""
+    from pycc_tpu.triples import t_vikings_scan
+    wfn = scf("H2O", "cc-pvdz")
+    cc = pycc_tpu.ccwfn(wfn, model="CCSD(T)")
+    _solve(cc)
+    assert abs(float(t_vikings(cc)) - float(t_vikings_scan(cc))) < 1e-14

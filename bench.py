@@ -21,9 +21,9 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-CPU_BASELINE_S = 6.596 * 20.25  # (32^2*96^4)/(16^2*64^4) flop scaling
+CPU_BASELINE_S = 6.596 * 64.0  # (32^2*128^4)/(16^2*64^4) flop scaling
 
-NO, NV = 32, 96
+NO, NV = 32, 128
 
 
 def synth_device(no, nv, key):
@@ -83,7 +83,7 @@ def main():
     dt = (time.time() - t0) / n
 
     print(json.dumps({
-        "metric": "ccsd_iteration_o32_v96_f32",
+        "metric": "ccsd_iteration_o32_v128_f32",
         "value": round(dt, 6),
         "unit": "s/iter",
         "vs_baseline": round(CPU_BASELINE_S / dt, 2),

@@ -231,6 +231,35 @@ class ccwfn:
         return t3_density_energy(self)
 
     # ------------------------------------------------------------------
+    def solve_cc_mixed(self, e_conv=1e-10, r_conv=1e-10, maxiter=100,
+                       sp_conv=1e-6, **kw):
+        """Mixed-precision solve: pre-converge the amplitudes in float32
+        (fast on TPU, where f64 is emulated), then refine in float64 to the
+        requested tolerances.  The fixed point is dtype-independent, so the
+        refined result equals a pure-f64 solve.  No reference counterpart
+        (the reference's SP mode stops at single precision)."""
+        H64 = self.H
+        D64 = (self.Dia, self.Dijab)
+        t64 = (self.t1, self.t2)
+        # SP stage
+        self.H = Hamiltonian(F=H64.F.astype(jnp.float32),
+                             ERI=H64.ERI.astype(jnp.float32),
+                             L=H64.L.astype(jnp.float32),
+                             mu=H64.mu, m=H64.m, p=H64.p, Q=H64.Q, no=H64.no)
+        self.Dia = D64[0].astype(jnp.float32)
+        self.Dijab = D64[1].astype(jnp.float32)
+        self.t1 = t64[0].astype(jnp.float32)
+        self.t2 = t64[1].astype(jnp.float32)
+        self.solve_cc(sp_conv, sp_conv, maxiter, **kw)
+        t1_sp, t2_sp = self.t1, self.t2
+        # DP refinement from the SP amplitudes
+        self.H = H64
+        self.Dia, self.Dijab = D64
+        self.t1 = t1_sp.astype(t64[0].dtype)
+        self.t2 = t2_sp.astype(t64[1].dtype)
+        return self.solve_cc(e_conv, r_conv, maxiter, **kw)
+
+    # ------------------------------------------------------------------
     def solve_cc_fused(self, e_conv=1e-7, r_conv=1e-7, maxiter=100,
                        max_diis=8, start_diis=1):
         """Entire CC solve as ONE on-device lax.while_loop (no per-iteration

@@ -73,8 +73,12 @@ class lccwfn:
                                r2.reshape(no_ * no_, nv, nv), QLp)
             return r1loc, r2loc
 
+        from .ops.diis import DIIS
+        diis = DIIS((self.t1, self.t2), max_diis=8)
+        self._diis = diis
+
         @jax.jit
-        def step(F, ERI, L, t1loc, t2loc):
+        def step(F, ERI, L, t1loc, t2loc, state, do_extrap):
             t1, t2 = dense_amps(t1loc, t2loc)
             r1, r2 = residual_fn(F, ERI, L, t1, t2, no_)
             r1loc, r2loc = project(r1, r2)
@@ -83,7 +87,13 @@ class lccwfn:
             rms = jnp.sqrt(jnp.sum(r1loc ** 2) + jnp.sum(r2loc ** 2))
             t1d, t2d = dense_amps(t1n, t2n)
             ecc = energy_fn(F, L, t1d, t2d, no_)
-            return t1n, t2n, ecc, rms
+            # DIIS acceleration over the local amplitudes (the reference's
+            # native solver has none, lccwfn.py:45)
+            state = diis.push(state, (t1n, t2n), (t1loc, t2loc))
+            t1e, t2e = jax.lax.cond(
+                do_extrap, lambda s: diis.extrapolate(s, (t1n, t2n)),
+                lambda s: (t1n, t2n), state)
+            return t1e, t2e, state, ecc, rms
 
         self._step = step
 
@@ -103,10 +113,13 @@ class lccwfn:
         H = self.H
         elcc = self.lcc_energy()
         print("CC Iter %3d: lCC Ecorr = %.15f dE = % .5E MP2" % (0, elcc, -elcc))
+        state = self._diis.init()
         for niter in range(1, maxiter + 1):
             elcc_last = elcc
-            self.t1, self.t2, ecc_j, rms = self._step(H.F, H.ERI, H.L,
-                                                      self.t1, self.t2)
+            do_ext = (max_diis > 0) and (niter >= start_diis)
+            self.t1, self.t2, state, ecc_j, rms = self._step(
+                H.F, H.ERI, H.L, self.t1, self.t2, state,
+                jnp.asarray(do_ext))
             elcc = float(jnp.real(ecc_j))
             rms = float(rms)
             ediff = elcc - elcc_last

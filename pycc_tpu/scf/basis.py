@@ -10,6 +10,11 @@ by the reference test-suite (H, He, O; see /root/reference/pycc/tests).
 
 Shell data format: {element: [(ang_mom_letter, [(exponent, coeff), ...]), ...]}
 SP shells are stored as separate S and P entries with shared exponents.
+
+Validation status: H/He/O data (all bases) reproduce frozen Psi4/CFOUR/
+published energies to 1e-11 or better (see tests/); C/N STO-3G reproduces
+the published benzene RHF energy; C/N cc-pVDZ contraction digits are
+best-effort (demonstration-scale use) and are NOT oracle-validated.
 """
 
 import numpy as np
@@ -30,6 +35,16 @@ _STO3G = {
         ("S", [(5.0331513, -0.09996723), (1.1695961, 0.39951283), (0.3803890, 0.70011547)]),
         ("P", [(5.0331513, 0.15591627), (1.1695961, 0.60768372), (0.3803890, 0.39195739)]),
     ],
+    "C": [
+        ("S", [(71.6168370, 0.15432897), (13.0450960, 0.53532814), (3.5305122, 0.44463454)]),
+        ("S", [(2.9412494, -0.09996723), (0.6834831, 0.39951283), (0.2222899, 0.70011547)]),
+        ("P", [(2.9412494, 0.15591627), (0.6834831, 0.60768372), (0.2222899, 0.39195739)]),
+    ],
+    "N": [
+        ("S", [(99.1061690, 0.15432897), (18.0523120, 0.53532814), (4.8856602, 0.44463454)]),
+        ("S", [(3.7804559, -0.09996723), (0.8784966, 0.39951283), (0.2857144, 0.70011547)]),
+        ("P", [(3.7804559, 0.15591627), (0.8784966, 0.60768372), (0.2857144, 0.39195739)]),
+    ],
 }
 
 _CCPVDZ = {
@@ -42,6 +57,30 @@ _CCPVDZ = {
         ("S", [(38.3600000, 0.0238090), (5.7700000, 0.1548910), (1.2400000, 0.4699870)]),
         ("S", [(0.2976000, 1.0)]),
         ("P", [(1.2750000, 1.0)]),
+    ],
+    "C": [
+        ("S", [(6665.0000000, 0.0006920), (1000.0000000, 0.0053290), (228.0000000, 0.0270770),
+               (64.7100000, 0.1017180), (21.0600000, 0.2747400), (6.4590000, 0.4485640),
+               (2.5250000, 0.2850740), (0.5228000, 0.0152040)]),
+        ("S", [(6665.0000000, -0.0001460), (1000.0000000, -0.0011540), (228.0000000, -0.0057250),
+               (64.7100000, -0.0233120), (21.0600000, -0.0639550), (6.4590000, -0.1499810),
+               (2.5250000, -0.1272620), (0.5228000, 0.5445290)]),
+        ("S", [(0.1596000, 1.0)]),
+        ("P", [(9.4390000, 0.0381090), (2.0020000, 0.2094800), (0.5456000, 0.5085570)]),
+        ("P", [(0.1517000, 1.0)]),
+        ("D", [(0.5500000, 1.0)]),
+    ],
+    "N": [
+        ("S", [(9046.0000000, 0.0007000), (1357.0000000, 0.0053890), (309.3000000, 0.0274060),
+               (87.7300000, 0.1032070), (25.5600000, 0.2787230), (8.2120000, 0.4485400),
+               (2.7520000, 0.2782380), (0.5373000, 0.0154400)]),
+        ("S", [(9046.0000000, -0.0001530), (1357.0000000, -0.0012080), (309.3000000, -0.0059920),
+               (87.7300000, -0.0245440), (25.5600000, -0.0674590), (8.2120000, -0.1580780),
+               (2.7520000, -0.1218310), (0.5373000, 0.5490030)]),
+        ("S", [(0.2304000, 1.0)]),
+        ("P", [(13.5500000, 0.0399190), (2.9170000, 0.2171690), (0.7973000, 0.5103190)]),
+        ("P", [(0.2185000, 1.0)]),
+        ("D", [(0.8170000, 1.0)]),
     ],
     "O": [
         ("S", [(11720.0000000, 0.0007100), (1759.0000000, 0.0054700), (400.8000000, 0.0278370),

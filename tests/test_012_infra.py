@@ -74,3 +74,13 @@ def test_fused_solver_matches():
         cc = pycc_tpu.ccwfn(wfn)
         e = cc.solve_cc_fused(1e-12, 1e-12)
     assert abs(e - -0.070616830152761) < 1e-11
+
+
+def test_mixed_precision_solver():
+    from .common import scf
+    import contextlib, io
+    wfn = scf("H2O", "sto-3g")
+    with contextlib.redirect_stdout(io.StringIO()):
+        cc = pycc_tpu.ccwfn(wfn)
+        e = cc.solve_cc_mixed(1e-12, 1e-12)
+    assert abs(e - -0.070616830152761) < 1e-11

@@ -45,27 +45,69 @@ def cart_norm_ratios(l):
         for (i, j, k) in comps])
 
 
+def _cart_overlap_ratio(l):
+    """S[c1, c2] = <cart_1|cart_2> / <(l,0,0)|(l,0,0)> for same-l cartesian
+    monomial Gaussians (analytic double-factorial ratios)."""
+    comps = cart_components(l)
+    n = len(comps)
+    S = np.zeros((n, n))
+    top = _dfact(2 * l - 1)
+    for p, (a1, b1, c1) in enumerate(comps):
+        for q, (a2, b2, c2) in enumerate(comps):
+            if (a1 + a2) % 2 or (b1 + b2) % 2 or (c1 + c2) % 2:
+                continue
+            S[p, q] = (_dfact(a1 + a2 - 1) * _dfact(b1 + b2 - 1)
+                       * _dfact(c1 + c2 - 1)) / top
+    return S
+
+
+_PURE_CACHE = {}
+
+
 def pure_transform(l):
     """Matrix T (npure x ncart) from raw (l,0,0)-normalized cartesians to
-    normalized real spherical harmonics, m ordered -l..l."""
+    normalized real spherical harmonics, m ordered -l..l.
+
+    Built numerically for general l: real Y_lm sampled on a Lebedev-style
+    sphere grid is fit by same-l cartesian monomials (exact: the monomials
+    span the harmonics), then each row is normalized under the Gaussian
+    measure via the analytic cartesian overlap matrix."""
     if l == 0:
         return np.array([[1.0]])
-    if l == 1:
-        # cart order: x, y, z ; pure order m=-1(y), 0(z), +1(x)
-        return np.array([[0.0, 1.0, 0.0],
-                         [0.0, 0.0, 1.0],
-                         [1.0, 0.0, 0.0]])
-    if l == 2:
-        # cart order: xx, xy, xz, yy, yz, zz
-        s3 = np.sqrt(3.0)
-        return np.array([
-            [0.0, s3, 0.0, 0.0, 0.0, 0.0],          # m=-2: xy
-            [0.0, 0.0, 0.0, 0.0, s3, 0.0],          # m=-1: yz
-            [-0.5, 0.0, 0.0, -0.5, 0.0, 1.0],       # m= 0: (2zz-xx-yy)/2
-            [0.0, 0.0, s3, 0.0, 0.0, 0.0],          # m=+1: xz
-            [s3 / 2, 0.0, 0.0, -s3 / 2, 0.0, 0.0],  # m=+2: (xx-yy)*sqrt(3)/2
-        ])
-    raise NotImplementedError("l > 2 not yet supported")
+    if l in _PURE_CACHE:
+        return _PURE_CACHE[l]
+    from scipy.special import sph_harm_y
+
+    comps = cart_components(l)
+    rng = np.random.default_rng(12345)
+    npts = 40 * (l + 1) ** 2
+    pts = rng.standard_normal((npts, 3))
+    pts /= np.linalg.norm(pts, axis=1)[:, None]
+    theta = np.arccos(np.clip(pts[:, 2], -1, 1))       # polar
+    phi = np.arctan2(pts[:, 1], pts[:, 0])             # azimuthal
+    # monomial design matrix
+    M = np.stack([pts[:, 0] ** i * pts[:, 1] ** j * pts[:, 2] ** k
+                  for (i, j, k) in comps], axis=1)
+    rows = []
+    for m in range(-l, l + 1):
+        Y = sph_harm_y(l, abs(m), theta, phi)
+        if m < 0:
+            y = np.sqrt(2.0) * (-1.0) ** m * np.imag(Y)
+        elif m == 0:
+            y = np.real(Y)
+        else:
+            y = np.sqrt(2.0) * (-1.0) ** m * np.real(Y)
+        c, *_ = np.linalg.lstsq(M, y, rcond=None)
+        rows.append(c)
+    T = np.array(rows)
+    # normalize each pure function under the Gaussian measure
+    S = _cart_overlap_ratio(l)
+    for r in range(T.shape[0]):
+        T[r] /= np.sqrt(T[r] @ S @ T[r])
+    # clean numerical noise
+    T[np.abs(T) < 1e-10] = 0.0
+    _PURE_CACHE[l] = T
+    return T
 
 
 # ---------------------------------------------------------------------------

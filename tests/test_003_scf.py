@@ -50,3 +50,28 @@ def test_native_eri_matches_python():
     E_py = ints._eri_python(b)
     E_cc = native.eri_native(b)
     assert np.abs(E_py - E_cc).max() < 1e-12
+
+
+def test_general_l_pure_transform():
+    """General-l spherical transform: orthonormal under Gaussian measure."""
+    from pycc_tpu.scf.integrals import _cart_overlap_ratio, pure_transform
+    for l in (2, 3, 4):
+        T = pure_transform(l)
+        S = _cart_overlap_ratio(l)
+        assert np.abs(T @ S @ T.T - np.eye(2 * l + 1)).max() < 1e-12
+
+
+def test_f_shell_integrals():
+    from pycc_tpu.scf.basis import Shell
+    m1 = Molecule("H 0 0 0\nsymmetry c1\nunits au", reorient=False,
+                  recenter=False)
+    b = BasisSet(m1, "sto-3g")
+    b.shells = [Shell(3, [0, 0, 0], [0.9], [1.0], 0, True),
+                Shell(0, [0.3, 0.2, 0.8], [0.8], [1.0], 0, False)]
+    b.offsets = [0, 7]
+    b.nbf = 8
+    S = ints.overlap(b)
+    assert np.allclose(np.diag(S)[:7], 1.0)
+    E = ints.eri(b)
+    assert np.allclose(E, E.transpose(1, 0, 2, 3))
+    assert np.allclose(E, E.transpose(2, 3, 0, 1))

@@ -135,8 +135,12 @@ class ccwfn:
         self._residual_fn = _RESIDUALS.get(self.model)
         self._energy_fn = _ENERGY[self.model]
         if self.model == "CC3":
-            from .models.cc3 import residuals_cc3
-            self._residual_fn = partial(residuals_cc3, real_time=self.real_time,
+            from .models.cc3 import residuals_cc3, residuals_cc3_scan
+            # pick the occupied-slab T3 path when the full (no^3 nv^3)
+            # tensor would be large
+            big = (self.no ** 3) * (self.nv ** 3) > 2e8
+            fn = residuals_cc3_scan if big else residuals_cc3
+            self._residual_fn = partial(fn, real_time=self.real_time,
                                         F_ref=self.H.F)
 
         print("CCWFN object initialized in %.3f seconds." % (time.time() - time_init))

@@ -256,3 +256,51 @@ def cc3_onepdm(cc, t1, t2, l1, l2, real_time=False):
     opdm_cc3 = opdm_cc3.at[o, o].set(Doo)
     opdm_cc3 = opdm_cc3.at[v, v].set(Dvv)
     return opdm, opdm_cc3
+
+
+# ---------------------------------------------------------------------------
+# Memory-scalable CC3 residuals: per-occupied-index T3 slabs (lax.map)
+# ---------------------------------------------------------------------------
+
+def residuals_cc3_scan(F, ERI, L, t1, t2, no, real_time=False, F_ref=None):
+    """Same result as residuals_cc3 with O(no^2 v^3) triples working memory:
+    the T3 contributions to r1/r2 are accumulated one occupied slab at a
+    time with lax.map (cf. triples._t3c_slab)."""
+    import jax
+    from ..triples import _t3c_slab
+
+    o, v = slices(no)
+    r1, r2 = residuals_ccsd(F, ERI, L, t1, t2, no)
+    Fme = build_Fme(F, L, t1, no)
+    Wmnij, Wmbij, Wmnie, Wamef, Wabei = cc3_intermediates(ERI, t1, no)
+    eps = jnp.diagonal(F)
+    eps_o, eps_v = eps[:no], eps[no:]
+
+    if real_time:
+        V = F - F_ref.astype(F.dtype)
+        Vov = V[o, v]
+
+    def slab(i):
+        t3 = _t3c_slab(i, Wabei, Wmbij, t2, eps_o, eps_v)
+        if real_time:
+            # t3_pert slab (cctriples.t3_pert_ijk with i fixed)
+            tmp = contract("ld,jad->jal", Vov, t2[i])
+            t3p = contract("jal,klcb->jkabc", tmp, t2)
+            denom = (eps_o[i] + eps_o[:, None, None, None, None]
+                     + eps_o[None, :, None, None, None]
+                     - eps_v[None, None, :, None, None]
+                     - eps_v[None, None, None, :, None]
+                     - eps_v[None, None, None, None, :])
+            t3 = t3 - t3p / denom
+        td = t3 - jnp.swapaxes(t3, 2, 4)
+        T = 2.0 * t3 - jnp.swapaxes(t3, 3, 4) - jnp.swapaxes(t3, 2, 4)
+        X1_i = contract("jkabc,jkbc->a", td, L[o, o, v, v])
+        X2_i = contract("jkabc,kc->jab", td, Fme)
+        X2_i += contract("jkabc,dkbc->jad", T, Wamef)
+        X2_i -= contract("jkabc,jklc->lab", T, Wmnie)
+        return X1_i, X2_i
+
+    X1, X2 = jax.lax.map(slab, jnp.arange(no))
+    r1 = r1 + X1
+    r2 = r2 + X2 + X2.transpose(1, 0, 3, 2)
+    return r1, r2

@@ -72,3 +72,18 @@ def test_rtcc3_h2o():
     t1, t2, l1, l2, phase = rt.extract_amps(y)
     mu_z = rt.dipole(t1, t2, l1, l2, real_time=True)[2]
     assert abs(-0.0859645691 - mu_z.real) < 1e-10
+
+
+def test_cc3_scan_matches_full():
+    """Occupied-slab CC3 residuals equal the full-tensor path (incl. RT)."""
+    from pycc_tpu.models.cc3 import residuals_cc3, residuals_cc3_scan
+    from pycc_tpu.utils import mp2_guess, synthetic_hamiltonian
+    H = synthetic_hamiltonian(4, 12, seed=5)
+    t1, t2, _ = mp2_guess(H)
+    t1 = t1 + 0.01
+    for kw in ({}, {"real_time": True, "F_ref": H.F}):
+        F = H.F + (0.01 if kw else 0.0)
+        r1a, r2a = residuals_cc3(F, H.ERI, H.L, t1, t2, H.no, **kw)
+        r1b, r2b = residuals_cc3_scan(F, H.ERI, H.L, t1, t2, H.no, **kw)
+        assert float(abs(r1a - r1b).max()) < 1e-13
+        assert float(abs(r2a - r2b).max()) < 1e-13

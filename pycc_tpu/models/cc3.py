@@ -263,11 +263,11 @@ def cc3_onepdm(cc, t1, t2, l1, l2, real_time=False):
 # ---------------------------------------------------------------------------
 
 def residuals_cc3_scan(F, ERI, L, t1, t2, no, real_time=False, F_ref=None):
-    """Same result as residuals_cc3 with O(no^2 v^3) triples working memory:
-    the T3 contributions to r1/r2 are accumulated one occupied slab at a
-    time with lax.map (cf. triples._t3c_slab)."""
+    """Same result as residuals_cc3 with O(no v^3) triples working memory:
+    the T3 contributions to r1/r2 are accumulated one (i,j) occupied pair
+    at a time with lax.fori_loop (cf. triples._t3c_slab_ij)."""
     import jax
-    from ..triples import _t3c_slab
+    from ..triples import _t3c_slab_ij
 
     o, v = slices(no)
     r1, r2 = residuals_ccsd(F, ERI, L, t1, t2, no)
@@ -280,27 +280,33 @@ def residuals_cc3_scan(F, ERI, L, t1, t2, no, real_time=False, F_ref=None):
         V = F - F_ref.astype(F.dtype)
         Vov = V[o, v]
 
-    def slab(i):
-        t3 = _t3c_slab(i, Wabei, Wmbij, t2, eps_o, eps_v)
-        if real_time:
-            # t3_pert slab (cctriples.t3_pert_ijk with i fixed)
-            tmp = contract("ld,jad->jal", Vov, t2[i])
-            t3p = contract("jal,klcb->jkabc", tmp, t2)
-            denom = (eps_o[i] + eps_o[:, None, None, None, None]
-                     + eps_o[None, :, None, None, None]
-                     - eps_v[None, None, :, None, None]
-                     - eps_v[None, None, None, :, None]
-                     - eps_v[None, None, None, None, :])
-            t3 = t3 - t3p / denom
-        td = t3 - jnp.swapaxes(t3, 2, 4)
-        T = 2.0 * t3 - jnp.swapaxes(t3, 3, 4) - jnp.swapaxes(t3, 2, 4)
-        X1_i = contract("jkabc,jkbc->a", td, L[o, o, v, v])
-        X2_i = contract("jkabc,kc->jab", td, Fme)
-        X2_i += contract("jkabc,dkbc->jad", T, Wamef)
-        X2_i -= contract("jkabc,jklc->lab", T, Wmnie)
-        return X1_i, X2_i
+    Lo = L[o, o, v, v]
 
-    X1, X2 = jax.lax.map(slab, jnp.arange(no))
+    def body(ij, carry):
+        X1, X2 = carry
+        i, j = ij // no, ij % no
+        t3 = _t3c_slab_ij(i, j, Wabei, Wmbij, t2, eps_o, eps_v)
+        if real_time:
+            # t3_pert slab (cctriples.t3_pert_ijk with i, j fixed)
+            tmp = contract("ld,ad->al", Vov, t2[i, j])
+            t3p = contract("al,klcb->kabc", tmp, t2)
+            denom = (eps_o[i] + eps_o[j] + eps_o[:, None, None, None]
+                     - eps_v[None, :, None, None]
+                     - eps_v[None, None, :, None]
+                     - eps_v[None, None, None, :])
+            t3 = t3 - t3p / denom
+        td = t3 - jnp.swapaxes(t3, 1, 3)
+        T = 2.0 * t3 - jnp.swapaxes(t3, 2, 3) - jnp.swapaxes(t3, 1, 3)
+        X1 = X1.at[i].add(contract("kabc,kbc->a", td, Lo[j]))
+        X2_ij = contract("kabc,kc->ab", td, Fme)
+        X2_ij += contract("kabc,dkbc->ad", T, Wamef)
+        X2 = X2.at[i, j].add(X2_ij)
+        X2 = X2.at[i].add(-contract("kabc,klc->lab", T, Wmnie[j]))
+        return (X1, X2)
+
+    X1 = jnp.zeros_like(r1)
+    X2 = jnp.zeros_like(r2)
+    X1, X2 = jax.lax.fori_loop(0, no * no, body, (X1, X2))
     r1 = r1 + X1
     r2 = r2 + X2 + X2.transpose(1, 0, 3, 2)
     return r1, r2

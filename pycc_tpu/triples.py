@@ -316,7 +316,7 @@ def t3_lambda_sources(cc):
 
 
 # ---------------------------------------------------------------------------
-# Memory-scalable (T): occupied-sliced T3 slabs (lax.map over i)
+# Memory-scalable (T): per-(i,j) T3 slabs (lax.fori_loop)
 # ---------------------------------------------------------------------------
 
 def _t3c_slab(i, Wvvvo, Wovoo, t2, eps_o, eps_v):
@@ -344,11 +344,36 @@ def _t3c_slab(i, Wvvvo, Wovoo, t2, eps_o, eps_v):
     return t3 / denom
 
 
+def _t3c_slab_ij(i, j, Wvvvo, Wovoo, t2, eps_o, eps_v):
+    """t3[i, j] slab (k,a,b,c) for fixed first two occupied indices.
+
+    Working set O(no v^3) — the production tiling for large systems."""
+    Wi = Wvvvo[:, :, :, i]
+    Wj = Wvvvo[:, :, :, j]
+    t3 = contract("bae,kce->kabc", Wi, t2[:, j])
+    t3 += contract("cae,kbe->kabc", Wi, t2[j])
+    t3 += contract("acek,be->kabc", Wvvvo, t2[j, i])
+    t3 += contract("bcek,ae->kabc", Wvvvo, t2[i, j])
+    t3 += contract("cbe,kae->kabc", Wj, t2[i])
+    t3 += contract("abe,kce->kabc", Wj, t2[:, i])
+    t3 -= contract("mck,mab->kabc", Wovoo[:, :, j, :], t2[i])
+    t3 -= contract("mbk,mac->kabc", Wovoo[:, :, :, j], t2[i])
+    t3 -= contract("mb,kmca->kabc", Wovoo[:, :, i, j], t2)
+    t3 -= contract("ma,kmcb->kabc", Wovoo[:, :, j, i], t2)
+    t3 -= contract("mak,mbc->kabc", Wovoo[:, :, :, i], t2[j])
+    t3 -= contract("mck,mba->kabc", Wovoo[:, :, i, :], t2[j])
+    denom = (eps_o[i] + eps_o[j] + eps_o[:, None, None, None]
+             - eps_v[None, :, None, None]
+             - eps_v[None, None, :, None]
+             - eps_v[None, None, None, :])
+    return t3 / denom
+
+
 def t_vikings_scan(cc):
-    """Occupied-driven (T) with O(no^2 v^3) working memory: one T3 slab per
-    occupied index, evaluated sequentially with lax.map.  Exact same energy
-    as t_vikings; usable at benzene-scale where the full (no^3 v^3) tensor
-    does not fit."""
+    """Occupied-driven (T) with O(no v^3) working memory: one T3 slab per
+    (i,j) pair, evaluated sequentially with lax.fori_loop.  Exact same
+    energy as t_vikings; usable at scales where even a per-i slab does not
+    fit in HBM."""
     no = cc.no
     F, ERI, L = cc.H.F, cc.H.ERI, cc.H.L
     t1, t2 = cc.t1, cc.t2
@@ -362,21 +387,20 @@ def t_vikings_scan(cc):
         Wovoo = ERI[o, v, o, o]
         t2w = 4.0 * t2 - 2.0 * t2.swapaxes(2, 3)
 
-        def e_slab(i):
-            t3 = _t3c_slab(i, Wvvvo, Wovoo, t2, eps_o, eps_v)
-            td = t3 - jnp.swapaxes(t3, 2, 4)
-            T = 2.0 * t3 - jnp.swapaxes(t3, 3, 4) - jnp.swapaxes(t3, 2, 4)
-            X1 = contract("jkabc,jkbc->a", td, L[o, o, v, v])
-            X2 = contract("jkabc,kc->jab", td, F[o, v])
-            X2 += contract("jkabc,dkbc->jad", T, ERI[v, o, v, v])
-            # the 'ilab' term keeps i as the slab row
-            X2l = contract("jkabc,jklc->lab", T, ERI[o, o, o, v])
+        def body(ij, acc):
+            i, j = ij // no, ij % no
+            t3 = _t3c_slab_ij(i, j, Wvvvo, Wovoo, t2, eps_o, eps_v)
+            td = t3 - jnp.swapaxes(t3, 1, 3)
+            T = 2.0 * t3 - jnp.swapaxes(t3, 2, 3) - jnp.swapaxes(t3, 1, 3)
+            X1 = contract("kabc,kbc->a", td, L[o, o, v, v][j])
+            X2 = contract("kabc,kc->ab", td, F[o, v])
+            X2 += contract("kabc,dkbc->ad", T, ERI[v, o, v, v])
+            X2l = contract("kabc,klc->lab", T, ERI[o, o, o, v][j])
             e = 2.0 * contract("a,a->", t1[i], X1)
-            e += contract("jab,jab->", t2w[i], X2)
+            e += contract("ab,ab->", t2w[i, j], X2)
             e -= contract("lab,lab->", t2w[i], X2l)
-            return e
+            return acc + e
 
-        es = jax.lax.map(e_slab, jnp.arange(no))
-        return jnp.sum(es)
+        return jax.lax.fori_loop(0, no * no, body, jnp.asarray(0.0, F.dtype))
 
     return compute(F, ERI, L, t1, t2)

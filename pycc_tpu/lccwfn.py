@@ -62,6 +62,53 @@ class lccwfn:
         energy_fn = eqs.ccd_energy if model == "CCD" else eqs.cc_energy
         eps_ii = eps[ii_idx]
 
+        # CCD/CCSD: genuinely local-scaling residual evaluation (the
+        # per-iteration cost is independent of nv); CC2 uses the dense
+        # backend for now.
+        self._use_local_eqs = model in ("CCD", "CCSD")
+        if self._use_local_eqs:
+            from . import lccwfn_local as leq
+            D2 = Local.D2
+            if model == "CCD":
+                self._pre = leq.precompute_ccd(H, Local, no, nv)
+                res_fn = lambda pre, t1r, t2r: (None,
+                                                leq.residuals_ccd_local(pre, t2r))
+                en_fn = lambda pre, t1r, t2r: leq.energy_ccd_local(pre, t2r)
+            else:
+                self._pre = leq.precompute_ccsd(H, Local, no, nv)
+                res_fn = lambda pre, t1r, t2r: leq.residuals_ccsd_local(
+                    pre, t1r, t2r)
+                en_fn = lambda pre, t1r, t2r: leq.energy_ccsd_local(
+                    pre, t1r, t2r)
+            Dloc_r = Dloc.reshape(no, no, D2, D2)
+            from .ops.diis import DIIS as _DIIS
+            t2r0 = self.t2.reshape(no, no, D2, D2)
+            diis_l = _DIIS((self.t1, t2r0), max_diis=8)
+            self._diis_local = diis_l
+            pre = self._pre
+
+            @jax.jit
+            def step_local(t1r, t2r, state, do_extrap):
+                r1, r2 = res_fn(pre, t1r, t2r)
+                t1n = t1r if r1 is None else t1r + r1 / (fo[:, None] - eps_ii)
+                t2n = t2r - r2 / Dloc_r
+                rms = jnp.sqrt(jnp.sum(r2 ** 2)
+                               + (0.0 if r1 is None else jnp.sum(r1 ** 2)))
+                ecc = en_fn(pre, t1n, t2n)
+                state = diis_l.push(state, (t1n, t2n), (t1r, t2r))
+                t1e, t2e = jax.lax.cond(
+                    do_extrap, lambda s: diis_l.extrapolate(s, (t1n, t2n)),
+                    lambda s: (t1n, t2n), state)
+                return t1e, t2e, state, ecc, rms
+
+            self._step_local = step_local
+
+            @jax.jit
+            def energy_local(t1r, t2r):
+                return en_fn(pre, t1r, t2r)
+
+            self._energy_local = energy_local
+
         def dense_amps(t1loc, t2loc):
             t1 = jnp.einsum("iva,ia->iv", QLp[ii_idx], t1loc)
             t2 = jnp.einsum("pva,pab,pwb->pvw", QLp, t2loc, QLp)
@@ -105,13 +152,58 @@ class lccwfn:
         self._energy = energy
 
     def lcc_energy(self, *args):
+        if self._use_local_eqs:
+            no, D2 = self.no, self.Local.D2
+            return float(self._energy_local(self.t1,
+                                            self.t2.reshape(no, no, D2, D2)))
         return float(self._energy(self.H.F, self.H.L, self.t1, self.t2))
 
     def solve_lcc(self, e_conv=1e-7, r_conv=1e-7, maxiter=100, max_diis=8,
                   start_diis=1):
+        if self._use_local_eqs:
+            return self._solve_lcc_local(e_conv, r_conv, maxiter, max_diis,
+                                         start_diis)
+        return self._solve_lcc_dense(e_conv, r_conv, maxiter, max_diis,
+                                     start_diis)
+
+    def _solve_lcc_local(self, e_conv, r_conv, maxiter, max_diis, start_diis):
+        tstart = time.time()
+        no, D2 = self.no, self.Local.D2
+        t2r = self.t2.reshape(no, no, D2, D2)
+        t1r = self.t1
+        elcc = float(self._energy_local(t1r, t2r))
+        print("CC Iter %3d: lCC Ecorr = %.15f dE = % .5E MP2" % (0, elcc, -elcc))
+        state = self._diis_local.init()
+        for niter in range(1, maxiter + 1):
+            elcc_last = elcc
+            do_ext = (max_diis > 0) and (niter >= start_diis)
+            t1r, t2r, state, ecc_j, rms = self._step_local(
+                t1r, t2r, state, jnp.asarray(do_ext))
+            elcc = float(jnp.real(ecc_j))
+            rms = float(rms)
+            ediff = elcc - elcc_last
+            print("lCC Iter %3d: lCC Ecorr = %.15f  dE = % .5E  rms = % .5E"
+                  % (niter, elcc, ediff, rms))
+            if abs(ediff) < e_conv and rms < r_conv:
+                self.t1 = t1r
+                self.t2 = t2r.reshape(no * no, D2, D2)
+                print("\nlCC has converged in %.3f seconds.\n"
+                      % (time.time() - tstart))
+                print("E(REF)  = %20.15f" % self.eref)
+                print("E(%s) = %20.15f" % (self.local + "-" + self.model, elcc))
+                print("E(TOT)  = %20.15f" % (elcc + self.eref))
+                self.elcc = elcc
+                return elcc
+        self.t1 = t1r
+        self.t2 = t2r.reshape(no * no, D2, D2)
+        self.elcc = elcc
+        return elcc
+
+    def _solve_lcc_dense(self, e_conv=1e-7, r_conv=1e-7, maxiter=100,
+                         max_diis=8, start_diis=1):
         tstart = time.time()
         H = self.H
-        elcc = self.lcc_energy()
+        elcc = float(self._energy(self.H.F, self.H.L, self.t1, self.t2))
         print("CC Iter %3d: lCC Ecorr = %.15f dE = % .5E MP2" % (0, elcc, -elcc))
         state = self._diis.init()
         for niter in range(1, maxiter + 1):

@@ -372,19 +372,24 @@ def _t3c_slab_ij(i, j, Wvvvo, Wovoo, t2, eps_o, eps_v):
 def t_vikings_scan(cc):
     """Occupied-driven (T) with O(no v^3) working memory: one T3 slab per
     (i,j) pair, evaluated sequentially with lax.fori_loop.  Exact same
-    energy as t_vikings; usable at scales where even a per-i slab does not
-    fit in HBM."""
+    energy as t_vikings.  The jitted graph consumes only the integral
+    slices it needs (not the full nact^4 ERI/L), keeping HBM pressure to
+    the slices + one slab."""
     no = cc.no
     F, ERI, L = cc.H.F, cc.H.ERI, cc.H.L
     t1, t2 = cc.t1, cc.t2
+    o, v = _slices(no)
 
     @jax.jit
-    def compute(F, ERI, L, t1, t2):
-        o, v = _slices(no)
-        eps = jnp.diagonal(F)
+    def prep(F, ERI, L):
+        return (ERI[v, v, v, o], ERI[o, v, o, o], ERI[v, o, v, v],
+                ERI[o, o, o, v], L[o, o, v, v], F[o, v], jnp.diagonal(F))
+
+    Wvvvo, Wovoo, Evovv, Eooov, Loovv, Fov, eps = prep(F, ERI, L)
+
+    @jax.jit
+    def compute(Wvvvo, Wovoo, Evovv, Eooov, Loovv, Fov, eps, t1, t2):
         eps_o, eps_v = eps[:no], eps[no:]
-        Wvvvo = ERI[v, v, v, o]
-        Wovoo = ERI[o, v, o, o]
         t2w = 4.0 * t2 - 2.0 * t2.swapaxes(2, 3)
 
         def body(ij, acc):
@@ -392,15 +397,16 @@ def t_vikings_scan(cc):
             t3 = _t3c_slab_ij(i, j, Wvvvo, Wovoo, t2, eps_o, eps_v)
             td = t3 - jnp.swapaxes(t3, 1, 3)
             T = 2.0 * t3 - jnp.swapaxes(t3, 2, 3) - jnp.swapaxes(t3, 1, 3)
-            X1 = contract("kabc,kbc->a", td, L[o, o, v, v][j])
-            X2 = contract("kabc,kc->ab", td, F[o, v])
-            X2 += contract("kabc,dkbc->ad", T, ERI[v, o, v, v])
-            X2l = contract("kabc,klc->lab", T, ERI[o, o, o, v][j])
+            X1 = contract("kabc,kbc->a", td, Loovv[j])
+            X2 = contract("kabc,kc->ab", td, Fov)
+            X2 += contract("kabc,dkbc->ad", T, Evovv)
+            X2l = contract("kabc,klc->lab", T, Eooov[j])
             e = 2.0 * contract("a,a->", t1[i], X1)
             e += contract("ab,ab->", t2w[i, j], X2)
             e -= contract("lab,lab->", t2w[i], X2l)
             return acc + e
 
-        return jax.lax.fori_loop(0, no * no, body, jnp.asarray(0.0, F.dtype))
+        return jax.lax.fori_loop(0, no * no, body,
+                                 jnp.asarray(0.0, Fov.dtype))
 
-    return compute(F, ERI, L, t1, t2)
+    return compute(Wvvvo, Wovoo, Evovv, Eooov, Loovv, Fov, eps, t1, t2)

@@ -2,15 +2,14 @@
 
 Counterpart of /root/reference/pycc/lccwfn.py:7-785.  Amplitudes live in the
 truncated pair-local spaces (padded stacks t1: (no, D), t2: (no^2, D, D)).
-The reference evaluates the residuals natively per pair with explicit
-overlap-matrix stitching (O(no^3) Python pair loops); that formulation is
-algebraically identical to evaluating the canonical residual on the
-back-transformed amplitudes and projecting each pair block into its local
-space — which is what we jit here as one batched XLA graph.  The iterates
-match the reference's native solver and the `filter=True` simulation path
-to machine precision (the reference's own cross-validation oracle,
-test_032/test_033).  A fully local-scaling padded evaluation path is the
-planned optimization for large systems.
+
+CCD and CCSD use the genuinely local-scaling batched pair-space equations
+(lccwfn_local.py): per-iteration cost depends on the truncated dimension D,
+not nv.  CC2 falls back to an algebraically-identical dense-backend path
+(canonical residual on back-transformed amplitudes, projected per pair).
+Both match the reference's native solver and the `filter=True` simulation
+path to machine precision (the cross-validation oracle of
+test_032/test_033).
 """
 
 import time
@@ -43,7 +42,6 @@ class lccwfn:
         pair_i = jnp.arange(no_ * no_) // no_
         pair_j = jnp.arange(no_ * no_) % no_
 
-        ERIoovv = H.ERI[o, v][:, :, :][..., :]  # placeholder; sliced below
         ERIoovv = H.ERI[o, o, v, v]
         eri_loc = jnp.einsum("pva,pvw,pwb->pab", QLp,
                              ERIoovv.reshape(no_ * no_, nv, nv), QLp)

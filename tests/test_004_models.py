@@ -58,3 +58,31 @@ def test_ccsd_t_scan_matches_full():
     cc = pycc_tpu.ccwfn(wfn, model="CCSD(T)")
     _solve(cc)
     assert abs(float(t_vikings(cc)) - float(t_vikings_scan(cc))) < 1e-14
+
+
+def test_cc2_lambda_density_h2o():
+    """CC2 Lambda pseudoenergy + density energy (test_020_cc2.py:36-42)."""
+    wfn = scf("H2O", "cc-pvdz", freeze_core=False)
+    cc = pycc_tpu.ccwfn(wfn, model="CC2")
+    ecc = _solve(cc)
+    with contextlib.redirect_stdout(io.StringIO()):
+        hbar = pycc_tpu.cchbar(cc)
+        lam = pycc_tpu.cclambda(cc, hbar)
+        lcc = lam.solve_lambda(1e-12, 1e-12)
+        dens = pycc_tpu.ccdensity(cc, lam)
+        edens = dens.compute_energy()
+    assert abs(lcc - -0.215765740373555) < 1e-11
+    assert abs(edens - ecc) < 1e-11
+
+
+def test_cc2_h2():
+    """CC2 + Lambda for H2/cc-pVDZ (test_020_cc2.py:46-80)."""
+    wfn = scf("H2", "cc-pvdz", freeze_core=False)
+    cc = pycc_tpu.ccwfn(wfn, model="CC2")
+    ecc = _solve(cc)
+    assert abs(ecc - -0.026445902512140185) < 1e-11
+    with contextlib.redirect_stdout(io.StringIO()):
+        hbar = pycc_tpu.cchbar(cc)
+        lam = pycc_tpu.cclambda(cc, hbar)
+        lcc = lam.solve_lambda(1e-12, 1e-12)
+    assert abs(lcc - -0.026443139737993) < 1e-11

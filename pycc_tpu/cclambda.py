@@ -97,9 +97,11 @@ def lambda_residuals_from_F(model, F, ERI, L, t1, t2, l1, l2, no,
     r1, r2 = lambda_residuals("CCSD" if model == "CC3" else model,
                               hb, F, ERI, L, t1, t2, l1, l2, no)
     if model == "CC3":
-        from .models.cc3 import cc3_lambda_extra
-        Y1, Y2 = cc3_lambda_extra(F, ERI, L, t1, t2, l1, l2, no,
-                                  real_time=real_time, F_ref=F_ref)
+        from .models.cc3 import cc3_lambda_extra, cc3_lambda_extra_scan
+        nv = t2.shape[2]
+        fn = cc3_lambda_extra_scan if no ** 3 * nv ** 3 > 2e8 else cc3_lambda_extra
+        Y1, Y2 = fn(F, ERI, L, t1, t2, l1, l2, no,
+                    real_time=real_time, F_ref=F_ref)
         r1 = r1 + Y1
         r2 = r2 + Y2
     return r1, r2
@@ -150,7 +152,9 @@ class cclambda:
 
         is_cc3 = model == "CC3"
         if is_cc3:
-            from .models.cc3 import cc3_lambda_extra
+            from .models.cc3 import cc3_lambda_extra, cc3_lambda_extra_scan
+            big = cc.no ** 3 * cc.nv ** 3 > 2e8
+            cc3_extra_fn = cc3_lambda_extra_scan if big else cc3_lambda_extra
 
         @jax.jit
         def step(l1, l2, state, do_extrap):
@@ -158,8 +162,8 @@ class cclambda:
                                       hb, H.F, H.ERI, H.L,
                                       t1, t2, l1, l2, no, S1, S2)
             if is_cc3:
-                Y1, Y2 = cc3_lambda_extra(H.F, H.ERI, H.L, t1, t2, l1, l2,
-                                          no, real_time=False)
+                Y1, Y2 = cc3_extra_fn(H.F, H.ERI, H.L, t1, t2, l1, l2,
+                                      no, real_time=False)
                 r1 = r1 + Y1
                 r2 = r2 + Y2
             if use_filter:

@@ -310,3 +310,194 @@ def residuals_cc3_scan(F, ERI, L, t1, t2, no, real_time=False, F_ref=None):
     r1 = r1 + X1
     r2 = r2 + X2 + X2.transpose(1, 0, 3, 2)
     return r1, r2
+
+
+# ---------------------------------------------------------------------------
+# L3 slab (fixed first occupied index) + scanned Lambda-CC3 / CC3 density
+# ---------------------------------------------------------------------------
+
+def l3_slab(i, L4, l1, l2, Fov, Wvovv, Wooov, eps_o, eps_v):
+    """l3[i] slab (j,k,a,b,c) — l3_full with the first index fixed."""
+    Lo = L4
+    Loi = Lo[i]
+    LoTi = Lo[:, i]
+    l2i = l2[i]
+    l2Ti = l2[:, i]
+    l3 = contract("jab,kc->jkabc", Loi, l1) - contract("jac,kb->jkabc", Loi, l1)
+    l3 += contract("kac,jb->jkabc", Loi, l1) - contract("kab,jc->jkabc", Loi, l1)
+    l3 += contract("jba,kc->jkabc", LoTi, l1) - contract("jbc,ka->jkabc", LoTi, l1)
+    l3 += contract("kca,jb->jkabc", LoTi, l1) - contract("kcb,ja->jkabc", LoTi, l1)
+    l3 += contract("jkbc,a->jkabc", Lo, l1[i]) - contract("jkba,c->jkabc", Lo, l1[i])
+    l3 += contract("kjcb,a->jkabc", Lo, l1[i]) - contract("kjca,b->jkabc", Lo, l1[i])
+
+    l3 += contract("a,jkbc->jkabc", Fov[i], l2) - contract("b,jkac->jkabc", Fov[i], l2)
+    l3 += contract("a,kjcb->jkabc", Fov[i], l2) - contract("c,kjab->jkabc", Fov[i], l2)
+    l3 += contract("jb,kac->jkabc", Fov, l2i) - contract("ja,kbc->jkabc", Fov, l2i)
+    l3 += contract("kc,jab->jkabc", Fov, l2i) - contract("ka,jcb->jkabc", Fov, l2i)
+    l3 += contract("jb,kca->jkabc", Fov, l2Ti) - contract("jc,kba->jkabc", Fov, l2Ti)
+    l3 += contract("kc,jba->jkabc", Fov, l2Ti) - contract("kb,jca->jkabc", Fov, l2Ti)
+
+    tW = 2.0 * Wvovv - Wvovv.swapaxes(2, 3)
+    l3 += contract("ejab,kce->jkabc", tW, l2Ti)
+    l3 += contract("ekac,jbe->jkabc", tW, l2Ti)
+    l3 += contract("eba,kjce->jkabc", tW[:, i], l2)
+    l3 += contract("eca,jkbe->jkabc", tW[:, i], l2)
+    l3 += contract("ekbc,jae->jkabc", tW, l2i)
+    l3 += contract("ejcb,kae->jkabc", tW, l2i)
+
+    l3 -= contract("ebc,jkea->jkabc", Wvovv[:, i], l2)
+    l3 -= contract("ecb,kjea->jkabc", Wvovv[:, i], l2)
+    l3 -= contract("ekba,jec->jkabc", Wvovv, l2Ti)
+    l3 -= contract("ejac,keb->jkabc", Wvovv, l2i)
+    l3 -= contract("ejca,keb->jkabc", Wvovv, l2Ti)
+    l3 -= contract("ekab,jec->jkabc", Wvovv, l2i)
+
+    tW2 = 2.0 * Wooov - Wooov.swapaxes(0, 1)
+    l3 -= contract("jma,kmcb->jkabc", tW2[:, i], l2)
+    l3 -= contract("kma,jmbc->jkabc", tW2[:, i], l2)
+    l3 -= contract("jmb,kmca->jkabc", tW2[i], l2)
+    l3 -= contract("kmc,jmba->jkabc", tW2[i], l2)
+    l3 -= contract("kjmb,mac->jkabc", tW2, l2i)
+    l3 -= contract("jkmc,mab->jkabc", tW2, l2i)
+
+    l3 += contract("jmc,kmba->jkabc", Wooov[i], l2)
+    l3 += contract("kmb,jmca->jkabc", Wooov[i], l2)
+    l3 += contract("kjma,mbc->jkabc", Wooov, l2i)
+    l3 += contract("jmc,kmab->jkabc", Wooov[:, i], l2)
+    l3 += contract("jkma,mcb->jkabc", Wooov, l2i)
+    l3 += contract("kmb,jmac->jkabc", Wooov[:, i], l2)
+
+    denom = (eps_o[i] + eps_o[:, None, None, None, None]
+             + eps_o[None, :, None, None, None]
+             - eps_v[None, None, :, None, None]
+             - eps_v[None, None, None, :, None]
+             - eps_v[None, None, None, None, :])
+    return l3 / denom
+
+
+def _cc3_t3_slab(i, F, Wabei, Wmbij, t2, eps_o, eps_v, real_time, F_ref, no):
+    from ..triples import _t3c_slab
+    t3 = _t3c_slab(i, Wabei, Wmbij, t2, eps_o, eps_v)
+    if real_time:
+        o, v = slices(no)
+        V = F - F_ref.astype(F.dtype)
+        tmp = contract("ld,jad->jal", V[o, v], t2[i])
+        t3p = contract("jal,klcb->jkabc", tmp, t2)
+        denom = (eps_o[i] + eps_o[:, None, None, None, None]
+                 + eps_o[None, :, None, None, None]
+                 - eps_v[None, None, :, None, None]
+                 - eps_v[None, None, None, :, None]
+                 - eps_v[None, None, None, None, :])
+        t3 = t3 - t3p / denom
+    return t3
+
+
+def cc3_lambda_extra_scan(F, ERI, L, t1, t2, l1, l2, no, real_time=False,
+                          F_ref=None):
+    """Same result as cc3_lambda_extra with O(no^2 v^3) triples memory:
+    lax.fori_loop over the leading occupied index of the T3/L3 slabs."""
+    import jax
+    o, v = slices(no)
+    Fov = build_Fme(F, L, t1, no)
+    Wmnij, Wmbij, Wmnie, Wamef, Wabei = cc3_intermediates(ERI, t1, no)
+    Wovov, Wovvo, Wvvvv = cc3_lambda_intermediates(ERI, t1, no)
+    eps = jnp.diagonal(F)
+    eps_o, eps_v = eps[:no], eps[no:]
+    Lo = L[o, o, v, v]
+    Eo = ERI[o, o, v, v]
+    nv = t2.shape[2]
+
+    # --- t3-side accumulations (loop over l = leading index of t3)
+    def body_t3(l, carry):
+        Zmndi, Zmdfa, Znf = carry
+        t3 = _cc3_t3_slab(l, F, Wabei, Wmbij, t2, eps_o, eps_v,
+                          real_time, F_ref, no)
+        Zmndi += contract("mndef,pef->mndp", t3, Eo[:, l])
+        Zmndi -= contract("mnfed,pef->mndp", t3, Lo[:, l])
+        Zmdfa += contract("mndef,nea->mdfa", t3, Eo[:, l])
+        Zmdfa -= contract("mndfe,nea->mdfa", t3, Lo[:, l])
+        Znf += contract("mde,mndef->nf", l2[l], t3 - t3.swapaxes(2, 4))
+        return (Zmndi, Zmdfa, Znf)
+
+    Zmndi = jnp.zeros((no, no, nv, no), dtype=t2.dtype)
+    Zmdfa = jnp.zeros((no, nv, nv, nv), dtype=t2.dtype)
+    Znf = jnp.zeros((no, nv), dtype=t2.dtype)
+    Zmndi, Zmdfa, Znf = jax.lax.fori_loop(0, no, body_t3,
+                                          (Zmndi, Zmdfa, Znf))
+
+    Y1 = contract("imdf,mdfa->ia", l2, Zmdfa)
+    Y1 += contract("imaf,mf->ia", Lo, Znf)
+    Y1 += contract("mnad,mndi->ia", l2, Zmndi)
+
+    # --- l3-side accumulations (loop over k = leading index of l3)
+    def body_l3(k, carry):
+        Zbide, Zblad1, Zblad2, Zjlma, Zjlid1, Zjlid2, Y2 = carry
+        l3k = l3_slab(k, Lo, l1, l2, Fov, Wamef, Wmnie, eps_o, eps_v)
+        # l3k[i, j, c, d, e] == l3_full[k, i, j, c, d, e]
+        Zbide += contract("jbc,ijcde->bide", t2[:, k], l3k)
+        Zblad1 += contract("jbc,ijcad->biad", t2[:, k], l3k)
+        Zblad2 += contract("jbc,ijcda->biad", t2[:, k], l3k)
+        Zjlma += contract("pbc,ijcab->pija", t2[:, k], l3k)
+        Zjlid1 += contract("pbc,ijcbd->pijd", t2[:, k], l3k)
+        Zjlid2 += contract("pbc,ijcdb->pijd", t2[:, k], l3k)
+        Y2 += contract("ijdeb,eda->ijab", l3k, Wabei[:, :, :, k])
+        Y2 -= contract("ijdab,ldj->ilab", l3k, Wmbij[:, :, :, k])
+        return (Zbide, Zblad1, Zblad2, Zjlma, Zjlid1, Zjlid2, Y2)
+
+    D = t2.dtype
+    carry = (jnp.zeros((nv, no, nv, nv), D), jnp.zeros((nv, no, nv, nv), D),
+             jnp.zeros((nv, no, nv, nv), D), jnp.zeros((no, no, no, nv), D),
+             jnp.zeros((no, no, no, nv), D), jnp.zeros((no, no, no, nv), D),
+             jnp.zeros((no, no, nv, nv), D))
+    Zbide, Zblad1, Zblad2, Zjlma, Zjlid1, Zjlid2, Y2 = jax.lax.fori_loop(
+        0, no, body_l3, carry)
+
+    Y1 += contract("bide,deab->ia", Zbide, Wvvvv)
+    Y1 += contract("jlma,ijlm->ia", Zjlma, Wmnij)
+    Y1 -= contract("jlid,jdla->ia", Zjlid1, Wovov)
+    Y1 -= contract("jlid,jdal->ia", Zjlid2, Wovvo)
+    Y1 -= contract("blad,pdlb->pa", Zblad1, Wovov)
+    Y1 -= contract("blad,pdbl->pa", Zblad2, Wovvo)
+
+    return Y1, Y2 + Y2.transpose(1, 0, 3, 2)
+
+
+def cc3_onepdm_scan(cc, t1, t2, l1, l2, real_time=False):
+    """cc3_onepdm with O(no^2 v^3) triples memory (fori_loop over slabs)."""
+    import jax
+    from ..ccdensity import onepdm
+    no, nv, nact = cc.no, cc.nv, cc.nact
+    F, ERI, L = cc.H.F, cc.H.ERI, cc.H.L
+    o, v = slices(no)
+    if jnp.iscomplexobj(t1):
+        F = F.astype(t1.dtype)
+    Fov = build_Fme(F, L, t1, no)
+    Wmnij, Wmbij, Wmnie, Wamef, Wabei = cc3_intermediates(ERI, t1, no)
+    eps = jnp.diagonal(F)
+    eps_o, eps_v = eps[:no], eps[no:]
+    Lo = L[o, o, v, v]
+    D = t1.dtype
+
+    def body(i, carry):
+        Dov, Zlmdi, Doo, Dvv = carry
+        t3 = _cc3_t3_slab(i, F, Wabei, Wmbij, t2, eps_o, eps_v,
+                          real_time, cc.H.F, no)
+        l3 = l3_slab(i, Lo, l1, l2, Fov, Wamef, Wmnie, eps_o, eps_v)
+        Zlmdi = Zlmdi.at[i].set(contract("jkdef,kpfe->jdp", l3, t2))
+        Dov = Dov.at[i].set(
+            contract("jkabc,jkbc->a", t3 - t3.swapaxes(2, 3), l2))
+        # Doo[p,q] = -0.5 sum_{i(lead),m,abc} t3f[i,m,p,...] l3f[i,m,q,...]
+        Doo = Doo - 0.5 * contract("mpabc,mqabc->pq", t3, l3)
+        Dvv = Dvv + 0.5 * contract("jkbdc,jkadc->ab", t3, l3)
+        return (Dov, Zlmdi, Doo, Dvv)
+
+    carry = (jnp.zeros((no, nv), D), jnp.zeros((no, no, nv, no), D),
+             jnp.zeros((no, no), D), jnp.zeros((nv, nv), D))
+    Dov, Zlmdi, Doo, Dvv = jax.lax.fori_loop(0, no, body, carry)
+    Dov = Dov - contract("lmdp,lmda->pa", Zlmdi, t2)
+
+    opdm = onepdm(cc.model, t1, t2, l1, l2, no, nact, Dov_x=Dov)
+    opdm_cc3 = jnp.zeros((nact, nact), dtype=t1.dtype)
+    opdm_cc3 = opdm_cc3.at[o, o].set(Doo)
+    opdm_cc3 = opdm_cc3.at[v, v].set(Dvv)
+    return opdm, opdm_cc3

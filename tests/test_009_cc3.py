@@ -87,3 +87,30 @@ def test_cc3_scan_matches_full():
         r1b, r2b = residuals_cc3_scan(F, H.ERI, H.L, t1, t2, H.no, **kw)
         assert float(abs(r1a - r1b).max()) < 1e-13
         assert float(abs(r2a - r2b).max()) < 1e-13
+
+
+def test_cc3_lambda_density_scan_matches_full():
+    """Slab-scanned Lambda-CC3 extras and CC3 one-pdm equal the full-tensor
+    paths."""
+    import jax.numpy as jnp
+    from pycc_tpu.models.cc3 import (cc3_lambda_extra, cc3_lambda_extra_scan,
+                                     cc3_onepdm, cc3_onepdm_scan)
+    from pycc_tpu.utils import mp2_guess, synthetic_hamiltonian
+    H = synthetic_hamiltonian(4, 10, seed=9)
+    t1, t2, _ = mp2_guess(H)
+    t1 = t1 + 0.01
+    l1 = 2.0 * t1
+    l2 = 2.0 * (2.0 * t2 - t2.swapaxes(2, 3))
+    a1, a2 = cc3_lambda_extra(H.F, H.ERI, H.L, t1, t2, l1, l2, H.no)
+    b1, b2 = cc3_lambda_extra_scan(H.F, H.ERI, H.L, t1, t2, l1, l2, H.no)
+    assert float(abs(a1 - b1).max()) < 1e-13
+    assert float(abs(a2 - b2).max()) < 1e-13
+
+    class CC:
+        pass
+    cc = CC()
+    cc.no, cc.nv, cc.nact, cc.H, cc.model = 4, 10, 14, H, "CC3"
+    p1, p2 = cc3_onepdm(cc, t1, t2, l1, l2)
+    q1, q2 = cc3_onepdm_scan(cc, t1, t2, l1, l2)
+    assert float(abs(p1 - q1).max()) < 1e-13
+    assert float(abs(p2 - q2).max()) < 1e-13

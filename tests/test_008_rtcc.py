@@ -124,3 +124,43 @@ def test_autocorrelation_identity():
     rt = pycc_tpu.rtcc(cc, lam, dens, V)
     y0 = rt.collect_amps(cc.t1, cc.t2, lam.l1, lam.l2, 0).astype("complex128")
     assert abs(rt.autocorrelation(y0, y0) - 1.0) < 1e-12
+
+
+def test_delta_pulse_laser():
+    """Delta pulse fires only at its center (test_029 pattern, fixed
+    assertion — the reference's .all()==.all() check is vacuous)."""
+    from pycc_tpu.rt.lasers import delta_pulse_laser
+    V = delta_pulse_laser(1.0, center=5)
+    vals = np.array([float(V(float(t))) for t in range(20)])
+    ref = np.zeros(20)
+    ref[5] = 1.0
+    assert np.allclose(vals, ref)
+
+
+def test_mixed_step_integration():
+    """Small-step while the field is on, large-step after (test_023_ms_int
+    pattern): result consistent with uniform small steps."""
+    cc, lam, dens = _setup("He", "cc-pvdz")
+    V = gaussian_laser(0.01, 0, 0.01, 0.05)
+    rt = pycc_tpu.rtcc(cc, lam, dens, V)
+    y0 = rt.collect_amps(cc.t1, cc.t2, lam.l1, lam.l2, 0).astype("complex128")
+    h_small, h_big, e_field = 0.005, 0.02, 1e-5
+
+    y, t = y0.copy(), 0.0
+    while t < 0.2 - 1e-12:
+        if float(V(t)) > e_field:
+            y = rk4(h_small)(rt.f, t, y)
+            t += h_small
+        else:
+            y = rk4(h_big)(rt.f, t, y)
+            t += h_big
+    t1, t2, l1, l2, _ = rt.extract_amps(y)
+    mu_mixed = rt.dipole(t1, t2, l1, l2)[2].real
+
+    y, t = y0.copy(), 0.0
+    while t < 0.2 - 1e-12:
+        y = rk4(h_small)(rt.f, t, y)
+        t += h_small
+    t1, t2, l1, l2, _ = rt.extract_amps(y)
+    mu_fine = rt.dipole(t1, t2, l1, l2)[2].real
+    assert abs(mu_mixed - mu_fine) < 1e-5

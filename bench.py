@@ -16,6 +16,7 @@ empty, so the CPU path defines the baseline.)
 """
 
 import json
+import os
 import sys
 import time
 
@@ -44,7 +45,7 @@ def synth_device(no, nv, key):
     return F, ERI, L
 
 
-def main():
+def _run(no, nv):
     import jax
     # persistent compile cache: the axon remote compile of the full CCSD
     # residual graph takes ~10 min cold; cached runs start in seconds.
@@ -54,7 +55,6 @@ def main():
     import pycc_tpu  # noqa: F401
     from pycc_tpu.models import ccsd as eqs
 
-    no, nv = NO, NV
     build = jax.jit(lambda k: synth_device(no, nv, k))
     F, ERI, L = build(jax.random.PRNGKey(0))
     F.block_until_ready()
@@ -82,6 +82,39 @@ def main():
     a.block_until_ready()
     dt = (time.time() - t0) / n
 
+    return dt
+
+
+def main():
+    """Attempt the TPU run in a watchdogged subprocess (the axon tunnel can
+    HANG, not just raise, when the worker is wedged); fall back to a
+    flop-scaled CPU measurement so the driver always gets its JSON line."""
+    import subprocess
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child"],
+            capture_output=True, text=True, timeout=2400)
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                print(line)
+                return
+        raise RuntimeError("child produced no metric: %s" % out.stderr[-400:])
+    except Exception as exc:
+        print("# TPU run failed (%s); falling back to CPU" % exc,
+              file=sys.stderr)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        dt = _run(16, 64) * 64.0  # flop-scale to the (32,128) metric size
+        print(json.dumps({
+            "metric": "ccsd_iteration_o32_v128_f32_cpu_fallback_scaled",
+            "value": round(dt, 6),
+            "unit": "s/iter",
+            "vs_baseline": round(CPU_BASELINE_S / dt, 2),
+        }))
+
+
+def _child():
+    dt = _run(NO, NV)
     print(json.dumps({
         "metric": "ccsd_iteration_o32_v128_f32",
         "value": round(dt, 6),
@@ -91,4 +124,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--child" in sys.argv:
+        _child()
+    else:
+        main()

@@ -164,3 +164,29 @@ def test_mixed_step_integration():
     t1, t2, l1, l2, _ = rt.extract_amps(y)
     mu_fine = rt.dipole(t1, t2, l1, l2)[2].real
     assert abs(mu_mixed - mu_fine) < 1e-5
+
+
+def test_rtcc_cc2_smoke():
+    """RT-CC2 propagates with finite, stable properties (capability-matrix
+    row RT-CC2; SURVEY §2.2)."""
+    wfn = scf("He", "cc-pvdz", freeze_core=False)
+    with contextlib.redirect_stdout(io.StringIO()):
+        cc = pycc_tpu.ccwfn(wfn, model="CC2")
+        cc.solve_cc(1e-12, 1e-12)
+        hbar = pycc_tpu.cchbar(cc)
+        lam = pycc_tpu.cclambda(cc, hbar)
+        lam.solve_lambda(1e-12, 1e-12)
+        dens = pycc_tpu.ccdensity(cc, lam)
+    V = gaussian_laser(0.01, 0, 0.01, 0.05)
+    rt = pycc_tpu.rtcc(cc, lam, dens, V)
+    y = rt.collect_amps(cc.t1, cc.t2, lam.l1, lam.l2, 0).astype("complex128")
+    ODE = rk4(0.01)
+    t = 0.0
+    while t < 0.05:
+        y = ODE(rt.f, t, y)
+        t += 0.01
+    t1, t2, l1, l2, _ = rt.extract_amps(y)
+    mu = rt.dipole(t1, t2, l1, l2)
+    ecc = rt.lagrangian(t, t1, t2, l1, l2)
+    assert np.isfinite(complex(ecc).real)
+    assert all(np.isfinite(complex(m).real) for m in mu)

@@ -143,7 +143,6 @@ class cceom:
         D = self.D
         s1_len = no * nv
         s2_len = (no * nv) ** 2
-        sigma_len = s1_len + s2_len
 
         M = N * 2
         maxM = N * 10

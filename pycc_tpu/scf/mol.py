@@ -95,7 +95,6 @@ class Molecule:
         self.charge, self.multiplicity = charge, mult
 
         syms, coords = [], []
-        zmat = any(len(t) in (1, 3, 5, 7) and not len(t) == 4 for t in lines)
         # Cartesian lines have exactly 4 tokens (sym x y z)
         if all(len(t) == 4 for t in lines):
             for t in lines:

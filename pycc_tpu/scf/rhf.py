@@ -70,7 +70,6 @@ def run_rhf(geometry, basis_name, freeze_core=False, e_conv=1e-12,
     """Run RHF-SCF. `geometry` is a Psi4-style string or a Molecule."""
     mol = geometry if isinstance(geometry, Molecule) else Molecule(geometry)
     basis = BasisSet(mol, basis_name)
-    nbf = basis.nbf
 
     S = integrals.overlap(basis)
     T = integrals.kinetic(basis)

@@ -439,6 +439,46 @@ class ccresponse:
         polar2 += 0.5 * contract("ac,ac->", tmp, A.Avv)
         return -1.0 * (polar1 + polar2)
 
+    def linresp(self, A, B, omega, e_conv=1e-13, r_conv=1e-13, maxiter=200,
+                max_diis=8, start_diis=1):
+        """CC linear-response tensor <<A_a;B_b>>_omega as a 3x3 array.
+
+        Working replacement for the reference's partially-broken driver
+        (/root/reference/pycc/ccresponse.py:208-296, which dies on undefined
+        locals): solves the right- and left-hand perturbed wave functions for
+        each Cartesian component of B at +omega, then assembles the
+        asymmetric response expression against every component of A via
+        `linresp_asym` — the exact form the reference's own test exercises
+        (/root/reference/pycc/tests/test_036_lr.py:47-66).
+
+        A, B in {"MU", "M", "M*", "P", "P*", "Q"}; for Q a (6, 3, 3)-style
+        full tensor is not assembled — use the individual "Q_xy" pertbar
+        keys with solve_right/solve_left directly.
+        """
+        A, B = A.upper(), B.upper()
+        if A == "Q" or B == "Q":
+            raise ValueError("use per-component Q_ab keys for quadrupole LR")
+        resp = np.zeros((3, 3), dtype=complex)
+        XB, YB = {}, {}
+        for b in range(3):
+            key_b = B + "_" + self.cart[b]
+            pert = self.pertbar[key_b]
+            X1, X2, _ = self.solve_right(pert, omega, e_conv, r_conv,
+                                         maxiter, max_diis, start_diis)
+            Y1, Y2, _ = self.solve_left(pert, omega, e_conv, r_conv,
+                                        maxiter, max_diis, start_diis)
+            XB[b], YB[b] = (X1, X2), (Y1, Y2)
+        for a in range(3):
+            key_a = A + "_" + self.cart[a]
+            for b in range(3):
+                (X1, X2), (Y1, Y2) = XB[b], YB[b]
+                resp[a, b] = complex(
+                    self.linresp_asym(key_a, X1, X2, Y1, Y2))
+        # mixed real/imaginary operator pairs give an imaginary response
+        if np.abs(resp.imag).max() < 1e-12:
+            return resp.real
+        return resp
+
     def pertcheck(self, omega, e_conv=1e-13, r_conv=1e-13, maxiter=200,
                   max_diis=8, start_diis=1):
         """Converge X for every available perturbation; return dict of

@@ -23,15 +23,14 @@ def test_linresp_polarizability():
         dens = pycc_tpu.ccdensity(cc, lam)
         resp = pycc_tpu.ccresponse(dens)
         omega = 0.0656
-        polar = np.zeros(3)
-        for ax in range(3):
-            key = "MU_" + resp.cart[ax]
-            A = resp.pertbar[key]
-            X1, X2, _ = resp.solve_right(A, omega)
-            Y1, Y2, _ = resp.solve_left(A, omega)
-            polar[ax] = float(np.real(resp.linresp_asym(key, X1, X2, Y1, Y2)))
+        # full 3x3 dynamic polarizability via the one-call driver (the
+        # reference's linresp is broken; test_036_lr.py assembles by hand)
+        tensor = resp.linresp("MU", "MU", omega)
+        polar = np.diag(tensor)
 
     assert abs(polar[0] - 9.92992070420665) < 1e-8
     assert abs(polar[1] - 13.443740151331559) < 1e-8
     assert abs(polar[2] - 11.342765745046526) < 1e-8
     assert abs(np.mean(polar) - 11.572142200333) < 1e-8
+    # off-diagonal elements vanish by C2v symmetry in this frame
+    assert np.abs(tensor - np.diag(polar)).max() < 1e-6

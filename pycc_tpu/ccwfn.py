@@ -51,6 +51,9 @@ class ccwfn:
             raise Exception("%s is not an allowed CC model." % model)
         self.model = model
         self.make_t3_density = kwargs.pop("make_t3_density", False)
+        # None = auto (per-(i,j) slab scan beyond no^3 nv^3 ~ 2e8);
+        # True/False force the scan / full-tensor (T)-density path
+        self.t3_scan = kwargs.pop("t3_scan", None)
         self.real_time = kwargs.pop("real_time", False)
 
         valid_local = [None, "PNO", "PAO", "CPNO++", "PNO++"]

@@ -304,14 +304,20 @@ def t3_density(cc):
 
 
 def t3_density_energy(cc):
-    return t3_density(cc)
+    # full T3 is no^3 nv^3; beyond ~2e8 elements switch to the per-(i,j)
+    # slab scan (same threshold as the CC3 dispatch in ccwfn).  The ccwfn
+    # kwarg t3_scan=True/False overrides the automatic choice.
+    scan = getattr(cc, "t3_scan", None)
+    if scan is None:
+        scan = cc.no ** 3 * cc.nv ** 3 > 2e8
+    return t3_density_scan(cc) if scan else t3_density(cc)
 
 
 def t3_lambda_sources(cc):
     """S1/S2 Lambda-residual sources for CCSD(T) (computes and caches the
     full (T) density set)."""
     if not hasattr(cc, "S1"):
-        t3_density(cc)
+        t3_density_energy(cc)
     return cc.S1, cc.S2
 
 
@@ -410,3 +416,127 @@ def t_vikings_scan(cc):
                                  jnp.asarray(0.0, Fov.dtype))
 
     return compute(Wvvvo, Wovoo, Evovv, Eooov, Loovv, Fov, eps, t1, t2)
+
+
+# ---------------------------------------------------------------------------
+# Memory-scalable (T) density: per-(i,j) slabs (lax.fori_loop)
+# ---------------------------------------------------------------------------
+
+def _perm_v_slab(s, order):
+    """Permute the three virtual axes (1,2,3) of a (k,a,b,c) slab."""
+    axes = (0,) + tuple(1 + "abc".index(c) for c in order)
+    return jnp.transpose(s, axes)
+
+
+def _X3_v_slab(s):
+    return (8.0 * s - 4.0 * _perm_v_slab(s, "bac") - 4.0 * _perm_v_slab(s, "acb")
+            - 4.0 * _perm_v_slab(s, "cba") + 2.0 * _perm_v_slab(s, "cab")
+            + 2.0 * _perm_v_slab(s, "bca"))
+
+
+def _t3d_slab_ij(i, j, t1, t2, Eoovv, Fov, eps_o, eps_v):
+    """Disconnected T3[i, j] slab (k,a,b,c) (cctriples.py:68-83, sliced)."""
+    t3 = contract("ab,kc->kabc", Eoovv[i, j], t1)
+    t3 += contract("kac,b->kabc", Eoovv[i], t1[j])
+    t3 += contract("kbc,a->kabc", Eoovv[j], t1[i])
+    t3 += contract("ab,kc->kabc", t2[i, j], Fov)
+    t3 += contract("kac,b->kabc", t2[i], Fov[j])
+    t3 += contract("kbc,a->kabc", t2[j], Fov[i])
+    denom = (eps_o[i] + eps_o[j] + eps_o[:, None, None, None]
+             - eps_v[None, :, None, None]
+             - eps_v[None, None, :, None]
+             - eps_v[None, None, None, :])
+    return t3 / denom
+
+
+def t3_density_scan(cc):
+    """(T) Lambda sources + density blocks with O(no v^3) working memory.
+
+    Produces the exact same nine outputs as `t3_density`
+    (ccwfn.py:721-855) without ever materializing the full no^3 v^3 T3.
+    One connected + one disconnected slab per ordered (i,j) pair feed every
+    contraction; the occupied-axis permutation combos (X3_o in the full
+    code) are rewritten as virtual-axis transposes of the SAME slab using
+    T3's invariance under simultaneous occupied/virtual permutations:
+    M[x,p,q,a,b,c] = M[p,q,x,b,c,a], so the Doo term needs only the
+    (p,q)-slab already in registers.  Results are cached on the ccwfn
+    object for ccdensity/cclambda, as in the full-tensor path."""
+    no = cc.no
+    F, ERI, L = cc.H.F, cc.H.ERI, cc.H.L
+    t1, t2 = cc.t1, cc.t2
+    o, v = _slices(no)
+
+    @jax.jit
+    def prep(F, ERI, L):
+        return (ERI[v, v, v, o], ERI[o, v, o, o], ERI[v, o, v, v],
+                ERI[o, o, o, v], ERI[o, v, v, v], ERI[o, o, v, v],
+                L[o, o, v, v], F[o, v], jnp.diagonal(F))
+
+    (Wvvvo, Wovoo, Evovv, Eooov, Eovvv, Eoovv,
+     Loovv, Fov, eps) = prep(F, ERI, L)
+
+    @jax.jit
+    def compute(Wvvvo, Wovoo, Evovv, Eooov, Eovvv, Eoovv,
+                Loovv, Fov, eps, t1, t2):
+        nv = Fov.shape[1]
+        eps_o, eps_v = eps[:no], eps[no:]
+        tt = 4.0 * t2 - 2.0 * t2.swapaxes(2, 3)
+        dt = Fov.dtype
+        zeros = jnp.zeros
+
+        def body(ij, acc):
+            (X2, Doo, Dvv, Dov, Goovv, Gooov, Gvvvo, S1, S2) = acc
+            i, j = ij // no, ij % no
+            M = _t3c_slab_ij(i, j, Wvvvo, Wovoo, t2, eps_o, eps_v)
+            N = _t3d_slab_ij(i, j, t1, t2, Eoovv, Fov, eps_o, eps_v)
+            XY = _X3_v_slab(M) + _X3_v_slab(N)      # (X3 + Y3)[i,j] slab
+            W = _X3_v_slab(2.0 * M + N)             # (2 X3 + Y3)[i,j] slab
+            Md = M - _perm_v_slab(M, "cba")         # M - M^{a<->c}
+            T = 2.0 * M - _perm_v_slab(M, "acb") - _perm_v_slab(M, "cba")
+
+            X2 = X2.at[i, j].add(contract("kabc,kc->ab", Md, Fov)
+                                 + contract("kabc,dkbc->ad", T, Evovv))
+            X2 = X2.at[i].add(-contract("kabc,klc->lab", T, Eooov[j]))
+
+            Dvv = Dvv + 0.5 * contract("kacd,kbcd->ab", M, XY)
+            Dov = Dov.at[i].add(contract("kabc,kbc->a", Md, tt[j]))
+
+            Z3 = (2.0 * M - 2.0 * _perm_v_slab(M, "acb")
+                  - _perm_v_slab(M, "bac") + _perm_v_slab(M, "bca"))
+            Goovv = Goovv.at[i, j].add(4.0 * contract("kabc,kc->ab", Z3, t1))
+            Gooov = Gooov.at[j, i].add(-contract("kabc,lkbc->la", W, t2))
+            Gvvvo = Gvvvo.at[:, :, :, j].add(
+                contract("kabc,kcd->abd", W, t2[:, i]))
+
+            S1 = S1.at[i].add(2.0 * contract("kabc,kbc->a",
+                                             M - _perm_v_slab(M, "bac"),
+                                             Loovv[j]))
+            S2 = S2.at[i].add(-contract("kabc,klc->lab", W, Eooov[j]))
+            S2 = S2.at[i, j].add(contract("kabc,kdcb->ad", W, Eovvv))
+
+            # Doo: treat this pair as the two SUMMED occupied indices (p,q).
+            # A[x] = M[x,p,q] = slab[x] with virtual axes cycled (b,c,a).
+            A = jnp.transpose(M, (0, 3, 1, 2))
+            B = _X3_v_slab(A) + _X3_v_slab(jnp.transpose(N, (0, 3, 1, 2)))
+            Doo = Doo - 0.5 * contract("iabc,jabc->ij", A, B)
+
+            return (X2, Doo, Dvv, Dov, Goovv, Gooov, Gvvvo, S1, S2)
+
+        acc0 = (zeros((no, no, nv, nv), dt), zeros((no, no), dt),
+                zeros((nv, nv), dt), zeros((no, nv), dt),
+                zeros((no, no, nv, nv), dt), zeros((no, no, no, nv), dt),
+                zeros((nv, nv, nv, no), dt), zeros((no, nv), dt),
+                zeros((no, no, nv, nv), dt))
+        (X2, Doo, Dvv, Dov, Goovv, Gooov, Gvvvo, S1, S2) = \
+            jax.lax.fori_loop(0, no * no, body, acc0)
+        S2 = S2 + S2.transpose(1, 0, 3, 2)
+        ET = contract("ia,ia->", t1, S1)
+        ET += contract("ijab,ijab->", tt, X2)
+        return ET, Doo, Dvv, Dov, Goovv, Gooov, Gvvvo, S1, S2
+
+    ET, Doo, Dvv, Dov, Goovv, Gooov, Gvvvo, S1, S2 = compute(
+        Wvvvo, Wovoo, Evovv, Eooov, Eovvv, Eoovv, Loovv, Fov, eps, t1, t2)
+    cc.Doo_t3, cc.Dvv_t3, cc.Dov_t3 = Doo, Dvv, Dov
+    cc.Goovv, cc.Gooov, cc.Gvvvo = Goovv, Gooov, Gvvvo
+    cc.S1, cc.S2 = S1, S2
+    return ET

@@ -129,9 +129,13 @@ class rtcc:
 
         def _dipole(t1, t2, l1, l2, ints0, ints1, ints2):
             opdm = onepdm(model, t1, t2, l1, l2, no, ccwfn.nact)
-            return (jnp.sum(ints0.astype(opdm.dtype) * opdm),
-                    jnp.sum(ints1.astype(opdm.dtype) * opdm),
-                    jnp.sum(ints2.astype(opdm.dtype) * opdm))
+            # promote (NOT cast to opdm.dtype): the magnetic-dipole integrals
+            # are pure imaginary, and real ground-state amplitudes would
+            # otherwise truncate them to zero
+            dt = jnp.promote_types(opdm.dtype, ints0.dtype)
+            return (jnp.sum(ints0.astype(dt) * opdm.astype(dt)),
+                    jnp.sum(ints1.astype(dt) * opdm.astype(dt)),
+                    jnp.sum(ints2.astype(dt) * opdm.astype(dt)))
 
         self._dipole_jit = jax.jit(_dipole)
 
@@ -169,9 +173,12 @@ class rtcc:
             from ..ccdensity import build_Moo, build_Mvv
             out = []
             no, nv = self.no, self.nv
+            dt = jnp.promote_types(opdm.dtype, ints[0].dtype)
+            opdm = opdm.astype(dt)
+            opdm_cc3 = opdm_cc3.astype(dt)
             for ax in range(3):
-                val = jnp.sum(ints[ax].astype(opdm.dtype) * opdm)
-                M = jnp.zeros_like(ints[ax]).astype(opdm.dtype)
+                val = jnp.sum(ints[ax].astype(dt) * opdm)
+                M = jnp.zeros_like(ints[ax]).astype(dt)
                 M = M.at[:no, :no].set(build_Moo(no, nv, ints[ax], jnp.asarray(t1)))
                 M = M.at[-nv:, -nv:].set(build_Mvv(no, nv, ints[ax], jnp.asarray(t1)))
                 val += jnp.sum(M * opdm_cc3)

@@ -57,7 +57,9 @@ def _zmat_place(coords, refs, r, theta=None, phi=None):
     else:
         n /= nn
     m = np.cross(n, ab)
-    d = -r * np.cos(theta) * ab + r * np.sin(theta) * (np.cos(phi) * m + np.sin(phi) * n)
+    # phi = 0 places the new atom cis (eclipsed) to C, per the standard
+    # (IUPAC) Z-matrix dihedral convention
+    d = -r * np.cos(theta) * ab + r * np.sin(theta) * (-np.cos(phi) * m + np.sin(phi) * n)
     return A + d
 
 

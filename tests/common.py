@@ -37,11 +37,10 @@ symmetry c1
 """
 
 H2_2 = """
-units au
-H 0.0 0.0 0.0
-H 0.0 0.0 1.4
-H 0.0 1.5 0.0
-H 0.0 1.5 1.4
+H
+H 1 0.75
+H 2 1.5 1 90.0
+H 3 0.75 2 90.0 1 60.0
 symmetry c1
 """
 

@@ -392,30 +392,33 @@ def t_vikings_scan(cc):
                 ERI[o, o, o, v], L[o, o, v, v], F[o, v], jnp.diagonal(F))
 
     Wvvvo, Wovoo, Evovv, Eooov, Loovv, Fov, eps = prep(F, ERI, L)
+    compute = jax.jit(t_vikings_scan_core, static_argnames="no")
+    return compute(Wvvvo, Wovoo, Evovv, Eooov, Loovv, Fov, eps, t1, t2, no=no)
 
-    @jax.jit
-    def compute(Wvvvo, Wovoo, Evovv, Eooov, Loovv, Fov, eps, t1, t2):
-        eps_o, eps_v = eps[:no], eps[no:]
-        t2w = 4.0 * t2 - 2.0 * t2.swapaxes(2, 3)
 
-        def body(ij, acc):
-            i, j = ij // no, ij % no
-            t3 = _t3c_slab_ij(i, j, Wvvvo, Wovoo, t2, eps_o, eps_v)
-            td = t3 - jnp.swapaxes(t3, 1, 3)
-            T = 2.0 * t3 - jnp.swapaxes(t3, 2, 3) - jnp.swapaxes(t3, 1, 3)
-            X1 = contract("kabc,kbc->a", td, Loovv[j])
-            X2 = contract("kabc,kc->ab", td, Fov)
-            X2 += contract("kabc,dkbc->ad", T, Evovv)
-            X2l = contract("kabc,klc->lab", T, Eooov[j])
-            e = 2.0 * contract("a,a->", t1[i], X1)
-            e += contract("ab,ab->", t2w[i, j], X2)
-            e -= contract("lab,lab->", t2w[i], X2l)
-            return acc + e
+def t_vikings_scan_core(Wvvvo, Wovoo, Evovv, Eooov, Loovv, Fov, eps, t1, t2,
+                        no):
+    """Slice-fed (T) energy core: callable directly when the full ERI/L are
+    never materialized (sliced-H storage, probes)."""
+    eps_o, eps_v = eps[:no], eps[no:]
+    t2w = 4.0 * t2 - 2.0 * t2.swapaxes(2, 3)
 
-        return jax.lax.fori_loop(0, no * no, body,
-                                 jnp.asarray(0.0, Fov.dtype))
+    def body(ij, acc):
+        i, j = ij // no, ij % no
+        t3 = _t3c_slab_ij(i, j, Wvvvo, Wovoo, t2, eps_o, eps_v)
+        td = t3 - jnp.swapaxes(t3, 1, 3)
+        T = 2.0 * t3 - jnp.swapaxes(t3, 2, 3) - jnp.swapaxes(t3, 1, 3)
+        X1 = contract("kabc,kbc->a", td, Loovv[j])
+        X2 = contract("kabc,kc->ab", td, Fov)
+        X2 += contract("kabc,dkbc->ad", T, Evovv)
+        X2l = contract("kabc,klc->lab", T, Eooov[j])
+        e = 2.0 * contract("a,a->", t1[i], X1)
+        e += contract("ab,ab->", t2w[i, j], X2)
+        e -= contract("lab,lab->", t2w[i], X2l)
+        return acc + e
 
-    return compute(Wvvvo, Wovoo, Evovv, Eooov, Loovv, Fov, eps, t1, t2)
+    return jax.lax.fori_loop(0, no * no, body,
+                             jnp.asarray(0.0, Fov.dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -474,10 +477,22 @@ def t3_density_scan(cc):
 
     (Wvvvo, Wovoo, Evovv, Eooov, Eovvv, Eoovv,
      Loovv, Fov, eps) = prep(F, ERI, L)
+    compute = jax.jit(t3_density_scan_core, static_argnames="no")
+    ET, Doo, Dvv, Dov, Goovv, Gooov, Gvvvo, S1, S2 = compute(
+        Wvvvo, Wovoo, Evovv, Eooov, Eovvv, Eoovv, Loovv, Fov, eps, t1, t2,
+        no=no)
+    cc.Doo_t3, cc.Dvv_t3, cc.Dov_t3 = Doo, Dvv, Dov
+    cc.Goovv, cc.Gooov, cc.Gvvvo = Goovv, Gooov, Gvvvo
+    cc.S1, cc.S2 = S1, S2
+    return ET
 
-    @jax.jit
-    def compute(Wvvvo, Wovoo, Evovv, Eooov, Eovvv, Eoovv,
-                Loovv, Fov, eps, t1, t2):
+
+def t3_density_scan_core(Wvvvo, Wovoo, Evovv, Eooov, Eovvv, Eoovv,
+                         Loovv, Fov, eps, t1, t2, no):
+    """Slice-fed (T)-density core: returns (ET, Doo, Dvv, Dov, Goovv,
+    Gooov, Gvvvo, S1, S2); callable directly when the full ERI/L are never
+    materialized (sliced-H storage, probes)."""
+    if True:
         nv = Fov.shape[1]
         eps_o, eps_v = eps[:no], eps[no:]
         tt = 4.0 * t2 - 2.0 * t2.swapaxes(2, 3)
@@ -533,10 +548,3 @@ def t3_density_scan(cc):
         ET = contract("ia,ia->", t1, S1)
         ET += contract("ijab,ijab->", tt, X2)
         return ET, Doo, Dvv, Dov, Goovv, Gooov, Gvvvo, S1, S2
-
-    ET, Doo, Dvv, Dov, Goovv, Gooov, Gvvvo, S1, S2 = compute(
-        Wvvvo, Wovoo, Evovv, Eooov, Eovvv, Eoovv, Loovv, Fov, eps, t1, t2)
-    cc.Doo_t3, cc.Dvv_t3, cc.Dov_t3 = Doo, Dvv, Dov
-    cc.Goovv, cc.Gooov, cc.Gvvvo = Goovv, Gooov, Gvvvo
-    cc.S1, cc.S2 = S1, S2
-    return ET

@@ -54,6 +54,13 @@ class ccwfn:
         # None = auto (per-(i,j) slab scan beyond no^3 nv^3 ~ 2e8);
         # True/False force the scan / full-tensor (T)-density path
         self.t3_scan = kwargs.pop("t3_scan", None)
+        # storage='blocked' feeds the iterative solve the six unique Dirac
+        # ERI blocks (models/blocked.py) instead of full ERI + L: ~5x less
+        # HBM and no tile-padding waste on TPU.  'full' is the default.
+        storage = kwargs.pop("storage", "full").lower()
+        if storage not in ("full", "blocked"):
+            raise Exception("%s is not an allowed storage mode." % storage)
+        self.storage = storage
         self.real_time = kwargs.pop("real_time", False)
 
         valid_local = [None, "PNO", "PAO", "CPNO++", "PNO++"]
@@ -146,7 +153,18 @@ class ccwfn:
             self._residual_fn = partial(fn, real_time=self.real_time,
                                         F_ref=self.H.F)
 
+        if self.storage == "blocked":
+            from .models.blocked import blocks_from_full
+            self.blocks = blocks_from_full(self.H.ERI, self.no)
+
         print("CCWFN object initialized in %.3f seconds." % (time.time() - time_init))
+
+    def _solver_H(self):
+        """(ERI-arg, L-arg) for the jitted solve step: the full tensors, or
+        the ERIBlocks pytree (+ None) under storage='blocked'."""
+        if self.storage == "blocked":
+            return self.blocks, None
+        return self.H.ERI, self.H.L
 
     # ------------------------------------------------------------------
     def residuals(self, F, t1, t2):
@@ -171,9 +189,13 @@ class ccwfn:
             filter_fn = self.Local.filter_amps
 
         diis = DIIS((self.t1, self.t2), max_diis=max(max_diis, 1))
+        blocked = self.storage == "blocked"
 
         @jax.jit
         def step(F, ERI, L, Dia, Dijab, t1, t2, state, do_extrap):
+            if blocked:
+                from .models.blocked import blocked_views
+                ERI, L = blocked_views(ERI, no)
             r1, r2 = residual_fn(F, ERI, L, t1, t2, no)
             if use_filter:
                 inc1, inc2 = filter_fn(r1, r2)
@@ -202,8 +224,9 @@ class ccwfn:
         for niter in range(1, maxiter + 1):
             ecc_last = ecc
             do_ext = (max_diis > 0) and (niter >= start_diis)
+            ERIa, La = self._solver_H()
             t1n, t2n, t1, t2, state, ecc_j, rms = step(
-                H.F, H.ERI, H.L, Dia, Dijab, t1, t2, state,
+                H.F, ERIa, La, Dia, Dijab, t1, t2, state,
                 jnp.asarray(do_ext))
             ecc = float(jnp.real(ecc_j))
             rms = float(rms)
@@ -280,10 +303,15 @@ class ccwfn:
         use_filter = self.local is not None
         filter_fn = self.Local.filter_amps if use_filter else None
         diis = DIIS((self.t1, self.t2), max_diis=max(max_diis, 1))
+        if self.storage == "blocked":
+            from .models.blocked import blocked_views
+            ERIc, Lc = blocked_views(self.blocks, no)
+        else:
+            ERIc, Lc = H.ERI, H.L
 
         def body(carry):
             t1, t2, state, niter, ecc, _rms, _done = carry
-            r1, r2 = residual_fn(H.F, H.ERI, H.L, t1, t2, no)
+            r1, r2 = residual_fn(H.F, ERIc, Lc, t1, t2, no)
             if use_filter:
                 inc1, inc2 = filter_fn(r1, r2)
             else:
@@ -293,7 +321,7 @@ class ccwfn:
             t2n = t2 + inc2
             rms = jnp.sqrt(jnp.sum(jnp.abs(inc1) ** 2)
                            + jnp.sum(jnp.abs(inc2) ** 2))
-            ecc_new = jnp.real(energy_fn(H.F, H.L, t1n, t2n, no))
+            ecc_new = jnp.real(energy_fn(H.F, Lc, t1n, t2n, no))
             done = (jnp.abs(ecc_new - ecc) < e_conv) & (rms < r_conv)
             state = diis.push(state, (t1n, t2n), (t1, t2))
             do_ext = (max_diis > 0) & (niter + 1 >= start_diis) & ~done
@@ -308,7 +336,7 @@ class ccwfn:
 
         @jax.jit
         def run(t1, t2):
-            ecc0 = jnp.real(energy_fn(H.F, H.L, t1, t2, no))
+            ecc0 = jnp.real(energy_fn(H.F, Lc, t1, t2, no))
             carry = (t1, t2, diis.init(), jnp.array(0), ecc0,
                      jnp.array(jnp.inf, dtype=ecc0.dtype), jnp.array(False))
             return jax.lax.while_loop(cond, body, carry)

@@ -1,0 +1,60 @@
+"""Blocked Hamiltonian storage (models/blocked.py): six unique Dirac blocks
+replace full ERI + L in the iterative solve.
+
+Oracle: the frozen CCSD energy (reference test_002_ccsd_energy.py:40) must
+come out identically through the blocked path, and every derived view must
+match the corresponding dense slice bit-for-bit.
+"""
+
+import contextlib
+import io
+
+import numpy as np
+import pycc_tpu
+from pycc_tpu.models.blocked import blocks_from_full, blocked_views
+from pycc_tpu.models.ccsd import slices
+from pycc_tpu.utils.synth import synthetic_hamiltonian
+from .common import scf
+
+
+def test_all_sixteen_patterns_and_L():
+    no, nv = 5, 7
+    H = synthetic_hamiltonian(no, nv, seed=3)
+    ERI, L = np.asarray(H.ERI), np.asarray(H.L)
+    bE, bL = blocked_views(blocks_from_full(H.ERI, no), no)
+    o, v = slices(no)
+    sl = {"o": o, "v": v}
+    for i in range(16):
+        pat = "".join("ov"[(i >> k) & 1] for k in (3, 2, 1, 0))
+        key = tuple(sl[c] for c in pat)
+        assert np.array_equal(ERI[key], np.asarray(bE[key])), pat
+        assert np.array_equal(L[key], np.asarray(bL[key])), pat
+
+
+def test_blocked_ccsd_oracle():
+    wfn = scf("H2O", "cc-pvdz", freeze_core=True)
+    with contextlib.redirect_stdout(io.StringIO()):
+        cc = pycc_tpu.ccwfn(wfn, storage="blocked")
+        ecc = cc.solve_cc(1e-12, 1e-12)
+    assert abs(ecc - -0.222029814166783) < 1e-11
+
+
+def test_blocked_matches_dense_cc3_and_fused():
+    wfn = scf("H2O", "cc-pvdz", freeze_core=True)
+    with contextlib.redirect_stdout(io.StringIO()):
+        e_d = pycc_tpu.ccwfn(wfn, model="CC3").solve_cc(1e-12, 1e-12)
+        e_b = pycc_tpu.ccwfn(wfn, model="CC3",
+                             storage="blocked").solve_cc(1e-12, 1e-12)
+        e_f = pycc_tpu.ccwfn(wfn, storage="blocked").solve_cc_fused(1e-12,
+                                                                    1e-12)
+    assert abs(e_d - e_b) < 1e-13
+    assert abs(e_f - -0.222029814166783) < 1e-11
+
+
+def test_bad_storage_rejected():
+    wfn = scf("He", "cc-pvdz", freeze_core=False)
+    try:
+        pycc_tpu.ccwfn(wfn, storage="sparse")
+        assert False, "should have raised"
+    except Exception as e:
+        assert "sparse" in str(e)

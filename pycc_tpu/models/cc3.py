@@ -11,7 +11,7 @@ dot_general graphs under jit.
 import jax.numpy as jnp
 
 from ..ops.contract import contract
-from ..triples import t3_denom, t3c_full, _swap_ac, _swap_bc
+from ..triples import t3_denom, t3c_full, _swap_ac, _swap_bc, slab_layouts
 from .ccsd import build_Fme, residuals_ccsd, slices
 
 
@@ -267,12 +267,13 @@ def residuals_cc3_scan(F, ERI, L, t1, t2, no, real_time=False, F_ref=None):
     the T3 contributions to r1/r2 are accumulated one (i,j) occupied pair
     at a time with lax.fori_loop (cf. triples._t3c_slab_ij)."""
     import jax
-    from ..triples import _t3c_slab_ij
+    from ..triples import _t3c_slab_ij, slab_layouts
 
     o, v = slices(no)
     r1, r2 = residuals_ccsd(F, ERI, L, t1, t2, no)
     Fme = build_Fme(F, L, t1, no)
     Wmnij, Wmbij, Wmnie, Wamef, Wabei = cc3_intermediates(ERI, t1, no)
+    Wabei_o, Wmbij_t = slab_layouts(Wabei, Wmbij)
     eps = jnp.diagonal(F)
     eps_o, eps_v = eps[:no], eps[no:]
 
@@ -285,7 +286,7 @@ def residuals_cc3_scan(F, ERI, L, t1, t2, no, real_time=False, F_ref=None):
     def body(ij, carry):
         X1, X2 = carry
         i, j = ij // no, ij % no
-        t3 = _t3c_slab_ij(i, j, Wabei, Wmbij, t2, eps_o, eps_v)
+        t3 = _t3c_slab_ij(i, j, Wabei_o, Wmbij_t, t2, eps_o, eps_v)
         if real_time:
             # t3_pert slab (cctriples.t3_pert_ijk with i, j fixed)
             tmp = contract("ld,ad->al", Vov, t2[i, j])
@@ -375,9 +376,11 @@ def l3_slab(i, L4, l1, l2, Fov, Wvovv, Wooov, eps_o, eps_v):
     return l3 / denom
 
 
-def _cc3_t3_slab(i, F, Wabei, Wmbij, t2, eps_o, eps_v, real_time, F_ref, no):
+def _cc3_t3_slab(i, F, Wabei_o, Wmbij_t, t2, eps_o, eps_v, real_time,
+                 F_ref, no):
+    """Takes the occupied-major layouts from triples.slab_layouts."""
     from ..triples import _t3c_slab
-    t3 = _t3c_slab(i, Wabei, Wmbij, t2, eps_o, eps_v)
+    t3 = _t3c_slab(i, Wabei_o, Wmbij_t, t2, eps_o, eps_v)
     if real_time:
         o, v = slices(no)
         V = F - F_ref.astype(F.dtype)
@@ -400,6 +403,7 @@ def cc3_lambda_extra_scan(F, ERI, L, t1, t2, l1, l2, no, real_time=False,
     o, v = slices(no)
     Fov = build_Fme(F, L, t1, no)
     Wmnij, Wmbij, Wmnie, Wamef, Wabei = cc3_intermediates(ERI, t1, no)
+    Wabei_o, Wmbij_t = slab_layouts(Wabei, Wmbij)
     Wovov, Wovvo, Wvvvv = cc3_lambda_intermediates(ERI, t1, no)
     eps = jnp.diagonal(F)
     eps_o, eps_v = eps[:no], eps[no:]
@@ -410,7 +414,7 @@ def cc3_lambda_extra_scan(F, ERI, L, t1, t2, l1, l2, no, real_time=False,
     # --- t3-side accumulations (loop over l = leading index of t3)
     def body_t3(l, carry):
         Zmndi, Zmdfa, Znf = carry
-        t3 = _cc3_t3_slab(l, F, Wabei, Wmbij, t2, eps_o, eps_v,
+        t3 = _cc3_t3_slab(l, F, Wabei_o, Wmbij_t, t2, eps_o, eps_v,
                           real_time, F_ref, no)
         Zmndi += contract("mndef,pef->mndp", t3, Eo[:, l])
         Zmndi -= contract("mnfed,pef->mndp", t3, Lo[:, l])
@@ -440,8 +444,8 @@ def cc3_lambda_extra_scan(F, ERI, L, t1, t2, l1, l2, no, real_time=False,
         Zjlma += contract("pbc,ijcab->pija", t2[:, k], l3k)
         Zjlid1 += contract("pbc,ijcbd->pijd", t2[:, k], l3k)
         Zjlid2 += contract("pbc,ijcdb->pijd", t2[:, k], l3k)
-        Y2 += contract("ijdeb,eda->ijab", l3k, Wabei[:, :, :, k])
-        Y2 -= contract("ijdab,ldj->ilab", l3k, Wmbij[:, :, :, k])
+        Y2 += contract("ijdeb,eda->ijab", l3k, Wabei_o[k])
+        Y2 -= contract("ijdab,jld->ilab", l3k, Wmbij_t[:, k])
         return (Zbide, Zblad1, Zblad2, Zjlma, Zjlid1, Zjlid2, Y2)
 
     D = t2.dtype
@@ -473,6 +477,7 @@ def cc3_onepdm_scan(cc, t1, t2, l1, l2, real_time=False):
         F = F.astype(t1.dtype)
     Fov = build_Fme(F, L, t1, no)
     Wmnij, Wmbij, Wmnie, Wamef, Wabei = cc3_intermediates(ERI, t1, no)
+    Wabei_o, Wmbij_t = slab_layouts(Wabei, Wmbij)
     eps = jnp.diagonal(F)
     eps_o, eps_v = eps[:no], eps[no:]
     Lo = L[o, o, v, v]
@@ -480,7 +485,7 @@ def cc3_onepdm_scan(cc, t1, t2, l1, l2, real_time=False):
 
     def body(i, carry):
         Dov, Zlmdi, Doo, Dvv = carry
-        t3 = _cc3_t3_slab(i, F, Wabei, Wmbij, t2, eps_o, eps_v,
+        t3 = _cc3_t3_slab(i, F, Wabei_o, Wmbij_t, t2, eps_o, eps_v,
                           real_time, cc.H.F, no)
         l3 = l3_slab(i, Lo, l1, l2, Fov, Wamef, Wmnie, eps_o, eps_v)
         Zlmdi = Zlmdi.at[i].set(contract("jkdef,kpfe->jdp", l3, t2))

@@ -11,6 +11,8 @@ Lee/Rendell restricted-triple form) as mutually-agreeing oracles, mirroring
 the reference test strategy (test_005_ccsd_t_energy.py).
 """
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from .ops.contract import contract
@@ -325,23 +327,35 @@ def t3_lambda_sources(cc):
 # Memory-scalable (T): per-(i,j) T3 slabs (lax.fori_loop)
 # ---------------------------------------------------------------------------
 
-def _t3c_slab(i, Wvvvo, Wovoo, t2, eps_o, eps_v):
-    """t3[i] slab (j,k,a,b,c) for a fixed first occupied index."""
-    Wi = Wvvvo[:, :, :, i]
+def slab_layouts(Wvvvo, Wovoo):
+    """Occupied-major layouts for the slab builders: (i,b,a,e) and (j,k,m,c).
+
+    Dynamic-slicing the trailing (lane) axis of (v,v,v,o)/(o,v,o,o) tensors
+    inside a fori_loop is slow on TPU and crashes the XLA:TPU runtime at
+    (no,nv)=(32,128); one up-front transpose makes every per-(i,j) access a
+    major-axis slice."""
+    return jnp.transpose(Wvvvo, (3, 0, 1, 2)), jnp.transpose(Wovoo, (2, 3, 0, 1))
+
+
+def _t3c_slab(i, Wvvvo_o, Wovoo_t, t2, eps_o, eps_v):
+    """t3[i] slab (j,k,a,b,c) for a fixed first occupied index.
+
+    Takes the occupied-major layouts from `slab_layouts`."""
+    Wi = Wvvvo_o[i]
     t2i = t2[i]
     t2_i2 = t2[:, i]
     t3 = contract("bae,kjce->jkabc", Wi, t2)
     t3 += contract("cae,jkbe->jkabc", Wi, t2)
-    t3 += contract("acek,jbe->jkabc", Wvvvo, t2_i2)
-    t3 += contract("bcek,jae->jkabc", Wvvvo, t2i)
-    t3 += contract("cbej,kae->jkabc", Wvvvo, t2i)
-    t3 += contract("abej,kce->jkabc", Wvvvo, t2_i2)
-    t3 -= contract("mcjk,mab->jkabc", Wovoo, t2i)
-    t3 -= contract("mbkj,mac->jkabc", Wovoo, t2i)
-    t3 -= contract("mbj,kmca->jkabc", Wovoo[:, :, i, :], t2)
-    t3 -= contract("maj,kmcb->jkabc", Wovoo[:, :, :, i], t2)
-    t3 -= contract("mak,jmbc->jkabc", Wovoo[:, :, :, i], t2)
-    t3 -= contract("mck,jmba->jkabc", Wovoo[:, :, i, :], t2)
+    t3 += contract("kace,jbe->jkabc", Wvvvo_o, t2_i2)
+    t3 += contract("kbce,jae->jkabc", Wvvvo_o, t2i)
+    t3 += contract("jcbe,kae->jkabc", Wvvvo_o, t2i)
+    t3 += contract("jabe,kce->jkabc", Wvvvo_o, t2_i2)
+    t3 -= contract("jkmc,mab->jkabc", Wovoo_t, t2i)
+    t3 -= contract("kjmb,mac->jkabc", Wovoo_t, t2i)
+    t3 -= contract("jmb,kmca->jkabc", Wovoo_t[i], t2)
+    t3 -= contract("jma,kmcb->jkabc", Wovoo_t[:, i], t2)
+    t3 -= contract("kma,jmbc->jkabc", Wovoo_t[:, i], t2)
+    t3 -= contract("kmc,jmba->jkabc", Wovoo_t[i], t2)
     denom = (eps_o[i] + eps_o[:, None, None, None, None]
              + eps_o[None, :, None, None, None]
              - eps_v[None, None, :, None, None]
@@ -350,24 +364,25 @@ def _t3c_slab(i, Wvvvo, Wovoo, t2, eps_o, eps_v):
     return t3 / denom
 
 
-def _t3c_slab_ij(i, j, Wvvvo, Wovoo, t2, eps_o, eps_v):
+def _t3c_slab_ij(i, j, Wvvvo_o, Wovoo_t, t2, eps_o, eps_v):
     """t3[i, j] slab (k,a,b,c) for fixed first two occupied indices.
 
-    Working set O(no v^3) — the production tiling for large systems."""
-    Wi = Wvvvo[:, :, :, i]
-    Wj = Wvvvo[:, :, :, j]
+    Working set O(no v^3) — the production tiling for large systems.
+    Takes the occupied-major layouts from `slab_layouts`."""
+    Wi = Wvvvo_o[i]
+    Wj = Wvvvo_o[j]
     t3 = contract("bae,kce->kabc", Wi, t2[:, j])
     t3 += contract("cae,kbe->kabc", Wi, t2[j])
-    t3 += contract("acek,be->kabc", Wvvvo, t2[j, i])
-    t3 += contract("bcek,ae->kabc", Wvvvo, t2[i, j])
+    t3 += contract("kace,be->kabc", Wvvvo_o, t2[j, i])
+    t3 += contract("kbce,ae->kabc", Wvvvo_o, t2[i, j])
     t3 += contract("cbe,kae->kabc", Wj, t2[i])
     t3 += contract("abe,kce->kabc", Wj, t2[:, i])
-    t3 -= contract("mck,mab->kabc", Wovoo[:, :, j, :], t2[i])
-    t3 -= contract("mbk,mac->kabc", Wovoo[:, :, :, j], t2[i])
-    t3 -= contract("mb,kmca->kabc", Wovoo[:, :, i, j], t2)
-    t3 -= contract("ma,kmcb->kabc", Wovoo[:, :, j, i], t2)
-    t3 -= contract("mak,mbc->kabc", Wovoo[:, :, :, i], t2[j])
-    t3 -= contract("mck,mba->kabc", Wovoo[:, :, i, :], t2[j])
+    t3 -= contract("kmc,mab->kabc", Wovoo_t[j], t2[i])
+    t3 -= contract("kmb,mac->kabc", Wovoo_t[:, j], t2[i])
+    t3 -= contract("mb,kmca->kabc", Wovoo_t[i, j], t2)
+    t3 -= contract("ma,kmcb->kabc", Wovoo_t[j, i], t2)
+    t3 -= contract("kma,mbc->kabc", Wovoo_t[:, i], t2[j])
+    t3 -= contract("kmc,mba->kabc", Wovoo_t[i], t2[j])
     denom = (eps_o[i] + eps_o[j] + eps_o[:, None, None, None]
              - eps_v[None, :, None, None]
              - eps_v[None, None, :, None]
@@ -388,24 +403,24 @@ def t_vikings_scan(cc):
 
     @jax.jit
     def prep(F, ERI, L):
-        return (ERI[v, v, v, o], ERI[o, v, o, o], ERI[v, o, v, v],
+        Wvvvo_o, Wovoo_t = slab_layouts(ERI[v, v, v, o], ERI[o, v, o, o])
+        return (Wvvvo_o, Wovoo_t, ERI[v, o, v, v],
                 ERI[o, o, o, v], L[o, o, v, v], F[o, v], jnp.diagonal(F))
 
     Wvvvo, Wovoo, Evovv, Eooov, Loovv, Fov, eps = prep(F, ERI, L)
-    compute = jax.jit(t_vikings_scan_core, static_argnames="no")
-    return compute(Wvvvo, Wovoo, Evovv, Eooov, Loovv, Fov, eps, t1, t2, no=no)
+    return t_vikings_scan_core(Wvvvo, Wovoo, Evovv, Eooov, Loovv, Fov, eps,
+                               t1, t2, no)
 
 
-def t_vikings_scan_core(Wvvvo, Wovoo, Evovv, Eooov, Loovv, Fov, eps, t1, t2,
-                        no):
-    """Slice-fed (T) energy core: callable directly when the full ERI/L are
-    never materialized (sliced-H storage, probes)."""
+@partial(jax.jit, static_argnames="no")
+def _t_vikings_row(i, Wvvvo_o, Wovoo_t, Evovv, Eooov, Loovv, Fov, eps,
+                   t1, t2, no):
+    """One fixed-i row of the (T) energy: fori_loop over j."""
     eps_o, eps_v = eps[:no], eps[no:]
     t2w = 4.0 * t2 - 2.0 * t2.swapaxes(2, 3)
 
-    def body(ij, acc):
-        i, j = ij // no, ij % no
-        t3 = _t3c_slab_ij(i, j, Wvvvo, Wovoo, t2, eps_o, eps_v)
+    def body(j, acc):
+        t3 = _t3c_slab_ij(i, j, Wvvvo_o, Wovoo_t, t2, eps_o, eps_v)
         td = t3 - jnp.swapaxes(t3, 1, 3)
         T = 2.0 * t3 - jnp.swapaxes(t3, 2, 3) - jnp.swapaxes(t3, 1, 3)
         X1 = contract("kabc,kbc->a", td, Loovv[j])
@@ -417,8 +432,25 @@ def t_vikings_scan_core(Wvvvo, Wovoo, Evovv, Eooov, Loovv, Fov, eps, t1, t2,
         e -= contract("lab,lab->", t2w[i], X2l)
         return acc + e
 
-    return jax.lax.fori_loop(0, no * no, body,
-                             jnp.asarray(0.0, Fov.dtype))
+    return jax.lax.fori_loop(0, no, body, jnp.asarray(0.0, Fov.dtype))
+
+
+def t_vikings_scan_core(Wvvvo_o, Wovoo_t, Evovv, Eooov, Loovv, Fov, eps,
+                        t1, t2, no):
+    """Slice-fed (T) energy core: callable directly when the full ERI/L are
+    never materialized (sliced-H storage, probes).
+
+    One jitted device program per occupied row i (inner fori_loop over j):
+    a single no^2-trip program at (32,128) runs ~1 min in one dispatch,
+    which the axon TPU worker watchdog kills ("worker crashed/restarted").
+    The host-side i loop keeps each dispatch a few seconds with identical
+    arithmetic.  Do NOT wrap this function in jax.jit (that would unroll
+    the host loop back into one long program)."""
+    e = jnp.asarray(0.0, Fov.dtype)
+    for i in range(no):
+        e = e + _t_vikings_row(jnp.asarray(i), Wvvvo_o, Wovoo_t, Evovv,
+                               Eooov, Loovv, Fov, eps, t1, t2, no=no)
+    return e
 
 
 # ---------------------------------------------------------------------------
@@ -471,80 +503,182 @@ def t3_density_scan(cc):
 
     @jax.jit
     def prep(F, ERI, L):
-        return (ERI[v, v, v, o], ERI[o, v, o, o], ERI[v, o, v, v],
+        Wvvvo_o, Wovoo_t = slab_layouts(ERI[v, v, v, o], ERI[o, v, o, o])
+        return (Wvvvo_o, Wovoo_t, ERI[v, o, v, v],
                 ERI[o, o, o, v], ERI[o, v, v, v], ERI[o, o, v, v],
                 L[o, o, v, v], F[o, v], jnp.diagonal(F))
 
     (Wvvvo, Wovoo, Evovv, Eooov, Eovvv, Eoovv,
      Loovv, Fov, eps) = prep(F, ERI, L)
-    compute = jax.jit(t3_density_scan_core, static_argnames="no")
-    ET, Doo, Dvv, Dov, Goovv, Gooov, Gvvvo, S1, S2 = compute(
+    ET, Doo, Dvv, Dov, Goovv, Gooov, Gvvvo, S1, S2 = t3_density_scan_core(
         Wvvvo, Wovoo, Evovv, Eooov, Eovvv, Eoovv, Loovv, Fov, eps, t1, t2,
-        no=no)
+        no)
     cc.Doo_t3, cc.Dvv_t3, cc.Dov_t3 = Doo, Dvv, Dov
     cc.Goovv, cc.Gooov, cc.Gvvvo = Goovv, Gooov, Gvvvo
     cc.S1, cc.S2 = S1, S2
     return ET
 
 
-def t3_density_scan_core(Wvvvo, Wovoo, Evovv, Eooov, Eovvv, Eoovv,
+def _order_axes(order):
+    return (0,) + tuple(1 + "abc".index(c) for c in order)
+
+
+def _view_labels(axes, base="abc"):
+    """einsum labels L such that using transpose(s, axes) labeled "k"+base
+    is the same as using s labeled "k"+L (labels permuted, no copy)."""
+    return "".join(base[axes.index(n) - 1] for n in (1, 2, 3))
+
+
+# X3 combination (8 - 4 P_ab - 4 P_bc - 4 P_ac + 2 P_cab + 2 P_bca)
+_X3_TERMS = ((8.0, "abc"), (-4.0, "bac"), (-4.0, "acb"), (-4.0, "cba"),
+             (2.0, "cab"), (2.0, "bca"))
+
+
+@partial(jax.jit, static_argnames="no")
+def _t3_density_row_mn(i, acc, Wvvvo_o, Wovoo_t, Evovv, Eooov, Eoovv,
+                       Loovv, Fov, eps, t1, t2, no):
+    """Row program 1: M/N-direct accumulations (X2, Dvv, Dov, Goovv, S1).
+
+    The (T)-density row is split into three jitted programs per occupied
+    row because every distinct operand permutation materializes a slab-size
+    layout copy on TPU; one combined program holds ~60 such 256 MB copies
+    live at (32,128) and OOMs a 16 GB chip.  Rebuilding the (cheap) M/N
+    slabs per program trades ~3x slab-build flops for a ~4 GB peak."""
+    eps_o, eps_v = eps[:no], eps[no:]
+    tt = 4.0 * t2 - 2.0 * t2.swapaxes(2, 3)
+
+    def lab(order, base="abc"):
+        return _view_labels(_order_axes(order), base)
+
+    def body(j, acc):
+        (X2, Dvv, Dov, Goovv, S1) = acc
+        M = _t3c_slab_ij(i, j, Wvvvo_o, Wovoo_t, t2, eps_o, eps_v)
+        N = _t3d_slab_ij(i, j, t1, t2, Eoovv, Fov, eps_o, eps_v)
+        MN = M + N
+
+        # Md = M - M^{a<->c};  T = 2M - M^{b<->c} - M^{a<->c}  (relabeled)
+        x2ij = contract("kabc,kc->ab", M, Fov)
+        x2ij -= contract("k" + lab("cba") + ",kc->ab", M, Fov)
+        for c_, o_ in ((2.0, "abc"), (-1.0, "acb"), (-1.0, "cba")):
+            x2ij += c_ * contract("k" + lab(o_) + ",dkbc->ad", M, Evovv)
+            X2 = X2.at[i].add(
+                -c_ * contract("k" + lab(o_) + ",klc->lab", M, Eooov[j]))
+        X2 = X2.at[i, j].add(x2ij)
+
+        # Dvv = 0.5 M . (X3+Y3)(MN): distribute the 6 permutations
+        for c_, o_ in _X3_TERMS:
+            Dvv = Dvv + (0.5 * c_) * contract(
+                "kacd,k" + lab(o_, "bcd") + "->ab", M, MN)
+
+        Dov = Dov.at[i].add(contract("kabc,kbc->a", M, tt[j])
+                            - contract("k" + lab("cba") + ",kbc->a",
+                                       M, tt[j]))
+
+        # Z3 = 2M - 2 M^{b<->c} - M^{a<->b} + M^{bca}
+        g = 2.0 * contract("kabc,kc->ab", M, t1)
+        g -= 2.0 * contract("k" + lab("acb") + ",kc->ab", M, t1)
+        g -= contract("k" + lab("bac") + ",kc->ab", M, t1)
+        g += contract("k" + lab("bca") + ",kc->ab", M, t1)
+        Goovv = Goovv.at[i, j].add(4.0 * g)
+
+        S1 = S1.at[i].add(2.0 * (contract("kabc,kbc->a", M, Loovv[j])
+                                 - contract("k" + lab("bac") + ",kbc->a",
+                                            M, Loovv[j])))
+        return (X2, Dvv, Dov, Goovv, S1)
+
+    return jax.lax.fori_loop(0, no, body, acc)
+
+
+@partial(jax.jit, static_argnames="no")
+def _t3_density_row_w(i, acc, Wvvvo_o, Wovoo_t, Evovv, Eooov, Eovvv, Eoovv,
+                      Loovv, Fov, eps, t1, t2, no):
+    """Row program 2: W = (2 X3 + Y3)-based accumulations (Gooov, Gvvvo,
+    S2)."""
+    eps_o, eps_v = eps[:no], eps[no:]
+
+    def lab(order, base="abc"):
+        return _view_labels(_order_axes(order), base)
+
+    def body(j, acc):
+        (Gooov, Gvvvo_t, S2) = acc
+        M = _t3c_slab_ij(i, j, Wvvvo_o, Wovoo_t, t2, eps_o, eps_v)
+        N = _t3d_slab_ij(i, j, t1, t2, Eoovv, Fov, eps_o, eps_v)
+        P = 2.0 * M + N
+        # W = X3(P) is never materialized: distribute the 6 permutations
+        # into each consumer (a 256 MB layout copy per distinct perm beats
+        # holding W plus its build chain live)
+        g_la = 0.0
+        g_abd = 0.0
+        s_lab = 0.0
+        s_ad = 0.0
+        for c_, o_ in _X3_TERMS:
+            pl = "k" + lab(o_)
+            g_la += c_ * contract(pl + ",lkbc->la", P, t2)
+            g_abd += c_ * contract(pl + ",kcd->abd", P, t2[:, i])
+            s_lab += c_ * contract(pl + ",klc->lab", P, Eooov[j])
+            s_ad += c_ * contract(pl + ",kdcb->ad", P, Eovvv)
+        Gooov = Gooov.at[j, i].add(-g_la)
+        Gvvvo_t = Gvvvo_t.at[j].add(g_abd)
+        S2 = S2.at[i].add(-s_lab)
+        S2 = S2.at[i, j].add(s_ad)
+        return (Gooov, Gvvvo_t, S2)
+
+    return jax.lax.fori_loop(0, no, body, acc)
+
+
+@partial(jax.jit, static_argnames="no")
+def _t3_density_row_doo(i, Doo, Wvvvo_o, Wovoo_t, Eoovv, Fov, eps, t1, t2,
+                        no):
+    """Row program 3: Doo via the occupied-permutation label cycle."""
+    eps_o, eps_v = eps[:no], eps[no:]
+    cyc = (0, 3, 1, 2)  # A[x,a,b,c] = M[x,b,c,a]
+    a_lab = "i" + _view_labels(cyc)
+
+    def body(j, Doo):
+        M = _t3c_slab_ij(i, j, Wvvvo_o, Wovoo_t, t2, eps_o, eps_v)
+        N = _t3d_slab_ij(i, j, t1, t2, Eoovv, Fov, eps_o, eps_v)
+        MN = M + N
+        for c_, o_ in _X3_TERMS:
+            comb = tuple(cyc[k] for k in _order_axes(o_))
+            Doo = Doo - (0.5 * c_) * contract(
+                a_lab + ",j" + _view_labels(comb) + "->ij", M, MN)
+        return Doo
+
+    return jax.lax.fori_loop(0, no, body, Doo)
+
+
+def t3_density_scan_core(Wvvvo_o, Wovoo_t, Evovv, Eooov, Eovvv, Eoovv,
                          Loovv, Fov, eps, t1, t2, no):
     """Slice-fed (T)-density core: returns (ET, Doo, Dvv, Dov, Goovv,
     Gooov, Gvvvo, S1, S2); callable directly when the full ERI/L are never
-    materialized (sliced-H storage, probes)."""
-    if True:
-        nv = Fov.shape[1]
-        eps_o, eps_v = eps[:no], eps[no:]
-        tt = 4.0 * t2 - 2.0 * t2.swapaxes(2, 3)
-        dt = Fov.dtype
-        zeros = jnp.zeros
+    materialized (sliced-H storage, probes).
 
-        def body(ij, acc):
-            (X2, Doo, Dvv, Dov, Goovv, Gooov, Gvvvo, S1, S2) = acc
-            i, j = ij // no, ij % no
-            M = _t3c_slab_ij(i, j, Wvvvo, Wovoo, t2, eps_o, eps_v)
-            N = _t3d_slab_ij(i, j, t1, t2, Eoovv, Fov, eps_o, eps_v)
-            XY = _X3_v_slab(M) + _X3_v_slab(N)      # (X3 + Y3)[i,j] slab
-            W = _X3_v_slab(2.0 * M + N)             # (2 X3 + Y3)[i,j] slab
-            Md = M - _perm_v_slab(M, "cba")         # M - M^{a<->c}
-            T = 2.0 * M - _perm_v_slab(M, "acb") - _perm_v_slab(M, "cba")
-
-            X2 = X2.at[i, j].add(contract("kabc,kc->ab", Md, Fov)
-                                 + contract("kabc,dkbc->ad", T, Evovv))
-            X2 = X2.at[i].add(-contract("kabc,klc->lab", T, Eooov[j]))
-
-            Dvv = Dvv + 0.5 * contract("kacd,kbcd->ab", M, XY)
-            Dov = Dov.at[i].add(contract("kabc,kbc->a", Md, tt[j]))
-
-            Z3 = (2.0 * M - 2.0 * _perm_v_slab(M, "acb")
-                  - _perm_v_slab(M, "bac") + _perm_v_slab(M, "bca"))
-            Goovv = Goovv.at[i, j].add(4.0 * contract("kabc,kc->ab", Z3, t1))
-            Gooov = Gooov.at[j, i].add(-contract("kabc,lkbc->la", W, t2))
-            Gvvvo = Gvvvo.at[:, :, :, j].add(
-                contract("kabc,kcd->abd", W, t2[:, i]))
-
-            S1 = S1.at[i].add(2.0 * contract("kabc,kbc->a",
-                                             M - _perm_v_slab(M, "bac"),
-                                             Loovv[j]))
-            S2 = S2.at[i].add(-contract("kabc,klc->lab", W, Eooov[j]))
-            S2 = S2.at[i, j].add(contract("kabc,kdcb->ad", W, Eovvv))
-
-            # Doo: treat this pair as the two SUMMED occupied indices (p,q).
-            # A[x] = M[x,p,q] = slab[x] with virtual axes cycled (b,c,a).
-            A = jnp.transpose(M, (0, 3, 1, 2))
-            B = _X3_v_slab(A) + _X3_v_slab(jnp.transpose(N, (0, 3, 1, 2)))
-            Doo = Doo - 0.5 * contract("iabc,jabc->ij", A, B)
-
-            return (X2, Doo, Dvv, Dov, Goovv, Gooov, Gvvvo, S1, S2)
-
-        acc0 = (zeros((no, no, nv, nv), dt), zeros((no, no), dt),
-                zeros((nv, nv), dt), zeros((no, nv), dt),
-                zeros((no, no, nv, nv), dt), zeros((no, no, no, nv), dt),
-                zeros((nv, nv, nv, no), dt), zeros((no, nv), dt),
-                zeros((no, no, nv, nv), dt))
-        (X2, Doo, Dvv, Dov, Goovv, Gooov, Gvvvo, S1, S2) = \
-            jax.lax.fori_loop(0, no * no, body, acc0)
-        S2 = S2 + S2.transpose(1, 0, 3, 2)
-        ET = contract("ia,ia->", t1, S1)
-        ET += contract("ijab,ijab->", tt, X2)
-        return ET, Doo, Dvv, Dov, Goovv, Gooov, Gvvvo, S1, S2
+    Host loop over i with one jitted device program per row (see
+    t_vikings_scan_core for why: the axon TPU watchdog kills minute-long
+    single dispatches).  Do NOT wrap in jax.jit."""
+    nv = Fov.shape[1]
+    dt = Fov.dtype
+    zeros = jnp.zeros
+    acc1 = (zeros((no, no, nv, nv), dt), zeros((nv, nv), dt),
+            zeros((no, nv), dt), zeros((no, no, nv, nv), dt),
+            zeros((no, nv), dt))
+    acc2 = (zeros((no, no, no, nv), dt), zeros((no, nv, nv, nv), dt),
+            zeros((no, no, nv, nv), dt))
+    Doo = zeros((no, no), dt)
+    for i in range(no):
+        ii = jnp.asarray(i)
+        acc1 = _t3_density_row_mn(ii, acc1, Wvvvo_o, Wovoo_t, Evovv, Eooov,
+                                  Eoovv, Loovv, Fov, eps, t1, t2, no=no)
+        acc2 = _t3_density_row_w(ii, acc2, Wvvvo_o, Wovoo_t, Evovv, Eooov,
+                                 Eovvv, Eoovv, Loovv, Fov, eps, t1, t2,
+                                 no=no)
+        Doo = _t3_density_row_doo(ii, Doo, Wvvvo_o, Wovoo_t, Eoovv, Fov,
+                                  eps, t1, t2, no=no)
+    (X2, Dvv, Dov, Goovv, S1) = acc1
+    (Gooov, Gvvvo_t, S2) = acc2
+    Gvvvo = jnp.transpose(Gvvvo_t, (1, 2, 3, 0))
+    tt = 4.0 * t2 - 2.0 * t2.swapaxes(2, 3)
+    S2 = S2 + S2.transpose(1, 0, 3, 2)
+    ET = contract("ia,ia->", t1, S1)
+    ET += contract("ijab,ijab->", tt, X2)
+    return ET, Doo, Dvv, Dov, Goovv, Gooov, Gvvvo, S1, S2

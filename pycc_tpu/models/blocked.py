@@ -132,3 +132,18 @@ class BlockedL:
 def blocked_views(blocks, no):
     """(ERI-like, L-like) views over an ERIBlocks; build inside jit."""
     return BlockedERI(blocks, no), BlockedL(blocks, no)
+
+
+class LoovvOnly:
+    """Minimal L stand-in for the energy functions (they read only
+    L[o,o,v,v]): lets a mixed-precision step evaluate the energy in f32
+    while the residual contractions run from bf16 blocks."""
+
+    def __init__(self, Loovv, no):
+        self.Loovv = Loovv
+        self.no = no
+
+    def __getitem__(self, key):
+        if _pattern_of(key, self.no) != "oovv":
+            raise KeyError("LoovvOnly holds only the oovv block")
+        return self.Loovv

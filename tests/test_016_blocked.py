@@ -58,3 +58,37 @@ def test_bad_storage_rejected():
         assert False, "should have raised"
     except Exception as e:
         assert "sparse" in str(e)
+
+
+def test_bf16_gated_solve():
+    """bf16 residual gating (solve_cc(bf16_until=...)): early iterations
+    contract from bfloat16 blocks, full precision after the gate; the fixed
+    point equals the frozen oracle."""
+    wfn = scf("H2O", "sto-3g", freeze_core=True)
+    with contextlib.redirect_stdout(io.StringIO()):
+        cc = pycc_tpu.ccwfn(wfn, storage="blocked")
+        ecc = cc.solve_cc(1e-12, 1e-12, bf16_until=1e-3)
+    assert abs(ecc - -0.070616830152761) < 1e-11
+
+
+def test_bf16_requires_blocked():
+    wfn = scf("He", "cc-pvdz", freeze_core=False)
+    with contextlib.redirect_stdout(io.StringIO()):
+        cc = pycc_tpu.ccwfn(wfn)
+    try:
+        cc.solve_cc(1e-8, 1e-8, bf16_until=1e-3)
+        assert False, "should have raised"
+    except Exception as e:
+        assert "blocked" in str(e)
+
+
+def test_bf16_noise_floor_guard():
+    """A pathological bf16_until below the bf16 noise floor must not
+    diverge: the guard rolls back and finishes in full precision."""
+    wfn = scf("H2O", "sto-3g", freeze_core=True)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cc = pycc_tpu.ccwfn(wfn, storage="blocked")
+        ecc = cc.solve_cc(1e-12, 1e-12, bf16_until=1e-14)
+    assert abs(ecc - -0.070616830152761) < 1e-11
+    assert "noise floor" in buf.getvalue()

@@ -108,7 +108,9 @@ class ccwfn:
             self.C = C_act
             self.H = build_hamiltonian(scf_wfn, C=C_act)
         else:
-            self.H = build_hamiltonian(scf_wfn)
+            # blocked storage keeps the dense nact^4 tensors on the host;
+            # only the six Dirac blocks are shipped to the device below
+            self.H = build_hamiltonian(scf_wfn, host=(storage == "blocked"))
         if precision == "SP":
             self.H = Hamiltonian(F=self.H.F.astype(dtype),
                                  ERI=self.H.ERI.astype(dtype),
@@ -154,8 +156,10 @@ class ccwfn:
                                         F_ref=self.H.F)
 
         if self.storage == "blocked":
-            from .models.blocked import blocks_from_full
-            self.blocks = blocks_from_full(self.H.ERI, self.no)
+            from .models.blocked import ERIBlocks, blocks_from_full
+            blocks_np = blocks_from_full(np.asarray(self.H.ERI), self.no)
+            self.blocks = ERIBlocks(*(jnp.asarray(b, dtype=dtype)
+                                      for b in blocks_np))
 
         print("CCWFN object initialized in %.3f seconds." % (time.time() - time_init))
 
@@ -173,6 +177,11 @@ class ccwfn:
 
     def cc_energy(self, t1, t2, F=None):
         F = self.H.F if F is None else F
+        if self.storage == "blocked":
+            # avoid staging the full host-side L through the device
+            from .models.blocked import blocked_views
+            _, bL = blocked_views(self.blocks, self.no)
+            return self._energy_fn(jnp.asarray(F), bL, t1, t2, self.no)
         return self._energy_fn(F, self.H.L, t1, t2, self.no)
 
     # ------------------------------------------------------------------

@@ -54,13 +54,19 @@ def _mo_eri_dirac(ERI_ao, C):
     return t.swapaxes(1, 2)  # <pq|rs>
 
 
-def build_hamiltonian(wfn, C=None, dtype=jnp.float64):
+def build_hamiltonian(wfn, C=None, dtype=jnp.float64, host=False):
     """Build the active-space Hamiltonian pytree from an SCF wavefunction.
 
     `wfn` is a pycc_tpu.scf.RHFWavefunction (or anything with the same
     Psi4-style accessors).  Property integrals are computed from the basis.
     `C` optionally overrides the active MO coefficients (e.g. localized
     occupied orbitals).
+
+    host=True keeps F/ERI/L as host (numpy) arrays so nothing nact^4-sized
+    is committed to the accelerator: used by ccwfn(storage='blocked'),
+    which ships only the six unique Dirac blocks to the device.  Consumers
+    that do touch the dense tensors (HBAR, full-tensor triples) then pay a
+    per-call host->device transfer.
     """
     from .scf import integrals as ints
 
@@ -80,6 +86,10 @@ def build_hamiltonian(wfn, C=None, dtype=jnp.float64):
     Q = tuple(jnp.asarray(C.T @ M @ C, dtype=dtype) for M in ints.traceless_quadrupole(basis))
 
     no = wfn.doccpi()[0] - wfn.frzcpi()[0]
+    if host:
+        as_np = np.float64 if dtype == jnp.float64 else np.float32
+        return Hamiltonian(F=F.astype(as_np), ERI=ERI.astype(as_np),
+                           L=L.astype(as_np), mu=mu, m=m, p=p, Q=Q, no=no)
     return Hamiltonian(F=jnp.asarray(F, dtype=dtype),
                        ERI=jnp.asarray(ERI, dtype=dtype),
                        L=jnp.asarray(L, dtype=dtype),

@@ -231,7 +231,10 @@ def cc3_lambda_extra(F, ERI, L, t1, t2, l1, l2, no, real_time=False,
 def cc3_onepdm(cc, t1, t2, l1, l2, real_time=False):
     from ..ccdensity import onepdm
     no, nv, nact = cc.no, cc.nv, cc.nact
-    F, ERI, L = cc.H.F, cc.H.ERI, cc.H.L
+    # jnp conversion up front: under storage='blocked' the dense
+    # Hamiltonian tensors live host-side as numpy arrays
+    F, ERI, L = (jnp.asarray(cc.H.F), jnp.asarray(cc.H.ERI),
+                 jnp.asarray(cc.H.L))
     o, v = slices(no)
 
     if jnp.iscomplexobj(t1):
@@ -471,7 +474,10 @@ def cc3_onepdm_scan(cc, t1, t2, l1, l2, real_time=False):
     import jax
     from ..ccdensity import onepdm
     no, nv, nact = cc.no, cc.nv, cc.nact
-    F, ERI, L = cc.H.F, cc.H.ERI, cc.H.L
+    # jnp conversion up front: under storage='blocked' the dense
+    # Hamiltonian tensors live host-side as numpy arrays
+    F, ERI, L = (jnp.asarray(cc.H.F), jnp.asarray(cc.H.ERI),
+                 jnp.asarray(cc.H.L))
     o, v = slices(no)
     if jnp.iscomplexobj(t1):
         F = F.astype(t1.dtype)

@@ -96,7 +96,10 @@ def _vikings_X(F, ERI, L, t2, t3, no):
 def t_vikings(cc):
     """Occupied-driven (T) energy (cctriples.py:156-186), fully batched."""
     no = cc.no
-    F, ERI, L = cc.H.F, cc.H.ERI, cc.H.L
+    # jnp conversion up front: under storage='blocked' the dense
+    # Hamiltonian tensors live host-side as numpy arrays
+    F, ERI, L = (jnp.asarray(cc.H.F), jnp.asarray(cc.H.ERI),
+                 jnp.asarray(cc.H.L))
     t1, t2 = cc.t1, cc.t2
 
     @jax.jit
@@ -116,7 +119,10 @@ def t_vikings_inverted(cc):
     in a lax.scan over the virtual index — a genuinely different reduction
     order, used as a numerical cross-check."""
     no = cc.no
-    F, ERI, L = cc.H.F, cc.H.ERI, cc.H.L
+    # jnp conversion up front: under storage='blocked' the dense
+    # Hamiltonian tensors live host-side as numpy arrays
+    F, ERI, L = (jnp.asarray(cc.H.F), jnp.asarray(cc.H.ERI),
+                 jnp.asarray(cc.H.L))
     t1, t2 = cc.t1, cc.t2
 
     @jax.jit
@@ -149,7 +155,7 @@ def t_tjl(cc):
     per-triple a,b,c loops replaced by masked whole-block arithmetic and the
     (i>=j>=k) loop by a vmap over the packed triangle."""
     no, nv = cc.no, cc.nv
-    F, ERI = cc.H.F, cc.H.ERI
+    F, ERI = jnp.asarray(cc.H.F), jnp.asarray(cc.H.ERI)
     t1, t2 = cc.t1, cc.t2
     o, v = _slices(no)
 
@@ -257,7 +263,10 @@ def t3_density(cc):
     2-pdm blocks Goovv/Gooov/Gvvvo; returns the (T) energy.  Results are
     cached on the ccwfn object for ccdensity/cclambda."""
     no = cc.no
-    F, ERI, L = cc.H.F, cc.H.ERI, cc.H.L
+    # jnp conversion up front: under storage='blocked' the dense
+    # Hamiltonian tensors live host-side as numpy arrays
+    F, ERI, L = (jnp.asarray(cc.H.F), jnp.asarray(cc.H.ERI),
+                 jnp.asarray(cc.H.L))
     t1, t2 = cc.t1, cc.t2
 
     @jax.jit
@@ -397,17 +406,35 @@ def t_vikings_scan(cc):
     slices it needs (not the full nact^4 ERI/L), keeping HBM pressure to
     the slices + one slab."""
     no = cc.no
-    F, ERI, L = cc.H.F, cc.H.ERI, cc.H.L
     t1, t2 = cc.t1, cc.t2
     o, v = _slices(no)
 
-    @jax.jit
-    def prep(F, ERI, L):
-        Wvvvo_o, Wovoo_t = slab_layouts(ERI[v, v, v, o], ERI[o, v, o, o])
-        return (Wvvvo_o, Wovoo_t, ERI[v, o, v, v],
-                ERI[o, o, o, v], L[o, o, v, v], F[o, v], jnp.diagonal(F))
+    if getattr(cc, "storage", "full") == "blocked":
+        # source every slice from the six Dirac blocks: nothing nact^4
+        # ever reaches the device
+        from .models.blocked import blocked_views
 
-    Wvvvo, Wovoo, Evovv, Eooov, Loovv, Fov, eps = prep(F, ERI, L)
+        @jax.jit
+        def prep_b(F, blocks):
+            ERI, L = blocked_views(blocks, no)
+            Wvvvo_o, Wovoo_t = slab_layouts(ERI[v, v, v, o],
+                                            ERI[o, v, o, o])
+            return (Wvvvo_o, Wovoo_t, ERI[v, o, v, v], ERI[o, o, o, v],
+                    L[o, o, v, v], F[o, v], jnp.diagonal(F))
+
+        (Wvvvo, Wovoo, Evovv, Eooov,
+         Loovv, Fov, eps) = prep_b(jnp.asarray(cc.H.F), cc.blocks)
+    else:
+        @jax.jit
+        def prep(F, ERI, L):
+            Wvvvo_o, Wovoo_t = slab_layouts(ERI[v, v, v, o],
+                                            ERI[o, v, o, o])
+            return (Wvvvo_o, Wovoo_t, ERI[v, o, v, v],
+                    ERI[o, o, o, v], L[o, o, v, v], F[o, v],
+                    jnp.diagonal(F))
+
+        (Wvvvo, Wovoo, Evovv, Eooov,
+         Loovv, Fov, eps) = prep(cc.H.F, cc.H.ERI, cc.H.L)
     return t_vikings_scan_core(Wvvvo, Wovoo, Evovv, Eooov, Loovv, Fov, eps,
                                t1, t2, no)
 
@@ -497,19 +524,34 @@ def t3_density_scan(cc):
     (p,q)-slab already in registers.  Results are cached on the ccwfn
     object for ccdensity/cclambda, as in the full-tensor path."""
     no = cc.no
-    F, ERI, L = cc.H.F, cc.H.ERI, cc.H.L
     t1, t2 = cc.t1, cc.t2
     o, v = _slices(no)
 
-    @jax.jit
-    def prep(F, ERI, L):
-        Wvvvo_o, Wovoo_t = slab_layouts(ERI[v, v, v, o], ERI[o, v, o, o])
-        return (Wvvvo_o, Wovoo_t, ERI[v, o, v, v],
-                ERI[o, o, o, v], ERI[o, v, v, v], ERI[o, o, v, v],
-                L[o, o, v, v], F[o, v], jnp.diagonal(F))
+    if getattr(cc, "storage", "full") == "blocked":
+        from .models.blocked import blocked_views
 
-    (Wvvvo, Wovoo, Evovv, Eooov, Eovvv, Eoovv,
-     Loovv, Fov, eps) = prep(F, ERI, L)
+        @jax.jit
+        def prep_b(F, blocks):
+            ERI, L = blocked_views(blocks, no)
+            Wvvvo_o, Wovoo_t = slab_layouts(ERI[v, v, v, o],
+                                            ERI[o, v, o, o])
+            return (Wvvvo_o, Wovoo_t, ERI[v, o, v, v], ERI[o, o, o, v],
+                    ERI[o, v, v, v], ERI[o, o, v, v], L[o, o, v, v],
+                    F[o, v], jnp.diagonal(F))
+
+        (Wvvvo, Wovoo, Evovv, Eooov, Eovvv, Eoovv,
+         Loovv, Fov, eps) = prep_b(jnp.asarray(cc.H.F), cc.blocks)
+    else:
+        @jax.jit
+        def prep(F, ERI, L):
+            Wvvvo_o, Wovoo_t = slab_layouts(ERI[v, v, v, o],
+                                            ERI[o, v, o, o])
+            return (Wvvvo_o, Wovoo_t, ERI[v, o, v, v],
+                    ERI[o, o, o, v], ERI[o, v, v, v], ERI[o, o, v, v],
+                    L[o, o, v, v], F[o, v], jnp.diagonal(F))
+
+        (Wvvvo, Wovoo, Evovv, Eooov, Eovvv, Eoovv,
+         Loovv, Fov, eps) = prep(cc.H.F, cc.H.ERI, cc.H.L)
     ET, Doo, Dvv, Dov, Goovv, Gooov, Gvvvo, S1, S2 = t3_density_scan_core(
         Wvvvo, Wovoo, Evovv, Eooov, Eovvv, Eoovv, Loovv, Fov, eps, t1, t2,
         no)

@@ -146,14 +146,24 @@ class ccwfn:
 
         self._residual_fn = _RESIDUALS.get(self.model)
         self._energy_fn = _ENERGY[self.model]
+        self._host_residual_fn = None
         if self.model == "CC3":
-            from .models.cc3 import residuals_cc3, residuals_cc3_scan
+            from .models.cc3 import (residuals_cc3, residuals_cc3_rows,
+                                     residuals_cc3_scan)
             # pick the occupied-slab T3 path when the full (no^3 nv^3)
             # tensor would be large
             big = (self.no ** 3) * (self.nv ** 3) > 2e8
             fn = residuals_cc3_scan if big else residuals_cc3
             self._residual_fn = partial(fn, real_time=self.real_time,
                                         F_ref=self.H.F)
+            # host-orchestrated per-row residual for solve_cc: required on
+            # the remote TPU at big sizes (minute-long single dispatches
+            # are killed); t3_scan=True/False forces it on/off
+            use_rows = big if self.t3_scan is None else bool(self.t3_scan)
+            if use_rows:
+                self._host_residual_fn = partial(
+                    residuals_cc3_rows, real_time=self.real_time,
+                    F_ref=self.H.F)
 
         if self.storage == "blocked":
             from .models.blocked import ERIBlocks, blocks_from_full
@@ -209,6 +219,29 @@ class ccwfn:
 
         diis = DIIS((self.t1, self.t2), max_diis=max(max_diis, 1))
         blocked = self.storage == "blocked"
+        host_res = None if use_filter else self._host_residual_fn
+        if host_res is not None:
+            from .models.blocked import LoovvOnly
+            o_, v_ = self.o, self.v
+            Loovv_f = jnp.asarray(np.asarray(self.H.L)[o_, o_, v_, v_])
+
+            @jax.jit
+            def apply_update(F, Loovv, Dia, Dijab, t1, t2, r1, r2, state,
+                             do_extrap):
+                inc1 = r1 / Dia
+                inc2 = r2 / Dijab
+                t1n = t1 + inc1
+                t2n = t2 + inc2
+                rms = jnp.sqrt(jnp.sum(jnp.abs(inc1) ** 2)
+                               + jnp.sum(jnp.abs(inc2) ** 2))
+                ecc = energy_fn(F, LoovvOnly(Loovv, no), t1n, t2n, no)
+                state = diis.push(state, (t1n, t2n), (t1, t2))
+                t1e, t2e = jax.lax.cond(
+                    do_extrap,
+                    lambda s: diis.extrapolate(s, (t1n, t2n)),
+                    lambda s: (t1n, t2n),
+                    state)
+                return t1n, t2n, t1e, t2e, state, ecc, rms
         use_bf16 = (bf16_until > 0 and blocked and not use_filter
                     and self.model != "CC3")
         if bf16_until > 0 and not use_bf16:
@@ -296,7 +329,17 @@ class ccwfn:
                           % (niter, rms))
                     bf16_active = False
                     rms, t1, t2, state = prev
-            if not bf16_active:
+            if not bf16_active and host_res is not None:
+                Fj = jnp.asarray(H.F)
+                if blocked:
+                    r1, r2 = host_res(Fj, None, None, t1, t2, no,
+                                      blocks=self.blocks)
+                else:
+                    r1, r2 = host_res(Fj, H.ERI, H.L, t1, t2, no)
+                t1n, t2n, t1, t2, state, ecc_j, rms = apply_update(
+                    Fj, Loovv_f, Dia, Dijab, t1, t2, r1, r2, state,
+                    jnp.asarray(do_ext))
+            elif not bf16_active:
                 ERIa, La = self._solver_H()
                 t1n, t2n, t1, t2, state, ecc_j, rms = step(
                     H.F, ERIa, La, Dia, Dijab, t1, t2, state,

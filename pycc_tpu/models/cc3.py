@@ -316,6 +316,97 @@ def residuals_cc3_scan(F, ERI, L, t1, t2, no, real_time=False, F_ref=None):
     return r1, r2
 
 
+def cc3_scan_prep(F, ERI, L, t1, t2, no, real_time=False, F_ref=None):
+    """CCSD residual part + T1-dressed intermediates for the row-scan CC3
+    residual (jit this; everything returned is at most O(o v^3))."""
+    o, v = slices(no)
+    r1, r2 = residuals_ccsd(F, ERI, L, t1, t2, no)
+    Fme = build_Fme(F, L, t1, no)
+    from ..triples import slab_layouts
+    Wmnij, Wmbij, Wmnie, Wamef, Wabei = cc3_intermediates(ERI, t1, no)
+    Wabei_o, Wmbij_t = slab_layouts(Wabei, Wmbij)
+    eps = jnp.diagonal(F)
+    if real_time:
+        Vov = (F - F_ref.astype(F.dtype))[o, v]
+    else:
+        Vov = jnp.zeros_like(F[o, v])
+    return r1, r2, Fme, Wamef, Wmnie, Wabei_o, Wmbij_t, eps, L[o, o, v, v], Vov
+
+
+def _cc3_row_xs(i, carry, Wabei_o, Wmbij_t, t2, eps, Lo, Fme, Wamef, Wmnie,
+                Vov, no, real_time):
+    """T3 contributions to X1/X2 from one occupied row i (fori over j)."""
+    from ..triples import _t3c_slab_ij
+    import jax
+    eps_o, eps_v = eps[:no], eps[no:]
+
+    def body(j, carry):
+        X1, X2 = carry
+        t3 = _t3c_slab_ij(i, j, Wabei_o, Wmbij_t, t2, eps_o, eps_v)
+        if real_time:
+            tmp = contract("ld,ad->al", Vov, t2[i, j])
+            t3p = contract("al,klcb->kabc", tmp, t2)
+            denom = (eps_o[i] + eps_o[j] + eps_o[:, None, None, None]
+                     - eps_v[None, :, None, None]
+                     - eps_v[None, None, :, None]
+                     - eps_v[None, None, None, :])
+            t3 = t3 - t3p / denom
+        td = t3 - jnp.swapaxes(t3, 1, 3)
+        T = 2.0 * t3 - jnp.swapaxes(t3, 2, 3) - jnp.swapaxes(t3, 1, 3)
+        X1 = X1.at[i].add(contract("kabc,kbc->a", td, Lo[j]))
+        X2_ij = contract("kabc,kc->ab", td, Fme)
+        X2_ij += contract("kabc,dkbc->ad", T, Wamef)
+        X2 = X2.at[i, j].add(X2_ij)
+        X2 = X2.at[i].add(-contract("kabc,klc->lab", T, Wmnie[j]))
+        return (X1, X2)
+
+    return jax.lax.fori_loop(0, no, body, carry)
+
+
+_cc3_row_xs_jit = None
+
+
+def _prep_from_blocks(F, blocks, t1, t2, F_ref, no, real_time):
+    from .blocked import blocked_views
+    bE, bL = blocked_views(blocks, no)
+    return cc3_scan_prep(F, bE, bL, t1, t2, no, real_time, F_ref)
+
+
+def residuals_cc3_rows(F, ERI, L, t1, t2, no, real_time=False, F_ref=None,
+                       blocks=None):
+    """Host-orchestrated CC3 residuals: one short jitted device program per
+    occupied row, avoiding the remote TPU watchdog that kills minute-long
+    single dispatches (see triples.t_vikings_scan_core).  Identical result
+    to residuals_cc3 / residuals_cc3_scan.  NOT jit-able — use from a
+    host-level solver loop only."""
+    global _cc3_row_xs_jit
+    import jax
+    if _cc3_row_xs_jit is None:
+        _cc3_row_xs_jit = jax.jit(
+            _cc3_row_xs, static_argnames=("no", "real_time"))
+    F_ref = F if F_ref is None else F_ref
+    if blocks is not None:
+        prep_b = jax.jit(_prep_from_blocks,
+                         static_argnames=("no", "real_time"))
+        (r1, r2, Fme, Wamef, Wmnie, Wabei_o, Wmbij_t,
+         eps, Lo, Vov) = prep_b(F, blocks, t1, t2, F_ref, no=no,
+                                real_time=real_time)
+    else:
+        prep = jax.jit(cc3_scan_prep, static_argnames=("no", "real_time"))
+        (r1, r2, Fme, Wamef, Wmnie, Wabei_o, Wmbij_t,
+         eps, Lo, Vov) = prep(F, ERI, L, t1, t2, no=no,
+                              real_time=real_time, F_ref=F_ref)
+    X1 = jnp.zeros_like(r1)
+    X2 = jnp.zeros_like(r2)
+    for i in range(no):
+        X1, X2 = _cc3_row_xs_jit(jnp.asarray(i), (X1, X2), Wabei_o, Wmbij_t,
+                                 t2, eps, Lo, Fme, Wamef, Wmnie, Vov,
+                                 no=no, real_time=real_time)
+    r1 = r1 + X1
+    r2 = r2 + X2 + X2.transpose(1, 0, 3, 2)
+    return r1, r2
+
+
 # ---------------------------------------------------------------------------
 # L3 slab (fixed first occupied index) + scanned Lambda-CC3 / CC3 density
 # ---------------------------------------------------------------------------

@@ -114,3 +114,20 @@ def test_cc3_lambda_density_scan_matches_full():
     q1, q2 = cc3_onepdm_scan(cc, t1, t2, l1, l2)
     assert float(abs(p1 - q1).max()) < 1e-13
     assert float(abs(p2 - q2).max()) < 1e-13
+
+
+def test_cc3_host_rows_solver_matches():
+    """solve_cc with the host-orchestrated per-row CC3 residual
+    (t3_scan=True; the TPU-scale path) matches the fused solver, with and
+    without blocked storage."""
+    wfn = scf("H2O_Teach", "cc-pvdz", freeze_core=False)
+    with contextlib.redirect_stdout(io.StringIO()):
+        e_fused = pycc_tpu.ccwfn(wfn, model="CC3").solve_cc(1e-12, 1e-12)
+        e_rows = pycc_tpu.ccwfn(wfn, model="CC3",
+                                t3_scan=True).solve_cc(1e-12, 1e-12)
+        e_rows_b = pycc_tpu.ccwfn(
+            wfn, model="CC3", t3_scan=True,
+            storage="blocked").solve_cc(1e-12, 1e-12)
+    assert abs(e_fused - -0.227888246840310) < 5e-11
+    assert abs(e_rows - e_fused) < 1e-13
+    assert abs(e_rows_b - e_fused) < 1e-13

@@ -275,6 +275,11 @@ class ccdensity:
         cc = self.ccwfn
         o, v = cc.o, cc.v
         F, ERI = cc.H.F, cc.H.ERI
+        if getattr(cc, "storage", "full") == "blocked":
+            # the six blocks are already on device; slice-views beat
+            # re-staging the host-side dense tensor
+            from .models.blocked import BlockedERI
+            ERI = BlockedERI(cc.blocks, cc.no)
         eone = (contract("ij,ij->", F[o, o], self.Doo)
                 + contract("ab,ab->", F[v, v], self.Dvv))
         if self.onlyone:

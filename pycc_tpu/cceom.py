@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .models.ccsd import slices
+from .models.ccsd import slices, vvvv_contract
 from .ops.contract import contract
 
 HARTREE2EV = 27.211386245988
@@ -52,7 +52,7 @@ def sigma2(hb, C1, C2, L, t2, no):
     s2 += contract("ijeb,ae->ijab", C2, hb.Hvv)
     s2 -= contract("mi,mjab->ijab", hb.Hoo, C2)
     s2 += 0.5 * contract("mnij,mnab->ijab", hb.Hoooo, C2)
-    s2 += 0.5 * contract("ijef,abef->ijab", C2, hb.Hvvvv)
+    s2 += 0.5 * vvvv_contract(C2, hb.Hvvvv)
     s2 -= contract("imeb,maje->ijab", C2, hb.Hovov)
     s2 -= contract("imea,mbej->ijab", C2, hb.Hovvo)
     s2 += 2.0 * contract("miea,mbej->ijab", C2, hb.Hovvo)
@@ -77,19 +77,27 @@ class cceom:
                             np.asarray(Dijab).flatten()))
 
         hb = cchbar.hbar
-        L = cc.H.L
-        t2 = cc.t2
         no = cc.no
         nv = cc.nv
+        o_, v_ = slices(no)
+        # only the oovv block of L is needed by the sigmas; slice it on the
+        # host (cheap even when blocked storage keeps L host-side) and pass
+        # everything as jit ARGUMENTS (no big closure constants)
+        Loovv = jnp.asarray(np.asarray(cc.H.L)[o_, o_, v_, v_])
 
-        def sig(cvec):
+        class _L:
+            def __getitem__(self, key):
+                return Loovv
+
+        def sig(hb, t2, cvec):
             C1 = cvec[:no * nv].reshape(no, nv)
             C2 = cvec[no * nv:].reshape(no, no, nv, nv)
-            s1 = sigma1(hb, C1, C2, L, no)
-            s2 = sigma2(hb, C1, C2, L, t2, no)
+            s1 = sigma1(hb, C1, C2, _L(), no)
+            s2 = sigma2(hb, C1, C2, _L(), t2, no)
             return jnp.concatenate([s1.ravel(), s2.ravel()])
 
-        self._sigma = jax.jit(jax.vmap(sig))
+        _sig_v = jax.jit(jax.vmap(sig, in_axes=(None, None, 0)))
+        self._sigma = lambda C: _sig_v(hb, cc.t2, C)
 
     # ------------------------------------------------------------------
     def dense_matrix(self):

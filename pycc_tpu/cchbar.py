@@ -172,9 +172,21 @@ class cchbar:
     def __init__(self, ccwfn):
         t0 = time.time()
         self.ccwfn = ccwfn
-        hbar = jax.jit(build_hbar, static_argnums=(0, 6))(
-            ccwfn.model, ccwfn.H.F, ccwfn.H.ERI, ccwfn.H.L,
-            ccwfn.t1, ccwfn.t2, ccwfn.no)
+        if getattr(ccwfn, "storage", "full") == "blocked":
+            # build from the six Dirac blocks: the full ERI + L pair would
+            # not even fit beside the HBAR blocks at production sizes
+            from .models.blocked import blocked_views
+
+            def _from_blocks(F, blocks, t1, t2):
+                bE, bL = blocked_views(blocks, ccwfn.no)
+                return build_hbar(ccwfn.model, F, bE, bL, t1, t2, ccwfn.no)
+
+            hbar = jax.jit(_from_blocks)(jnp.asarray(ccwfn.H.F),
+                                         ccwfn.blocks, ccwfn.t1, ccwfn.t2)
+        else:
+            hbar = jax.jit(build_hbar, static_argnums=(0, 6))(
+                ccwfn.model, ccwfn.H.F, ccwfn.H.ERI, ccwfn.H.L,
+                ccwfn.t1, ccwfn.t2, ccwfn.no)
         self.hbar = hbar
         for name in ("Hov", "Hvv", "Hoo", "Hoooo", "Hvvvv", "Hvovv",
                      "Hooov", "Hovvo", "Hovov", "Hvvvo", "Hovoo"):

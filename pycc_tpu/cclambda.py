@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from .cchbar import build_hbar
-from .models.ccsd import build_tau, slices
+from .models.ccsd import build_tau, slices, vvvv_contract_efab
 from .ops.contract import contract
 from .ops.diis import DIIS
 
@@ -79,7 +79,7 @@ def lambda_residuals(model, hb, F, ERI, L, t1, t2, l1, l2, no,
         r2 = r2 + contract("ijeb,ea->ijab", l2, hb.Hvv)
         r2 -= contract("mjab,im->ijab", l2, hb.Hoo)
         r2 += 0.5 * contract("mnab,ijmn->ijab", l2, hb.Hoooo)
-        r2 += 0.5 * contract("ijef,efab->ijab", l2, hb.Hvvvv)
+        r2 += 0.5 * vvvv_contract_efab(l2, hb.Hvvvv)
         r2 += contract("mjeb,ieam->ijab", l2, Hovvo_s)
         r2 -= contract("mibe,jema->ijab", l2, hb.Hovov)
         r2 -= contract("mieb,jeam->ijab", l2, hb.Hovvo)
@@ -156,13 +156,21 @@ class cclambda:
             big = cc.no ** 3 * cc.nv ** 3 > 2e8
             cc3_extra_fn = cc3_lambda_extra_scan if big else cc3_lambda_extra
 
+        blocked = getattr(cc, "storage", "full") == "blocked"
+        if blocked:
+            from .models.blocked import blocked_views
+
+        # everything big enters as a jit ARGUMENT (closure constants are
+        # serialized into the remote compile request on TPU)
         @jax.jit
-        def step(l1, l2, state, do_extrap):
+        def step(hb, F, ERIa, La, t1, t2, S1, S2, l1, l2, state, do_extrap):
+            if blocked:
+                ERIa, La = blocked_views(ERIa, no)
             r1, r2 = lambda_residuals("CCSD" if is_cc3 else model,
-                                      hb, H.F, H.ERI, H.L,
+                                      hb, F, ERIa, La,
                                       t1, t2, l1, l2, no, S1, S2)
             if is_cc3:
-                Y1, Y2 = cc3_extra_fn(H.F, H.ERI, H.L, t1, t2, l1, l2,
+                Y1, Y2 = cc3_extra_fn(F, ERIa, La, t1, t2, l1, l2,
                                       no, real_time=False)
                 r1 = r1 + Y1
                 r2 = r2 + Y2
@@ -175,7 +183,7 @@ class cclambda:
             l2n = l2 + inc2
             rms = jnp.sqrt(jnp.sum(jnp.abs(inc1) ** 2)
                            + jnp.sum(jnp.abs(inc2) ** 2))
-            lecc = pseudoenergy(H.ERI, l2n, no)
+            lecc = pseudoenergy(ERIa, l2n, no)
             state = diis.push(state, (l1n, l2n), (l1, l2))
             l1e, l2e = jax.lax.cond(
                 do_extrap,
@@ -184,15 +192,23 @@ class cclambda:
                 state)
             return l1n, l2n, l1e, l2e, state, lecc, rms
 
+        if blocked:
+            ERI0 = cc.blocks
+            La0 = None
+            bE0, _ = blocked_views(cc.blocks, no)
+        else:
+            ERI0, La0, bE0 = H.ERI, H.L, H.ERI
+        Fj = jnp.asarray(H.F)
         l1, l2 = self.l1, self.l2
-        lecc = float(jnp.real(pseudoenergy(H.ERI, l2, no)))
+        lecc = float(jnp.real(pseudoenergy(bE0, l2, no)))
         print("\nLCC Iter %3d: LCC PseudoE = %.15f  dE = % .5E" % (0, lecc, -lecc))
         state = diis.init()
         for niter in range(1, maxiter + 1):
             lecc_last = lecc
             do_ext = (max_diis > 0) and (niter >= start_diis)
-            l1n, l2n, l1, l2, state, lecc_j, rms = step(l1, l2, state,
-                                                        jnp.asarray(do_ext))
+            l1n, l2n, l1, l2, state, lecc_j, rms = step(
+                hb, Fj, ERI0, La0, t1, t2, S1, S2, l1, l2, state,
+                jnp.asarray(do_ext))
             lecc = float(jnp.real(lecc_j))
             rms = float(rms)
             ediff = lecc - lecc_last

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .cclambda import build_Goo, build_Gvv
-from .models.ccsd import slices
+from .models.ccsd import slices, vvvv_contract, vvvv_contract_efab
 from .ops.contract import contract
 from .ops.diis import DIIS
 
@@ -43,6 +43,24 @@ class pertbar:
         self.Avvoo = 0.5 * (Avvoo + Avvoo.transpose(1, 0, 3, 2))
 
 
+class _OovvOnly:
+    """Shim exposing only the [o,o,v,v] block (all the response equations
+    need from ERI/L); keeps big tensors out of jit closures and works with
+    blocked (host-side dense) storage."""
+
+    def __init__(self, block):
+        self.block = block
+
+    def __getitem__(self, key):
+        return self.block
+
+
+def _oovv(x, no):
+    o = slice(0, no)
+    v = slice(no, None)
+    return _OovvOnly(jnp.asarray(np.asarray(x)[o, o, v, v]))
+
+
 def r_X(hb, L, t2, A, omega, X1, X2, no):
     o, v = slices(no)
     r1 = A["Avo"].T - omega * X1
@@ -68,7 +86,7 @@ def r_X(hb, L, t2, A, omega, X1, X2, no):
     r2 += contract("ijeb,ae->ijab", X2, hb.Hvv)
     r2 -= contract("mjab,mi->ijab", X2, hb.Hoo)
     r2 += 0.5 * contract("mnab,mnij->ijab", X2, hb.Hoooo)
-    r2 += 0.5 * contract("ijef,abef->ijab", X2, hb.Hvvvv)
+    r2 += 0.5 * vvvv_contract(X2, hb.Hvvvv)
     r2 -= contract("imeb,maje->ijab", X2, hb.Hovov)
     r2 -= contract("imea,mbej->ijab", X2, hb.Hovvo)
     r2 += 2.0 * contract("miea,mbej->ijab", X2, hb.Hovvo)
@@ -244,7 +262,7 @@ def r_Y(hb, L, t2, imY1, imY2, omega, Y1, Y2, no):
     r2 += contract("ijeb,ea->ijab", Y2, hb.Hvv)
     r2 -= contract("im,mjab->ijab", hb.Hoo, Y2)
     r2 += 0.5 * contract("ijmn,mnab->ijab", hb.Hoooo, Y2)
-    r2 += 0.5 * contract("ijef,efab->ijab", Y2, hb.Hvvvv)
+    r2 += 0.5 * vvvv_contract_efab(Y2, hb.Hvvvv)
     r2 += 2.0 * contract("ie,ejab->ijab", Y1, hb.Hvovv)
     r2 -= contract("ie,ejba->ijab", Y1, hb.Hvovv)
     r2 -= 2.0 * contract("mb,jima->ijab", Y1, hb.Hooov)
@@ -314,7 +332,7 @@ class ccresponse:
         cc = self.ccwfn
         no = cc.no
         hb = self.hbar.hbar if hasattr(self.hbar, "hbar") else self.hbar
-        L, t2 = cc.H.L, cc.t2
+        L, t2 = _oovv(cc.H.L, no), cc.t2
         Dia = self.Dia + omega
         Dijab = self.Dijab + omega
         Ad = self._Adict(A)
@@ -324,8 +342,8 @@ class ccresponse:
         diis = DIIS((X1, X2), max_diis=max(max_diis, 1))
 
         @jax.jit
-        def step(X1, X2, state, do_extrap):
-            r1, r2 = r_X(hb, L, t2, Ad, omega, X1, X2, no)
+        def step(hb, Loovv, t2, X1, X2, state, do_extrap):
+            r1, r2 = r_X(hb, _OovvOnly(Loovv), t2, Ad, omega, X1, X2, no)
             inc1 = r1 / Dia
             inc2 = r2 / Dijab
             X1n, X2n = X1 + inc1, X2 + inc2
@@ -342,8 +360,8 @@ class ccresponse:
         for niter in range(1, maxiter + 1):
             pseudo_last = pseudo
             do_ext = (max_diis > 0) and (niter >= start_diis)
-            X1n, X2n, X1, X2, state, rms = step(X1, X2, state,
-                                                jnp.asarray(do_ext))
+            X1n, X2n, X1, X2, state, rms = step(hb, L.block, t2, X1, X2,
+                                                state, jnp.asarray(do_ext))
             pseudo = complex(self.pseudoresponse(A, X1n, X2n))
             rms = float(rms)
             if abs(pseudo - pseudo_last) < e_conv and rms < r_conv:
@@ -360,7 +378,7 @@ class ccresponse:
         cc = self.ccwfn
         no = cc.no
         hb = self.hbar.hbar if hasattr(self.hbar, "hbar") else self.hbar
-        L, ERI, t2 = cc.H.L, cc.H.ERI, cc.t2
+        L, ERI, t2 = _oovv(cc.H.L, no), _oovv(cc.H.ERI, no), cc.t2
         l1, l2 = self.cclambda.l1, self.cclambda.l2
         Dia = self.Dia + omega
         Dijab = self.Dijab + omega
@@ -377,8 +395,9 @@ class ccresponse:
         diis = DIIS((Y1, Y2), max_diis=max(max_diis, 1))
 
         @jax.jit
-        def step(Y1, Y2, state, do_extrap):
-            r1, r2 = r_Y(hb, L, t2, imY1, imY2, omega, Y1, Y2, no)
+        def step(hb, Loovv, t2, imY1, imY2, Y1, Y2, state, do_extrap):
+            r1, r2 = r_Y(hb, _OovvOnly(Loovv), t2, imY1, imY2, omega,
+                         Y1, Y2, no)
             inc1 = r1 / Dia
             inc2 = r2 / Dijab
             Y1n, Y2n = Y1 + inc1, Y2 + inc2
@@ -395,7 +414,8 @@ class ccresponse:
         for niter in range(1, maxiter + 1):
             pseudo_last = pseudo
             do_ext = (max_diis > 0) and (niter >= start_diis)
-            Y1n, Y2n, Y1, Y2, state, rms = step(Y1, Y2, state,
+            Y1n, Y2n, Y1, Y2, state, rms = step(hb, L.block, t2, imY1,
+                                                imY2, Y1, Y2, state,
                                                 jnp.asarray(do_ext))
             pseudo = complex(self.pseudoresponse(A, Y1n, Y2n))
             rms = float(rms)

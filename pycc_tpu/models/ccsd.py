@@ -38,6 +38,17 @@ def vvvv_contract(tau, W):
     return out.reshape(no1, no2, na, nb)
 
 
+def vvvv_contract_efab(tau, W):
+    """'ijef,efab->ijab' as a single (o^2, v^2) x (v^2, v^2) matmul
+    (see vvvv_contract; this is the left-Hvvvv form used by Lambda/Y2)."""
+    no1, no2, nv, _ = tau.shape
+    na, nb = W.shape[2], W.shape[3]
+    out = jnp.dot(tau.reshape(no1 * no2, nv * nv),
+                  W.reshape(nv * nv, na * nb),
+                  preferred_element_type=tau.dtype)
+    return out.reshape(no1, no2, na, nb)
+
+
 # ---------------------------------------------------------------------------
 # one-particle intermediates (CCSD / CC2 share these; CCD variants below)
 # ---------------------------------------------------------------------------

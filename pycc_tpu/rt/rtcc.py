@@ -59,48 +59,67 @@ class rtcc:
         len2 = (no * nv) ** 2
         o, v = slices(no)
 
-        def _phase(F, t1, t2):
+        # H enters every jitted function as an ARGUMENT (not a closure
+        # constant: those are serialized into the remote TPU compile
+        # request); blocked storage passes the six Dirac blocks
+        blocked = getattr(ccwfn, "storage", "full") == "blocked"
+        if blocked:
+            self._H_args = (ccwfn.blocks,)
+        else:
+            self._H_args = (jnp.asarray(H.ERI), jnp.asarray(H.L))
+        Fj = jnp.asarray(H.F)
+
+        def _views(Hargs):
+            if blocked:
+                from ..models.blocked import blocked_views
+                return blocked_views(Hargs[0], no)
+            return Hargs
+
+        def _phase(F, t1, t2, L):
             eref = 2.0 * jnp.trace(F[o, o])
-            eref -= contract("ijij->", H.L[o, o, o, o])
+            eref -= contract("ijij->", L[o, o, o, o])
             if model == "CCD":
-                ecc = contract("ijab,ijab->", t2, H.L[o, o, v, v])
+                ecc = contract("ijab,ijab->", t2, L[o, o, v, v])
             else:
                 ecc = 2.0 * contract("ia,ia->", F[o, v], t1)
-                ecc += contract("ijab,ijab->", build_tau(t1, t2), H.L[o, o, v, v])
+                ecc += contract("ijab,ijab->", build_tau(t1, t2), L[o, o, v, v])
             return (eref + ecc) * (-1.0j)
 
-        def _f_core(t, y):
+        def _f_core(t, y, *Hargs):
+            ERI, L = _views(Hargs)
             t1 = y[:len1].reshape(no, nv)
             t2 = y[len1:len1 + len2].reshape(no, no, nv, nv)
             l1 = y[len1 + len2:2 * len1 + len2].reshape(no, nv)
             l2 = y[2 * len1 + len2:-1].reshape(no, no, nv, nv)
 
-            F = H.F.astype(y.dtype) + mu_tot.astype(y.dtype) * self.V(t)
+            F = Fj.astype(y.dtype) + mu_tot.astype(y.dtype) * self.V(t)
 
-            rt1, rt2 = residual_fn(F, H.ERI, H.L, t1, t2, no)
+            rt1, rt2 = residual_fn(F, ERI, L, t1, t2, no)
             rt1 = rt1 * (-1.0j)
             rt2 = rt2 * (-1.0j)
             if use_filter:
                 rt1, rt2 = filter_res(rt1, rt2)
 
-            rl1, rl2 = lambda_residuals_from_F(model, F, H.ERI, H.L,
+            rl1, rl2 = lambda_residuals_from_F(model, F, ERI, L,
                                                t1, t2, l1, l2, no,
                                                real_time=ccwfn.real_time,
-                                               F_ref=H.F)
+                                               F_ref=Fj)
             rl1 = rl1 * (1.0j)
             rl2 = rl2 * (1.0j)
             if use_filter:
                 rl1, rl2 = filter_res(rl1, rl2)
 
-            ph = _phase(F, t1, t2)
+            ph = _phase(F, t1, t2, L)
             return jnp.concatenate([rt1.ravel(), rt2.ravel(), rl1.ravel(),
                                     rl2.ravel(), ph.reshape(1)])
 
         self._f_jit = jax.jit(_f_core)
-        self._phase_fn = _phase
+        self._phase_fn = lambda F, t1, t2: _phase(F, t1, t2,
+                                                  _views(self._H_args)[1])
 
-        def _lagrangian(t, t1, t2, l1, l2):
-            F = H.F.astype(t1.dtype) + mu_tot.astype(t1.dtype) * self.V(t)
+        def _lagrangian(t, t1, t2, l1, l2, *Hargs):
+            ERIv, Lv = _views(Hargs)
+            F = Fj.astype(t1.dtype) + mu_tot.astype(t1.dtype) * self.V(t)
             if model == "CC3":
                 from ..models.cc3 import cc3_onepdm
                 opdm, opdm_cc3 = cc3_onepdm(ccwfn, t1, t2, l1, l2)
@@ -108,9 +127,9 @@ class rtcc:
             else:
                 opdm = onepdm(model, t1, t2, l1, l2, no, ccwfn.nact)
             eref = 2.0 * jnp.trace(F[o, o])
-            eref -= contract("ijij->", H.L[o, o, o, o])
+            eref -= contract("ijij->", Lv[o, o, o, o])
             eone = jnp.sum(F * opdm)
-            ERI = H.ERI
+            ERI = ERIv
             etwo = 0.5 * contract("ijkl,ijkl->", ERI[o, o, o, o],
                                   build_Doooo(model, t1, t2, l2))
             etwo += 0.5 * contract("abcd,abcd->", ERI[v, v, v, v],
@@ -142,7 +161,8 @@ class rtcc:
     # ------------------------------------------------------------------
     def f(self, t, y):
         """ODE right-hand side; numpy-compatible for scipy.complex_ode."""
-        return np.asarray(self._f_jit(jnp.asarray(t), jnp.asarray(y)))
+        return np.asarray(self._f_jit(jnp.asarray(t), jnp.asarray(y),
+                                      *self._H_args))
 
     def collect_amps(self, t1, t2, l1, l2, phase):
         dtype = "complex128" if self.ccwfn.precision == "DP" else "complex64"
@@ -193,7 +213,7 @@ class rtcc:
     def lagrangian(self, t, t1, t2, l1, l2):
         return complex(self._lagrangian_jit(jnp.asarray(t), jnp.asarray(t1),
                                             jnp.asarray(t2), jnp.asarray(l1),
-                                            jnp.asarray(l2)))
+                                            jnp.asarray(l2), *self._H_args))
 
     def phase(self, F, t1, t2):
         return complex(self._phase_fn(jnp.asarray(F), jnp.asarray(t1),
@@ -201,8 +221,13 @@ class rtcc:
 
     def energy(self, t, t1, t2):
         cc = self.ccwfn
-        F = cc.H.F.astype(jnp.complex128) + self.mu_tot * self.V(t)
-        return complex(cc._energy_fn(F, cc.H.L, jnp.asarray(t1),
+        F = jnp.asarray(cc.H.F).astype(jnp.complex128) + self.mu_tot * self.V(t)
+        if getattr(cc, "storage", "full") == "blocked":
+            from ..models.blocked import blocked_views
+            L = blocked_views(cc.blocks, cc.no)[1]
+        else:
+            L = cc.H.L
+        return complex(cc._energy_fn(F, L, jnp.asarray(t1),
                                      jnp.asarray(t2), cc.no))
 
     def autocorrelation(self, y_left, y_right):

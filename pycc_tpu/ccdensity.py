@@ -302,8 +302,9 @@ class ccdensity:
     def compute_onepdm(self, t1, t2, l1, l2, real_time=False):
         cc = self.ccwfn
         if cc.model == "CC3":
-            from .models.cc3 import cc3_onepdm, cc3_onepdm_scan
-            fn = (cc3_onepdm_scan if cc.no ** 3 * cc.nv ** 3 > 2e8
-                  else cc3_onepdm)
+            from .models.cc3 import cc3_onepdm, cc3_onepdm_rows
+            big = cc.no ** 3 * cc.nv ** 3 > 2e8
+            use_rows = big if cc.t3_scan is None else bool(cc.t3_scan)
+            fn = cc3_onepdm_rows if use_rows else cc3_onepdm
             return fn(cc, t1, t2, l1, l2, real_time=real_time)
         return onepdm(cc.model, t1, t2, l1, l2, cc.no, cc.nact)

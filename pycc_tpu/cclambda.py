@@ -151,10 +151,18 @@ class cclambda:
         diis = DIIS((self.l1, self.l2), max_diis=max(max_diis, 1))
 
         is_cc3 = model == "CC3"
+        host_extras = None
         if is_cc3:
-            from .models.cc3 import cc3_lambda_extra, cc3_lambda_extra_scan
+            from .models.cc3 import (cc3_lambda_extra, cc3_lambda_extra_rows,
+                                     cc3_lambda_extra_scan)
             big = cc.no ** 3 * cc.nv ** 3 > 2e8
-            cc3_extra_fn = cc3_lambda_extra_scan if big else cc3_lambda_extra
+            use_rows = big if cc.t3_scan is None else bool(cc.t3_scan)
+            cc3_extra_fn = cc3_lambda_extra
+            if use_rows:
+                # host-orchestrated per-row extras: the in-step 5-D-slab
+                # scan cannot run at TPU scale (watchdog + 8.6 GB slabs)
+                is_cc3 = False  # the jitted step computes the CCSD part only
+                host_extras = cc3_lambda_extra_rows
 
         blocked = getattr(cc, "storage", "full") == "blocked"
         if blocked:
@@ -206,8 +214,21 @@ class cclambda:
         for niter in range(1, maxiter + 1):
             lecc_last = lecc
             do_ext = (max_diis > 0) and (niter >= start_diis)
+            if host_extras is not None:
+                # CC3 extras per iteration, outside the jitted step
+                if blocked:
+                    Y1, Y2 = host_extras(Fj, None, None, t1, t2, l1, l2,
+                                         no, blocks=cc.blocks)
+                else:
+                    Y1, Y2 = host_extras(Fj, H.ERI, H.L, t1, t2, l1, l2, no)
+                # the step applies 0.5*S2 then pair-symmetrizes; Y2 is
+                # already pair-symmetric, so it folds in with weight 1
+                S1x = Y1 if S1 is None else S1 + Y1
+                S2x = Y2 if S2 is None else S2 + Y2
+            else:
+                S1x, S2x = S1, S2
             l1n, l2n, l1, l2, state, lecc_j, rms = step(
-                hb, Fj, ERI0, La0, t1, t2, S1, S2, l1, l2, state,
+                hb, Fj, ERI0, La0, t1, t2, S1x, S2x, l1, l2, state,
                 jnp.asarray(do_ext))
             lecc = float(jnp.real(lecc_j))
             rms = float(rms)

@@ -8,6 +8,9 @@ full-tensor einsum batches over the whole (o^3 v^3) T3/L3 space — MXU-shaped
 dot_general graphs under jit.
 """
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 
 from ..ops.contract import contract
@@ -470,6 +473,67 @@ def l3_slab(i, L4, l1, l2, Fov, Wvovv, Wooov, eps_o, eps_v):
     return l3 / denom
 
 
+def _l3_slab_ij(i, j, L4, l1, l2, Fov, Wvovv, Wooov, eps_o, eps_v):
+    """l3[i, j] slab (k,a,b,c) — l3_full with the first two indices fixed.
+
+    Mechanical fixing of j in every term of l3_slab; the production tiling
+    for TPU-scale Lambda-CC3/density-CC3 (one 4-D slab instead of 5-D)."""
+    Lo = L4
+    Loi = Lo[i]
+    LoTi = Lo[:, i]
+    l2i = l2[i]
+    l2Ti = l2[:, i]
+    l3 = contract("ab,kc->kabc", Loi[j], l1) - contract("ac,kb->kabc", Loi[j], l1)
+    l3 += contract("kac,b->kabc", Loi, l1[j]) - contract("kab,c->kabc", Loi, l1[j])
+    l3 += contract("ba,kc->kabc", LoTi[j], l1) - contract("bc,ka->kabc", LoTi[j], l1)
+    l3 += contract("kca,b->kabc", LoTi, l1[j]) - contract("kcb,a->kabc", LoTi, l1[j])
+    l3 += contract("kbc,a->kabc", Lo[j], l1[i]) - contract("kba,c->kabc", Lo[j], l1[i])
+    l3 += contract("kcb,a->kabc", Lo[:, j], l1[i]) - contract("kca,b->kabc", Lo[:, j], l1[i])
+
+    l3 += contract("a,kbc->kabc", Fov[i], l2[j]) - contract("b,kac->kabc", Fov[i], l2[j])
+    l3 += contract("a,kcb->kabc", Fov[i], l2[:, j]) - contract("c,kab->kabc", Fov[i], l2[:, j])
+    l3 += contract("b,kac->kabc", Fov[j], l2i) - contract("a,kbc->kabc", Fov[j], l2i)
+    l3 += contract("kc,ab->kabc", Fov, l2i[j]) - contract("ka,cb->kabc", Fov, l2i[j])
+    l3 += contract("b,kca->kabc", Fov[j], l2Ti) - contract("c,kba->kabc", Fov[j], l2Ti)
+    l3 += contract("kc,ba->kabc", Fov, l2Ti[j]) - contract("kb,ca->kabc", Fov, l2Ti[j])
+
+    tW = 2.0 * Wvovv - Wvovv.swapaxes(2, 3)
+    l3 += contract("eab,kce->kabc", tW[:, j], l2Ti)
+    l3 += contract("ekac,be->kabc", tW, l2Ti[j])
+    l3 += contract("eba,kce->kabc", tW[:, i], l2[:, j])
+    l3 += contract("eca,kbe->kabc", tW[:, i], l2[j])
+    l3 += contract("ekbc,ae->kabc", tW, l2i[j])
+    l3 += contract("ecb,kae->kabc", tW[:, j], l2i)
+
+    l3 -= contract("ebc,kea->kabc", Wvovv[:, i], l2[j])
+    l3 -= contract("ecb,kea->kabc", Wvovv[:, i], l2[:, j])
+    l3 -= contract("ekba,ec->kabc", Wvovv, l2Ti[j])
+    l3 -= contract("eac,keb->kabc", Wvovv[:, j], l2i)
+    l3 -= contract("eca,keb->kabc", Wvovv[:, j], l2Ti)
+    l3 -= contract("ekab,ec->kabc", Wvovv, l2i[j])
+
+    tW2 = 2.0 * Wooov - Wooov.swapaxes(0, 1)
+    l3 -= contract("ma,kmcb->kabc", tW2[j, i], l2)
+    l3 -= contract("kma,mbc->kabc", tW2[:, i], l2[j])
+    l3 -= contract("mb,kmca->kabc", tW2[i, j], l2)
+    l3 -= contract("kmc,mba->kabc", tW2[i], l2[j])
+    l3 -= contract("kmb,mac->kabc", tW2[:, j], l2i)
+    l3 -= contract("kmc,mab->kabc", tW2[j], l2i)
+
+    l3 += contract("mc,kmba->kabc", Wooov[i, j], l2)
+    l3 += contract("kmb,mca->kabc", Wooov[i], l2[j])
+    l3 += contract("kma,mbc->kabc", Wooov[:, j], l2i)
+    l3 += contract("mc,kmab->kabc", Wooov[j, i], l2)
+    l3 += contract("kma,mcb->kabc", Wooov[j], l2i)
+    l3 += contract("kmb,mac->kabc", Wooov[:, i], l2[j])
+
+    denom = (eps_o[i] + eps_o[j] + eps_o[:, None, None, None]
+             - eps_v[None, :, None, None]
+             - eps_v[None, None, :, None]
+             - eps_v[None, None, None, :])
+    return l3 / denom
+
+
 def _cc3_t3_slab(i, F, Wabei_o, Wmbij_t, t2, eps_o, eps_v, real_time,
                  F_ref, no):
     """Takes the occupied-major layouts from triples.slab_layouts."""
@@ -487,6 +551,137 @@ def _cc3_t3_slab(i, F, Wabei_o, Wmbij_t, t2, eps_o, eps_v, real_time,
                  - eps_v[None, None, None, None, :])
         t3 = t3 - t3p / denom
     return t3
+
+
+def _cc3_t3_slab_pair(i, j, Vov, Wabei_o, Wmbij_t, t2, eps_o, eps_v,
+                      real_time):
+    """T1-dressed T3[i, j] slab (k,a,b,c), with the RT perturbation term."""
+    from ..triples import _t3c_slab_ij
+    t3 = _t3c_slab_ij(i, j, Wabei_o, Wmbij_t, t2, eps_o, eps_v)
+    if real_time:
+        tmp = contract("ld,ad->al", Vov, t2[i, j])
+        t3p = contract("al,klcb->kabc", tmp, t2)
+        denom = (eps_o[i] + eps_o[j] + eps_o[:, None, None, None]
+                 - eps_v[None, :, None, None]
+                 - eps_v[None, None, :, None]
+                 - eps_v[None, None, None, :])
+        t3 = t3 - t3p / denom
+    return t3
+
+
+def cc3_lambda_prep(F, ERI, L, t1, t2, no, real_time=False, F_ref=None):
+    """Intermediates for the row-scanned Lambda-CC3 extras (jit this)."""
+    o, v = slices(no)
+    Fov = build_Fme(F, L, t1, no)
+    Wmnij, Wmbij, Wmnie, Wamef, Wabei = cc3_intermediates(ERI, t1, no)
+    Wabei_o, Wmbij_t = slab_layouts(Wabei, Wmbij)
+    Wovov, Wovvo, Wvvvv = cc3_lambda_intermediates(ERI, t1, no)
+    eps = jnp.diagonal(F)
+    if real_time:
+        Vov = (F - F_ref.astype(F.dtype))[o, v]
+    else:
+        Vov = jnp.zeros_like(F[o, v])
+    return (Fov, Wmnij, Wmnie, Wamef, Wabei_o, Wmbij_t, Wovov, Wovvo,
+            Wvvvv, eps, L[o, o, v, v], ERI[o, o, v, v], Vov)
+
+
+@partial(jax.jit, static_argnames=("no", "real_time"))
+def _cc3_lambda_row_t3(l, carry, Wabei_o, Wmbij_t, t2, l2, eps, Lo, Eo,
+                       Vov, no, real_time):
+    """t3-side Z accumulations for one leading index l (fori over m)."""
+    eps_o, eps_v = eps[:no], eps[no:]
+
+    def body(m, carry):
+        Zmndi, Zmdfa, Znf = carry
+        s = _cc3_t3_slab_pair(l, m, Vov, Wabei_o, Wmbij_t, t2, eps_o,
+                              eps_v, real_time)   # [n,d,e,f]
+        Zmndi = Zmndi.at[m].add(contract("ndef,pef->ndp", s, Eo[:, l])
+                                - contract("nfed,pef->ndp", s, Lo[:, l]))
+        Zmdfa = Zmdfa.at[m].add(contract("ndef,nea->dfa", s, Eo[:, l])
+                                - contract("ndfe,nea->dfa", s, Lo[:, l]))
+        Znf = Znf + contract("de,ndef->nf", l2[l, m],
+                             s - jnp.swapaxes(s, 1, 3))
+        return (Zmndi, Zmdfa, Znf)
+
+    return jax.lax.fori_loop(0, no, body, carry)
+
+
+@partial(jax.jit, static_argnames="no")
+def _cc3_lambda_row_l3(k, carry, t2, l1, l2, Fov, Wamef, Wmnie, Wabei_o,
+                       Wmbij_t, eps, Lo, no):
+    """l3-side Z/Y2 accumulations for one leading index k (fori over i)."""
+    eps_o, eps_v = eps[:no], eps[no:]
+
+    def body(i, carry):
+        (Zbide, Zblad1, Zblad2, Zjlma, Zjlid1, Zjlid2, Y2) = carry
+        s = _l3_slab_ij(k, i, Lo, l1, l2, Fov, Wamef, Wmnie, eps_o, eps_v)
+        # s[j, c, d, e] == l3_full[k, i, j, c, d, e]
+        tk = t2[:, k]
+        Zbide = Zbide.at[:, i].add(contract("jbc,jcde->bde", tk, s))
+        Zblad1 = Zblad1.at[:, i].add(contract("jbc,jcad->bad", tk, s))
+        Zblad2 = Zblad2.at[:, i].add(contract("jbc,jcda->bad", tk, s))
+        Zjlma = Zjlma.at[:, i].add(contract("pbc,jcab->pja", tk, s))
+        Zjlid1 = Zjlid1.at[:, i].add(contract("pbc,jcbd->pjd", tk, s))
+        Zjlid2 = Zjlid2.at[:, i].add(contract("pbc,jcdb->pjd", tk, s))
+        Y2 = Y2.at[i].add(contract("jdeb,eda->jab", s, Wabei_o[k])
+                          - contract("jdab,jld->lab", s, Wmbij_t[:, k]))
+        return (Zbide, Zblad1, Zblad2, Zjlma, Zjlid1, Zjlid2, Y2)
+
+    return jax.lax.fori_loop(0, no, body, carry)
+
+
+def cc3_lambda_extra_rows(F, ERI, L, t1, t2, l1, l2, no, real_time=False,
+                          F_ref=None, blocks=None):
+    """Host-orchestrated Lambda-CC3 extras: one short jitted device program
+    per leading occupied index, per-(i,j) 4-D slabs (the 5-D slabs of
+    cc3_lambda_extra_scan are 8.6 GB each at (32,128)).  Identical result.
+    NOT jit-able."""
+    F_ref = F if F_ref is None else F_ref
+    if blocks is not None:
+        from .blocked import blocked_views
+        prep_b = jax.jit(
+            lambda F_, bl, t1_, t2_, Fr: cc3_lambda_prep(
+                F_, *blocked_views(bl, no), t1_, t2_, no, real_time, Fr))
+        (Fov, Wmnij, Wmnie, Wamef, Wabei_o, Wmbij_t, Wovov, Wovvo, Wvvvv,
+         eps, Lo, Eo, Vov) = prep_b(F, blocks, t1, t2, F_ref)
+    else:
+        prep = jax.jit(cc3_lambda_prep, static_argnames=("no", "real_time"))
+        (Fov, Wmnij, Wmnie, Wamef, Wabei_o, Wmbij_t, Wovov, Wovvo, Wvvvv,
+         eps, Lo, Eo, Vov) = prep(F, ERI, L, t1, t2, no=no,
+                                  real_time=real_time, F_ref=F_ref)
+    nv = t2.shape[2]
+    D = t2.dtype
+
+    carry = (jnp.zeros((no, no, nv, no), D), jnp.zeros((no, nv, nv, nv), D),
+             jnp.zeros((no, nv), D))
+    for l in range(no):
+        carry = _cc3_lambda_row_t3(jnp.asarray(l), carry, Wabei_o, Wmbij_t,
+                                   t2, l2, eps, Lo, Eo, Vov, no=no,
+                                   real_time=real_time)
+    Zmndi, Zmdfa, Znf = carry
+
+    Y1 = contract("imdf,mdfa->ia", l2, Zmdfa)
+    Y1 += contract("imaf,mf->ia", Lo, Znf)
+    Y1 += contract("mnad,mndi->ia", l2, Zmndi)
+
+    carry = (jnp.zeros((nv, no, nv, nv), D), jnp.zeros((nv, no, nv, nv), D),
+             jnp.zeros((nv, no, nv, nv), D), jnp.zeros((no, no, no, nv), D),
+             jnp.zeros((no, no, no, nv), D), jnp.zeros((no, no, no, nv), D),
+             jnp.zeros((no, no, nv, nv), D))
+    for k in range(no):
+        carry = _cc3_lambda_row_l3(jnp.asarray(k), carry, t2, l1, l2, Fov,
+                                   Wamef, Wmnie, Wabei_o, Wmbij_t, eps, Lo,
+                                   no=no)
+    Zbide, Zblad1, Zblad2, Zjlma, Zjlid1, Zjlid2, Y2 = carry
+
+    Y1 += contract("bide,deab->ia", Zbide, Wvvvv)
+    Y1 += contract("jlma,ijlm->ia", Zjlma, Wmnij)
+    Y1 -= contract("jlid,jdla->ia", Zjlid1, Wovov)
+    Y1 -= contract("jlid,jdal->ia", Zjlid2, Wovvo)
+    Y1 -= contract("blad,pdlb->pa", Zblad1, Wovov)
+    Y1 -= contract("blad,pdbl->pa", Zblad2, Wovvo)
+
+    return Y1, Y2 + Y2.transpose(1, 0, 3, 2)
 
 
 def cc3_lambda_extra_scan(F, ERI, L, t1, t2, l1, l2, no, real_time=False,
@@ -558,6 +753,74 @@ def cc3_lambda_extra_scan(F, ERI, L, t1, t2, l1, l2, no, real_time=False,
     Y1 -= contract("blad,pdbl->pa", Zblad2, Wovvo)
 
     return Y1, Y2 + Y2.transpose(1, 0, 3, 2)
+
+
+@partial(jax.jit, static_argnames=("no", "real_time"))
+def _cc3_onepdm_row(i, carry, Wabei_o, Wmbij_t, t2, l1, l2, Fov, Wamef,
+                    Wmnie, eps, Lo, Vov, no, real_time):
+    """One leading-index row of the CC3 one-pdm triples corrections."""
+    eps_o, eps_v = eps[:no], eps[no:]
+
+    def body(j, carry):
+        Dov, Zlmdi, Doo, Dvv = carry
+        t3 = _cc3_t3_slab_pair(i, j, Vov, Wabei_o, Wmbij_t, t2, eps_o,
+                               eps_v, real_time)                # [k,a,b,c]
+        l3 = _l3_slab_ij(i, j, Lo, l1, l2, Fov, Wamef, Wmnie, eps_o,
+                         eps_v)                                 # [k,a,b,c]
+        Zlmdi = Zlmdi.at[i, j].add(contract("kdef,kpfe->dp", l3, t2))
+        Dov = Dov.at[i].add(
+            contract("kabc,kbc->a", t3 - jnp.swapaxes(t3, 1, 2), l2[j]))
+        # this pair is (lead, m); the free occupied axes of t3/l3 are p/q
+        Doo = Doo - 0.5 * contract("pabc,qabc->pq", t3, l3)
+        Dvv = Dvv + 0.5 * contract("kbdc,kadc->ab", t3, l3)
+        return (Dov, Zlmdi, Doo, Dvv)
+
+    return jax.lax.fori_loop(0, no, body, carry)
+
+
+def cc3_onepdm_rows(cc, t1, t2, l1, l2, real_time=False):
+    """cc3_onepdm with per-(i,j) 4-D slabs, one short jitted device program
+    per leading occupied index.  Identical to cc3_onepdm; the production
+    path at TPU scale (the 5-D slabs of cc3_onepdm_scan are 8.6 GB each at
+    (32,128)).  NOT jit-able."""
+    from ..ccdensity import onepdm
+    no, nv, nact = cc.no, cc.nv, cc.nact
+    o, v = slices(no)
+    F = jnp.asarray(cc.H.F)
+    if jnp.iscomplexobj(t1):
+        F = F.astype(t1.dtype)
+    blocks = cc.blocks if getattr(cc, "storage", "full") == "blocked" else None
+    if blocks is not None:
+        from .blocked import blocked_views
+
+        def _prep(F_, bl, t1_, t2_, Fr):
+            bE, bL = blocked_views(bl, no)
+            return cc3_lambda_prep(F_, bE, bL, t1_, t2_, no, real_time, Fr)
+
+        (Fov, _, Wmnie, Wamef, Wabei_o, Wmbij_t, _, _, _, eps, Lo, _,
+         Vov) = jax.jit(_prep)(F, blocks, t1, t2, jnp.asarray(cc.H.F))
+    else:
+        ERI = jnp.asarray(cc.H.ERI)
+        L = jnp.asarray(cc.H.L)
+        prep = jax.jit(cc3_lambda_prep, static_argnames=("no", "real_time"))
+        (Fov, _, Wmnie, Wamef, Wabei_o, Wmbij_t, _, _, _, eps, Lo, _,
+         Vov) = prep(F, ERI, L, t1, t2, no=no, real_time=real_time,
+                     F_ref=jnp.asarray(cc.H.F))
+    D = t1.dtype
+    carry = (jnp.zeros((no, nv), D), jnp.zeros((no, no, nv, no), D),
+             jnp.zeros((no, no), D), jnp.zeros((nv, nv), D))
+    for i in range(no):
+        carry = _cc3_onepdm_row(jnp.asarray(i), carry, Wabei_o, Wmbij_t,
+                                t2, l1, l2, Fov, Wamef, Wmnie, eps, Lo,
+                                Vov, no=no, real_time=real_time)
+    Dov, Zlmdi, Doo, Dvv = carry
+    Dov = Dov - contract("lmdp,lmda->pa", Zlmdi, t2)
+
+    opdm = onepdm(cc.model, t1, t2, l1, l2, no, nact, Dov_x=Dov)
+    opdm_cc3 = jnp.zeros((nact, nact), dtype=t1.dtype)
+    opdm_cc3 = opdm_cc3.at[o, o].set(Doo)
+    opdm_cc3 = opdm_cc3.at[v, v].set(Dvv)
+    return opdm, opdm_cc3
 
 
 def cc3_onepdm_scan(cc, t1, t2, l1, l2, real_time=False):

@@ -185,10 +185,13 @@ class rtcc:
     def dipole(self, t1, t2, l1, l2, magnetic=False, real_time=False):
         cc = self.ccwfn
         if cc.model == "CC3":
-            from ..models.cc3 import cc3_onepdm
-            opdm, opdm_cc3 = cc3_onepdm(cc, jnp.asarray(t1), jnp.asarray(t2),
-                                        jnp.asarray(l1), jnp.asarray(l2),
-                                        real_time=real_time)
+            from ..models.cc3 import cc3_onepdm, cc3_onepdm_rows
+            big = cc.no ** 3 * cc.nv ** 3 > 2e8
+            use_rows = big if cc.t3_scan is None else bool(cc.t3_scan)
+            fn = cc3_onepdm_rows if use_rows else cc3_onepdm
+            opdm, opdm_cc3 = fn(cc, jnp.asarray(t1), jnp.asarray(t2),
+                                jnp.asarray(l1), jnp.asarray(l2),
+                                real_time=real_time)
             ints = self.m if magnetic else self.mu
             from ..ccdensity import build_Moo, build_Mvv
             out = []

@@ -131,3 +131,27 @@ def test_cc3_host_rows_solver_matches():
     assert abs(e_fused - -0.227888246840310) < 5e-11
     assert abs(e_rows - e_fused) < 1e-13
     assert abs(e_rows_b - e_fused) < 1e-13
+
+
+def test_cc3_lambda_density_rows_match():
+    """Host-orchestrated Lambda-CC3 extras + CC3 one-pdm (per-(i,j) slabs;
+    t3_scan=True) equal the fused path through the full user pipeline,
+    with and without blocked storage."""
+    wfn = scf("H2O_Teach", "cc-pvdz", freeze_core=False)
+    res = {}
+    for key, kw in (("fused", {}), ("rows", {"t3_scan": True}),
+                    ("rows_blk", {"t3_scan": True, "storage": "blocked"})):
+        with contextlib.redirect_stdout(io.StringIO()):
+            cc = pycc_tpu.ccwfn(wfn, model="CC3", **kw)
+            cc.solve_cc(1e-12, 1e-12)
+            hbar = pycc_tpu.cchbar(cc)
+            lam = pycc_tpu.cclambda(cc, hbar)
+            lecc = lam.solve_lambda(1e-12, 1e-12)
+            dens = pycc_tpu.ccdensity(cc, lam)
+            rt = pycc_tpu.rtcc(cc, lam, dens, None)
+            mu_z = complex(rt.dipole(cc.t1, cc.t2, lam.l1, lam.l2)[2]).real
+        res[key] = (lecc, mu_z)
+    # CFOUR-pinned CC3 dipole oracle (test_009 RT-CC3 geometry)
+    for key in ("rows", "rows_blk"):
+        assert abs(res[key][0] - res["fused"][0]) < 1e-12, key
+        assert abs(res[key][1] - res["fused"][1]) < 1e-12, key

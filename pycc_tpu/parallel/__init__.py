@@ -1,3 +1,3 @@
-from .mesh import make_mesh, shard_hamiltonian, shard_amps
+from .mesh import make_mesh, shard_amps, shard_blocks, shard_hamiltonian
 
-__all__ = ["make_mesh", "shard_hamiltonian", "shard_amps"]
+__all__ = ["make_mesh", "shard_hamiltonian", "shard_amps", "shard_blocks"]

@@ -60,3 +60,23 @@ def shard_amps(t1, t2, mesh):
     """Shard amplitudes: t1 replicated, t2 over its virtual axes."""
     return (_put(t1, mesh, P()),
             _put(t2, mesh, P(None, None, "va", "vb")))
+
+
+def shard_blocks(blocks, mesh):
+    """Distribute an ERIBlocks pytree over the mesh.
+
+    The v^4 block shards over its leading two virtual axes and the ov^3
+    block over its trailing two; o-heavy blocks are replicated (they are
+    tiny).  Combined with blocked storage this is the full scaling
+    configuration: per-device memory ~ (v^4 + o v^3)/n_devices + small
+    replicated blocks, and XLA inserts the ICI collectives for the ladder
+    contractions."""
+    from ..models.blocked import ERIBlocks
+    return ERIBlocks(
+        oooo=_put(blocks.oooo, mesh, P()),
+        ooov=_put(blocks.ooov, mesh, P()),
+        oovv=_put(blocks.oovv, mesh, P(None, None, "va", "vb")),
+        ovov=_put(blocks.ovov, mesh, P(None, "va", None, "vb")),
+        ovvv=_put(blocks.ovvv, mesh, P(None, None, "va", "vb")),
+        vvvv=_put(blocks.vvvv, mesh, P("va", "vb", None, None)),
+    )

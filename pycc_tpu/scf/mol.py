@@ -12,11 +12,16 @@ import numpy as np
 # validated by matching the reference suite's frozen CCSD energies to 1e-14
 BOHR2ANGSTROM = 0.52917721067
 
-# Most-common-isotope masses (amu), as used by Psi4 for the COM/inertia frame
-MASSES = {"H": 1.00782503207, "He": 4.00260325415, "Li": 7.016004548,
-          "Be": 9.012182201, "B": 11.009305406, "C": 12.0,
-          "N": 14.00307400478, "O": 15.99491461956, "F": 18.998403224,
-          "Ne": 19.99244017542, "S": 31.97207100, "Cl": 34.96885268}
+# Most-common-isotope masses (amu), as used by Psi4 for the COM/inertia
+# frame (AME2016 values, psi4/include/psi4/masses.h).  These digits are
+# oracle-pinned: the traceless-quadrupole pseudoresponses are origin-
+# sensitive, and the older AME2003-era masses shift the COM enough to show
+# up at 1e-9 (pertcheck Q agreed only to ~1e-9 before this update; 1e-12
+# after).
+MASSES = {"H": 1.00782503223, "He": 4.00260325413, "Li": 7.0160034366,
+          "Be": 9.012183065, "B": 11.00930536, "C": 12.0,
+          "N": 14.00307400443, "O": 15.99491461957, "F": 18.99840316273,
+          "Ne": 19.9924401762, "S": 31.9720711744, "Cl": 34.968852682}
 
 CHARGES = {"H": 1, "He": 2, "Li": 3, "Be": 4, "B": 5, "C": 6, "N": 7,
            "O": 8, "F": 9, "Ne": 10, "S": 16, "Cl": 17}
@@ -201,15 +206,31 @@ def _principal_frame(coords, masses, syms):
     # planarity: normal candidate is the largest-moment axis
     planar = np.all(np.abs(coords @ V[:, 2]) < 1e-6)
 
+    def _fix_c2_sign(zax, xax, yax):
+        """Deterministic sign for the C2 axis: eigh's eigenvector sign is
+        arbitrary (it flipped when the isotope masses were updated), so pin
+        it by the first nonzero of the mass moments [sum m x^2 z,
+        sum m y^2 z, sum m z^3] — x and y enter only squared, so their own
+        sign ambiguity drops out.  Pinned by the H2O dipole and H2-dimer
+        dipole oracles."""
+        x, y, z = coords @ xax, coords @ yax, coords @ zax
+        for mom in (np.sum(masses * x * x * z), np.sum(masses * y * y * z),
+                    np.sum(masses * z ** 3)):
+            if abs(mom) > 1e-8:
+                return zax if mom > 0 else -zax
+        return zax
+
     if len(c2) == 1 and planar:
         zax = V[:, c2[0]]
         xax = V[:, 2] if c2[0] != 2 else V[:, 1]  # plane normal -> x
+        zax = _fix_c2_sign(zax, xax, np.cross(zax, xax))
         yax = np.cross(zax, xax)
         R = np.column_stack([xax, yax, zax])
     elif len(c2) == 1:
         zax = V[:, c2[0]]
         rest = [k for k in range(3) if k != c2[0]]
         xax = V[:, rest[1]]  # larger remaining moment -> x
+        zax = _fix_c2_sign(zax, xax, np.cross(zax, xax))
         yax = np.cross(zax, xax)
         R = np.column_stack([xax, yax, zax])
     else:

@@ -88,12 +88,12 @@ def test_pertcheck_operators():
     }
     for k, v in ref.items():
         assert abs(complex(check[k]).real - v) < 1e-10, k
-    # quadrupole pseudoresponses agree to 1e-8 (last-digit integral
-    # convention difference vs Psi4; see ccresponse docstring)
+    # quadrupole pseudoresponses are origin-sensitive and pin the isotope
+    # masses (scf/mol.py MASSES): 1e-10 requires the AME2016 values
     refQ = {"Q_XX_0.010000": 5.942498696750, "Q_YZ_0.010000": 19.240803761856,
             "Q_ZZ_0.010000": 0.250165812115, "Q_XY_-0.010000": 0.192591582644}
     for k, v in refQ.items():
-        assert abs(complex(check[k]).real - v) < 1e-8, k
+        assert abs(complex(check[k]).real - v) < 1e-10, k
 
 
 def test_field_plumbing():

@@ -38,7 +38,8 @@ def lambda_residuals(model, hb, F, ERI, L, t1, t2, l1, l2, no,
     Hovvo_s = 2.0 * hb.Hovvo - hb.Hovov.swapaxes(2, 3)
 
     if ccd:
-        r1 = jnp.zeros_like(l1)
+        from .ops.ctensor import ct_zeros_like
+        r1 = ct_zeros_like(l1)
     else:
         r1 = 2.0 * hb.Hov
         if S1 is not None:

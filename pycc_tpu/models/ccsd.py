@@ -30,22 +30,24 @@ def vvvv_contract(tau, W):
     The einsum lowering can materialize an (o-batch, v, v, v, v) temp that
     blows HBM at production sizes; the reshaped dot maps straight onto the
     MXU with no such buffer."""
+    from ..ops.ctensor import ct_dot
     no1, no2, nv, _ = tau.shape
     na, nb = W.shape[0], W.shape[1]
-    out = jnp.dot(tau.reshape(no1 * no2, nv * nv),
-                  W.reshape(na * nb, nv * nv).T,
-                  preferred_element_type=tau.dtype)
+    out = ct_dot(tau.reshape(no1 * no2, nv * nv),
+                 W.reshape(na * nb, nv * nv).T,
+                 preferred_element_type=tau.dtype)
     return out.reshape(no1, no2, na, nb)
 
 
 def vvvv_contract_efab(tau, W):
     """'ijef,efab->ijab' as a single (o^2, v^2) x (v^2, v^2) matmul
     (see vvvv_contract; this is the left-Hvvvv form used by Lambda/Y2)."""
+    from ..ops.ctensor import ct_dot
     no1, no2, nv, _ = tau.shape
     na, nb = W.shape[2], W.shape[3]
-    out = jnp.dot(tau.reshape(no1 * no2, nv * nv),
-                  W.reshape(nv * nv, na * nb),
-                  preferred_element_type=tau.dtype)
+    out = ct_dot(tau.reshape(no1 * no2, nv * nv),
+                 W.reshape(nv * nv, na * nb),
+                 preferred_element_type=tau.dtype)
     return out.reshape(no1, no2, na, nb)
 
 
@@ -177,7 +179,8 @@ def residuals_ccd(F, ERI, L, t1, t2, no):
     Wmbje = (-ERI[o, v, o, v]
              + 0.5 * contract("jnfb,mnfe->mbje", t2, ERI[o, o, v, v]))
 
-    r1 = jnp.zeros_like(t1)
+    from ..ops.ctensor import ct_zeros_like
+    r1 = ct_zeros_like(t1)
     r2 = 0.5 * ERI[o, o, v, v]
     r2 += contract("ijae,be->ijab", t2, Fae)
     r2 -= contract("imab,mj->ijab", t2, Fmi)

@@ -29,12 +29,18 @@ class rtcc:
     """Real-time CC object providing data for an ODE propagator."""
 
     def __init__(self, ccwfn, cclambda, ccdensity, V, magnetic=False,
-                 kick=None):
+                 kick=None, ri_split=False):
         self.ccwfn = ccwfn
         self.cclambda = cclambda
         self.ccdensity = ccdensity
         self.V = V
         self.magnetic = bool(magnetic)
+        # ri_split: carry the complex amplitudes as (re, im) real pairs so
+        # the RHS executes on TPU (the axon runtime has NO complex ops;
+        # see ops/ctensor.py).  CCD/CC2/CCSD, canonical only.
+        self.ri_split = bool(ri_split)
+        if self.ri_split and (ccwfn.model == "CC3" or ccwfn.local):
+            raise Exception("ri_split supports canonical CCD/CC2/CCSD only.")
 
         self.mu = ccwfn.H.mu
         if kick:
@@ -117,6 +123,41 @@ class rtcc:
         self._phase_fn = lambda F, t1, t2: _phase(F, t1, t2,
                                                   _views(self._H_args)[1])
 
+        def _f_core_ri(t, yri, *Hargs):
+            from ..ops.ctensor import CTensor
+            ERI, L = _views(Hargs)
+
+            def amp(lo, hi, shape):
+                return CTensor(yri[0, lo:hi].reshape(shape),
+                               yri[1, lo:hi].reshape(shape))
+
+            t1 = amp(0, len1, (no, nv))
+            t2 = amp(len1, len1 + len2, (no, no, nv, nv))
+            l1 = amp(len1 + len2, 2 * len1 + len2, (no, nv))
+            l2 = amp(2 * len1 + len2, 2 * (len1 + len2), (no, no, nv, nv))
+
+            F = Fj + mu_tot.real * self.V(t)  # the field stays real
+
+            rt1, rt2 = residual_fn(F, ERI, L, t1, t2, no)
+            rt1 = rt1 * (-1.0j)
+            rt2 = rt2 * (-1.0j)
+            rl1, rl2 = lambda_residuals_from_F(model, F, ERI, L,
+                                               t1, t2, l1, l2, no,
+                                               real_time=ccwfn.real_time,
+                                               F_ref=Fj)
+            rl1 = rl1 * (1.0j)
+            rl2 = rl2 * (1.0j)
+            ph = _phase(F, t1, t2, L)
+            re = jnp.concatenate([rt1.re.ravel(), rt2.re.ravel(),
+                                  rl1.re.ravel(), rl2.re.ravel(),
+                                  ph.re.reshape(1)])
+            im = jnp.concatenate([rt1.im.ravel(), rt2.im.ravel(),
+                                  rl1.im.ravel(), rl2.im.ravel(),
+                                  ph.im.reshape(1)])
+            return jnp.stack([re, im])
+
+        self._f_ri_jit = jax.jit(_f_core_ri)
+
         def _lagrangian(t, t1, t2, l1, l2, *Hargs):
             ERIv, Lv = _views(Hargs)
             F = Fj.astype(t1.dtype) + mu_tot.astype(t1.dtype) * self.V(t)
@@ -161,6 +202,12 @@ class rtcc:
     # ------------------------------------------------------------------
     def f(self, t, y):
         """ODE right-hand side; numpy-compatible for scipy.complex_ode."""
+        if self.ri_split:
+            y = np.asarray(y)
+            yri = jnp.stack([jnp.asarray(y.real), jnp.asarray(y.imag)])
+            out = np.asarray(self._f_ri_jit(jnp.asarray(t), yri,
+                                            *self._H_args))
+            return out[0] + 1.0j * out[1]
         return np.asarray(self._f_jit(jnp.asarray(t), jnp.asarray(y),
                                       *self._H_args))
 

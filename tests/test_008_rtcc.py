@@ -190,3 +190,40 @@ def test_rtcc_cc2_smoke():
     ecc = rt.lagrangian(t, t1, t2, l1, l2)
     assert np.isfinite(complex(ecc).real)
     assert all(np.isfinite(complex(m).real) for m in mu)
+
+
+def test_ri_split_matches_complex():
+    """Real/imag-split RT (rtcc(ri_split=True), ops/ctensor.py): RHS and
+    short rk4 trajectories equal the complex-dtype path to ~1e-17.  This is
+    the TPU-executable formulation (the accelerator runtime has no complex
+    ops at all)."""
+    cc, lam, dens = _setup("He", "cc-pvdz")
+    V = gaussian_laser(0.01, 0, 0.01, 0.05)
+    rt_c = pycc_tpu.rtcc(cc, lam, dens, V)
+    rt_r = pycc_tpu.rtcc(cc, lam, dens, V, ri_split=True)
+    y0 = rt_c.collect_amps(cc.t1, cc.t2, lam.l1, lam.l2,
+                           0).astype("complex128")
+    assert np.abs(rt_c.f(0.02, y0) - rt_r.f(0.02, y0)).max() < 1e-14
+    yc, yr, t = y0.copy(), y0.copy(), 0.0
+    for _ in range(5):
+        yc = rk4(0.01)(rt_c.f, t, yc)
+        yr = rk4(0.01)(rt_r.f, t, yr)
+        t += 0.01
+    assert np.abs(yc - yr).max() < 1e-14
+
+
+def test_ri_split_rejects_unsupported():
+    cc, lam, dens = _setup("He", "cc-pvdz")
+    import pycc_tpu as p
+    with contextlib.redirect_stdout(io.StringIO()):
+        cc3 = p.ccwfn(scf("He", "cc-pvdz", freeze_core=False), model="CC3")
+        cc3.solve_cc(1e-10, 1e-10)
+        hb3 = p.cchbar(cc3)
+        lam3 = p.cclambda(cc3, hb3)
+        lam3.solve_lambda(1e-10, 1e-10)
+        dens3 = p.ccdensity(cc3, lam3)
+    try:
+        p.rtcc(cc3, lam3, dens3, None, ri_split=True)
+        assert False, "should have raised"
+    except Exception as e:
+        assert "canonical" in str(e)

@@ -419,15 +419,12 @@ class ccwfn:
         use_filter = self.local is not None
         filter_fn = self.Local.filter_amps if use_filter else None
         diis = DIIS((self.t1, self.t2), max_diis=max(max_diis, 1))
-        if self.storage == "blocked":
-            from .models.blocked import blocked_views
-            ERIc, Lc = blocked_views(self.blocks, no)
-        else:
-            ERIc, Lc = H.ERI, H.L
+        blocked = self.storage == "blocked"
+        Fj = jnp.asarray(H.F)
 
-        def body(carry):
+        def body(carry, ERIc, Lc):
             t1, t2, state, niter, ecc, _rms, _done = carry
-            r1, r2 = residual_fn(H.F, ERIc, Lc, t1, t2, no)
+            r1, r2 = residual_fn(Fj, ERIc, Lc, t1, t2, no)
             if use_filter:
                 inc1, inc2 = filter_fn(r1, r2)
             else:
@@ -437,7 +434,7 @@ class ccwfn:
             t2n = t2 + inc2
             rms = jnp.sqrt(jnp.sum(jnp.abs(inc1) ** 2)
                            + jnp.sum(jnp.abs(inc2) ** 2))
-            ecc_new = jnp.real(energy_fn(H.F, Lc, t1n, t2n, no))
+            ecc_new = jnp.real(energy_fn(Fj, Lc, t1n, t2n, no))
             done = (jnp.abs(ecc_new - ecc) < e_conv) & (rms < r_conv)
             state = diis.push(state, (t1n, t2n), (t1, t2))
             do_ext = (max_diis > 0) & (niter + 1 >= start_diis) & ~done
@@ -450,14 +447,24 @@ class ccwfn:
             niter, done = carry[3], carry[6]
             return (~done) & (niter < maxiter)
 
+        # H enters as jit ARGUMENTS (closure constants are serialized into
+        # the remote TPU compile request)
         @jax.jit
-        def run(t1, t2):
-            ecc0 = jnp.real(energy_fn(H.F, Lc, t1, t2, no))
+        def run(t1, t2, ERIa, La):
+            if blocked:
+                from .models.blocked import blocked_views
+                ERIc, Lc = blocked_views(ERIa, no)
+            else:
+                ERIc, Lc = ERIa, La
+            ecc0 = jnp.real(energy_fn(Fj, Lc, t1, t2, no))
             carry = (t1, t2, diis.init(), jnp.array(0), ecc0,
                      jnp.array(jnp.inf, dtype=ecc0.dtype), jnp.array(False))
-            return jax.lax.while_loop(cond, body, carry)
+            return jax.lax.while_loop(
+                cond, lambda c: body(c, ERIc, Lc), carry)
 
-        t1, t2, _state, niter, ecc, rms, done = run(self.t1, self.t2)
+        ERIa, La = self._solver_H()
+        t1, t2, _state, niter, ecc, rms, done = run(self.t1, self.t2,
+                                                    ERIa, La)
         self.t1, self.t2 = t1, t2
         self.ecc = float(ecc)
         print("CCWFN (fused) converged=%s in %d iterations: E(%s) = %.15f"

@@ -5,7 +5,8 @@ truncated pair-local spaces (padded stacks t1: (no, D), t2: (no^2, D, D)).
 
 CCD and CCSD use the genuinely local-scaling batched pair-space equations
 (lccwfn_local.py): per-iteration cost depends on the truncated dimension D,
-not nv.  CC2 falls back to an algebraically-identical dense-backend path
+not nv.  CC2 also runs native local equations (residuals_cc2_local); a
+dense-backend path remains as the cross-validation oracle
 (canonical residual on back-transformed amplitudes, projected per pair).
 Both match the reference's native solver and the `filter=True` simulation
 path to machine precision (the cross-validation oracle of
@@ -63,7 +64,7 @@ class lccwfn:
         # CCD/CCSD: genuinely local-scaling residual evaluation (the
         # per-iteration cost is independent of nv); CC2 uses the dense
         # backend for now.
-        self._use_local_eqs = model in ("CCD", "CCSD")
+        self._use_local_eqs = model in ("CCD", "CCSD", "CC2")
         if self._use_local_eqs:
             from . import lccwfn_local as leq
             D2 = Local.D2
@@ -74,8 +75,9 @@ class lccwfn:
                 en_fn = lambda pre, t1r, t2r: leq.energy_ccd_local(pre, t2r)
             else:
                 self._pre = leq.precompute_ccsd(H, Local, no, nv)
-                res_fn = lambda pre, t1r, t2r: leq.residuals_ccsd_local(
-                    pre, t1r, t2r)
+                _res = (leq.residuals_cc2_local if model == "CC2"
+                        else leq.residuals_ccsd_local)
+                res_fn = lambda pre, t1r, t2r: _res(pre, t1r, t2r)
                 en_fn = lambda pre, t1r, t2r: leq.energy_ccsd_local(
                     pre, t1r, t2r)
             Dloc_r = Dloc.reshape(no, no, D2, D2)

@@ -282,6 +282,74 @@ def residuals_ccsd_local(pre, t1loc, t2r):
     return r1, r2 + r2.transpose(1, 0, 3, 2)
 
 
+def residuals_cc2_local(pre, t1loc, t2r):
+    """(r1, r2) from the local CC2 equations (pair-space, overlap-stitched).
+
+    No reference counterpart: the reference's lccwfn implements only
+    CCD/CCSD natively (/root/reference/pycc/lccwfn.py:7) and runs CC2 on
+    the dense simulation path.  r1 is the full CCSD singles equation
+    (CC2's singles are untruncated); r2 keeps only the bare-Fock doubles
+    coupling plus T1-dressed integrals, mirroring models/ccsd.residuals_cc2
+    term by term in the truncated pair bases."""
+    Sr = pre["Sr"]
+
+    Sb_t1mm = contract("ijmbx,mx->ijmb", pre["Sijmm"], t1loc)
+    Sb_t1nn = contract("ijnbx,nx->ijnb", pre["Sijnn"], t1loc)
+
+    # ---- full (CCSD) Fae / Fmi / Fme for the singles equation
+    t2s2 = 2.0 * t2r - t2r.swapaxes(2, 3)
+    ST = contract("ijmnax,mnxy->ijmnay", Sr, t2r)
+    Fae = pre["Fvv"] - contract("ijmnay,ijmney->ijae", ST, pre["TL"])
+    Fae -= 0.5 * contract("ijma,ijme->ijae", Sb_t1mm, pre["Fov_loc"])
+    Fae += contract("mb,ijmabe->ijae", t1loc, pre["TLm"])
+    Fae -= 0.5 * contract("ijma,nf,ijmnef->ijae", Sb_t1mm, t1loc, pre["TLnn"])
+
+    Fmi = pre["F_oo"] + contract("jnab,jnmab->mj", t2r, pre["BL"])
+    Fmi += 0.5 * contract("je,jme->mj", t1loc, pre["FovD"])
+    Fmi += contract("ne,mnje->mj", t1loc, pre["LooovD"])
+    Fmi += 0.5 * contract("je,nf,mnjef->mj", t1loc, t1loc, pre["TL2"])
+
+    Fme = pre["Fov_loc"] + contract("nf,ijmnef->ijme", t1loc, pre["TLnn"])
+    Fme_im = jnp.einsum("imme->ime", Fme)
+
+    Fae_ii = jnp.einsum("iiae->iae", Fae)
+    r1 = pre["Fov_ii"] + contract("ie,iae->ia", t1loc, Fae_ii)
+    St1_iimm = contract("imax,mx->ima", pre["Siimm"], t1loc)
+    r1 -= contract("ima,mi->ia", St1_iimm, Fmi)
+    T1a = contract("imax,imxe->imae", pre["Siiim"], t2s2)
+    r1 += contract("imae,ime->ia", T1a, Fme_im)
+    r1 += contract("imaef,mief->ia", pre["Eovvv_mi"], t2s2)
+    r1 += contract("nf,inaf->ia", t1loc, pre["Lnvvi"])
+    ST1 = contract("imnax,mnxe->imnae", pre["Siimn"], t2r)
+    r1 -= contract("imnae,mnie->ia", ST1, pre["LoovoD"])
+
+    # ---- CC2 doubles: bare Fock coupling + T1-dressed integrals
+    # effective fae/fmi fold the two canonical 0.5-halves into weight 1
+    fae = pre["Fvv"] - contract("ijmb,ijme->ijbe", Sb_t1mm, pre["Fov_loc"])
+    fmi = pre["F_oo"] + contract("je,jme->mj", t1loc, pre["FovD"])
+
+    Wmnij = pre["ERI_oooo"]
+    Wmnij += contract("je,mnije->mnij", t1loc, pre["EooovD"])
+    Wmnij += contract("ie,mnije->mnij", t1loc, pre["EoovoD"])
+    Wmnij += contract("ie,jf,mnijef->mnij", t1loc, t1loc, pre["TE2"])
+
+    Zmb = contract("ie,jf,ijmbef->ijmb", t1loc, t1loc, pre["Eovvv_iijj"])
+
+    r2 = 0.5 * jnp.einsum("ijijab->ijab", pre["BE"])
+    r2 += contract("ijae,ijbe->ijab", t2r, fae)
+    D3 = contract("ijmax,imxy,ijmby->ijmab", pre["Sijim"], t2r, pre["Sijim"])
+    r2 -= contract("ijmab,mj->ijab", D3, fmi)
+    r2 += 0.5 * contract("ijma,ijnb,mnij->ijab", Sb_t1mm, Sb_t1nn, Wmnij)
+    r2 += 0.5 * contract("ie,jf,ijabef->ijab", t1loc, t1loc, pre["VV2"])
+    r2 -= contract("ijma,ijmb->ijab", Sb_t1mm, Zmb)
+    r2 -= contract("ijma,ie,ijmbe->ijab", Sb_t1mm, t1loc, pre["E9"])
+    r2 -= contract("ijmae,ie,ijmb->ijab", pre["E11"], t1loc, Sb_t1mm)
+    r2 += contract("ie,ijabe->ijab", t1loc, pre["Evvvo_loc"])
+    r2 -= contract("ijma,ijmb->ijab", Sb_t1mm, pre["Eovoo_loc"])
+
+    return r1, r2 + r2.transpose(1, 0, 3, 2)
+
+
 def energy_ccsd_local(pre, t1loc, t2r):
     e = 2.0 * contract("ia,ia->", pre["Fov_ii"], t1loc)
     e += contract("ijab,ijab->", t2r, pre["Ldiag"])

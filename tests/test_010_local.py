@@ -105,3 +105,22 @@ def test_local_vs_simulated_ccsd():
     with contextlib.redirect_stdout(io.StringIO()):
         e_lcc = lcc.lccwfn.solve_lcc(1e-12, 1e-12, maxiter=100)
     assert abs(e_sim - e_lcc) < 1e-12
+
+
+def test_native_local_cc2_matches_dense_backend():
+    """residuals_cc2_local (native pair-space CC2 — beyond the reference,
+    whose lccwfn is CCD/CCSD only): equals the dense-backend local CC2
+    solver to machine precision."""
+    import contextlib
+    import io
+
+    wfn = scf("H2O", "cc-pvdz", freeze_core=True)
+    with contextlib.redirect_stdout(io.StringIO()):
+        cc_n = pycc_tpu.ccwfn(wfn, model="CC2", local="PNO",
+                              local_cutoff=1e-5)
+        e_n = cc_n.lccwfn.solve_lcc(1e-10, 1e-10)
+        cc_d = pycc_tpu.ccwfn(wfn, model="CC2", local="PNO",
+                              local_cutoff=1e-5)
+        cc_d.lccwfn._use_local_eqs = False
+        e_d = cc_d.lccwfn.solve_lcc(1e-10, 1e-10)
+    assert abs(e_n - e_d) < 1e-12

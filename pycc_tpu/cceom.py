@@ -97,7 +97,22 @@ class cceom:
             return jnp.concatenate([s1.ravel(), s2.ravel()])
 
         _sig_v = jax.jit(jax.vmap(sig, in_axes=(None, None, 0)))
-        self._sigma = lambda C: _sig_v(hb, cc.t2, C)
+
+        def sigma(C):
+            # pad the subspace to the next power-of-two bucket: a growing
+            # Davidson subspace otherwise recompiles the vmapped sigma for
+            # EVERY new size — ruinous through a remote-compile TPU tunnel
+            M = C.shape[0]
+            Mp = 1
+            while Mp < M:
+                Mp *= 2
+            if Mp != M:
+                C = jnp.concatenate(
+                    [jnp.asarray(C),
+                     jnp.zeros((Mp - M, C.shape[1]), C.dtype)])
+            return _sig_v(hb, cc.t2, C)[:M]
+
+        self._sigma = sigma
 
     # ------------------------------------------------------------------
     def dense_matrix(self):

@@ -73,20 +73,22 @@ def _run(no, nv):
     blocks = jax.jit(blocks_from_full, static_argnums=1)(ERI, no)
     del ERI, L
 
+    # big arrays enter as jit ARGUMENTS (closure constants are serialized
+    # into the axon remote-compile HTTP request -> 413 at larger sizes)
     @jax.jit
-    def step(F, blocks, t1, t2):
+    def step(F, blocks, Dia, Dijab, t1, t2):
         bE, bL = blocked_views(blocks, no)
         r1, r2 = eqs.residuals_ccsd(F, bE, bL, t1, t2, no)
         return t1 + r1 / Dia, t2 + r2 / Dijab
 
     # warmup/compile
-    a, b = step(F, blocks, t1, t2)
+    a, b = step(F, blocks, Dia, Dijab, t1, t2)
     a.block_until_ready()
 
     n = 10
     t0 = time.time()
     for _ in range(n):
-        a, b = step(F, blocks, a, b)
+        a, b = step(F, blocks, Dia, Dijab, a, b)
     a.block_until_ready()
     dt = (time.time() - t0) / n
 

@@ -32,29 +32,10 @@ void boys(int mmax, double T, double* F) {
         return;
     }
     // series for F_mmax, then downward recursion
+    // term_0 = 1/(2m+1); term_k = term_{k-1} * 2T/(2m+2k+1)
     double e = std::exp(-T);
-    double num = 1.0;       // (2T)^k
-    double den = 2 * mmax + 1;  // (2m+2k+1)!! running product
-    double term = 1.0 / den;
-    double sum = term;
-    double dd = den;
-    for (int k = 1; k < 200; ++k) {
-        num *= 2.0 * T;
-        dd += 2.0;
-        den *= 1.0;
-        term = num;
-        // recompute (2m+1)(2m+3)...(2m+2k+1)
-        // maintain product incrementally:
-        // prod_k = prod_{k-1} * (2m+2k+1)
-        // term_k = (2T)^k / prod_k
-        // implement via running term:
-        // term_k = term_{k-1} * 2T / (2m+2k+1)
-        if (k == 1) term = (2.0 * T) / ((2 * mmax + 1.0) * (2 * mmax + 3.0));
-        break;  // replaced by clean loop below
-    }
-    // clean series: term_0 = 1/(2m+1); term_k = term_{k-1} * 2T/(2m+2k+1)
     double t0 = 1.0 / (2 * mmax + 1);
-    sum = t0;
+    double sum = t0;
     double tk = t0;
     for (int k = 1; k < 300; ++k) {
         tk *= 2.0 * T / (2 * mmax + 2 * k + 1);
@@ -240,15 +221,12 @@ extern "C" int md_eri(
             const ShellPairData& P2 = pairs[qi];
             auto hl2 = hermite_list(P2.L);
             int Ltot = P1.L + P2.L;
-            int nR = (Ltot + 1) * (Ltot + 2) * (Ltot + 3) / 6 * 0 + (Ltot + 1) * (Ltot + 1) * (Ltot + 1);
-            // R tensor stored dense (t,u,v) cube for simplicity
+            // R tensor stored as a dense (n,t,u,v) hypercube for simplicity
             std::vector<double> blk((size_t)P1.ncab * P2.ncab, 0.0);
-            std::vector<double> R((size_t)(Ltot + 1) * (Ltot + 1) * (Ltot + 1));
             std::vector<double> Rn((size_t)(Ltot + 1) * (Ltot + 1) * (Ltot + 1) * (Ltot + 1));
             auto Rat = [&](std::vector<double>& arr, int n, int t, int u, int v) -> double& {
                 return arr[(((size_t)n * (Ltot + 1) + t) * (Ltot + 1) + u) * (Ltot + 1) + v];
             };
-            (void)nR;
             for (const PrimPair& qp1 : P1.pp) {
                 for (const PrimPair& qp2 : P2.pp) {
                     double alpha = qp1.p * qp2.p / (qp1.p + qp2.p);

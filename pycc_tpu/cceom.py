@@ -9,6 +9,7 @@ reference's in-test Psi4 EOM run.
 """
 
 import time
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -189,10 +190,12 @@ class cceom:
             a = np.real(a[:, idx])
 
             r = a.T @ S - np.diag(E) @ a.T @ C
+            rnorms = np.linalg.norm(r, axis=1)
             delta = r / np.subtract.outer(E, D)
 
             dE = E - E_old
-            if np.abs(np.linalg.norm(dE)) <= e_conv:
+            if (np.abs(np.linalg.norm(dE)) <= e_conv
+                    and np.all(rnorms <= r_conv)):
                 converged = True
                 break
 
@@ -216,18 +219,27 @@ class cceom:
                 if n > 1e-7:
                     added.append(d / n)
             if not added:
-                converged = True
+                # every correction was linearly dependent on the subspace;
+                # trust it only if the residuals are actually small
+                converged = bool(np.all(rnorms <= r_conv))
+                if not converged:
+                    warnings.warn(
+                        "CCEOM: correction space exhausted with max residual "
+                        "norm %.2e > r_conv=%.1e" % (rnorms.max(), r_conv))
                 break
             new = np.array(added)
             S_new = np.asarray(self._sigma(jnp.asarray(new)))
             C = np.vstack((C, new))
             S = np.vstack((S, S_new))
 
+        self.converged = converged
         if converged:
             print("\nCCEOM converged in %.3f seconds." % (time.time() - t_init))
             print("\nState     E_h           eV")
             for state in range(N):
                 print("  %3d  %12.10f  %12.10f"
                       % (state, E[state], E[state] * HARTREE2EV))
-            return E, C
+        else:
+            warnings.warn("CCEOM did NOT converge in %d iterations "
+                          "(|dE|=%.2e)" % (maxiter, np.linalg.norm(E - E_old)))
         return E, C

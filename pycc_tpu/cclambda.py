@@ -8,6 +8,7 @@ field-dressed) Fock matrix for the real-time module.
 """
 
 import time
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -238,10 +239,14 @@ class cclambda:
                   % (niter, lecc, ediff, rms))
             if abs(ediff) < e_conv and rms < r_conv:
                 self.l1, self.l2 = l1n, l2n
+                self.converged = True
                 print("\nLambda-CC has converged in %.3f seconds.\n"
                       % (time.time() - tstart))
                 return lecc
         self.l1, self.l2 = l1, l2
+        self.converged = False
+        warnings.warn("Lambda-CC did NOT converge in %d iterations "
+                      "(dE=%.2e rms=%.2e)" % (maxiter, ediff, rms))
         return lecc
 
     def pseudoenergy(self, o, v, ERI, l2):

@@ -8,6 +8,7 @@ linear-response function linresp_asym.  The reference's partially-broken
 """
 
 import time
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -368,8 +369,12 @@ class ccresponse:
                 print("\nPerturbed wave function converged in %.3f seconds.\n"
                       % (time.time() - t0))
                 self.X1, self.X2 = X1n, X2n
+                self.converged = True
                 return X1n, X2n, pseudo
         self.X1, self.X2 = X1, X2
+        self.converged = False
+        warnings.warn("solve_right did NOT converge in %d iterations "
+                      "(rms=%.2e)" % (maxiter, rms))
         return X1, X2, pseudo
 
     def solve_left(self, A, omega, e_conv=1e-12, r_conv=1e-12, maxiter=200,
@@ -423,8 +428,12 @@ class ccresponse:
                 print("\nPerturbed wave function converged in %.3f seconds.\n"
                       % (time.time() - t0))
                 self.Y1, self.Y2 = Y1n, Y2n
+                self.converged = True
                 return Y1n, Y2n, pseudo
         self.Y1, self.Y2 = Y1, Y2
+        self.converged = False
+        warnings.warn("solve_left did NOT converge in %d iterations "
+                      "(rms=%.2e)" % (maxiter, rms))
         return Y1, Y2, pseudo
 
     # ------------------------------------------------------------------

@@ -12,6 +12,7 @@ per-contraction data migration.
 """
 
 import time
+import warnings
 from functools import partial
 
 import jax
@@ -352,6 +353,7 @@ class ccwfn:
             if abs(ediff) < e_conv and rms < r_conv:
                 # converged amplitudes = pre-extrapolation update
                 self.t1, self.t2 = t1n, t2n
+                self.converged = True
                 print("\nCCWFN converged in %.3f seconds.\n" % (time.time() - tstart))
                 print("E(REF)  = %20.15f" % self.eref)
                 if self.model == "CCSD(T)":
@@ -370,6 +372,9 @@ class ccwfn:
                 return ecc
         self.t1, self.t2 = t1, t2
         self.ecc = ecc
+        self.converged = False
+        warnings.warn("CCWFN did NOT converge in %d iterations "
+                      "(dE=%.2e rms=%.2e)" % (maxiter, ediff, rms))
         return ecc
 
     def t3_density(self):

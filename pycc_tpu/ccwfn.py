@@ -57,11 +57,17 @@ class ccwfn:
         self.t3_scan = kwargs.pop("t3_scan", None)
         # storage='blocked' feeds the iterative solve the six unique Dirac
         # ERI blocks (models/blocked.py) instead of full ERI + L: ~5x less
-        # HBM and no tile-padding waste on TPU.  'full' is the default.
+        # HBM and no tile-padding waste on TPU.  storage='df' goes further:
+        # a pivoted-Cholesky factorization (ops/cholesky.py) replaces the
+        # nact^4 tensors with naux*nact^2 three-index factors and the
+        # residuals assemble everything on the fly (models/dfccsd.py) —
+        # the route past the dense-ERI memory wall.  'full' is the default.
         storage = kwargs.pop("storage", "full").lower()
-        if storage not in ("full", "blocked"):
+        if storage not in ("full", "blocked", "df"):
             raise Exception("%s is not an allowed storage mode." % storage)
         self.storage = storage
+        self.df_tol = kwargs.pop("df_tol", 1e-8)
+        self._df_nblocks = kwargs.pop("df_nblocks", None)
         self.real_time = kwargs.pop("real_time", False)
 
         valid_local = [None, "PNO", "PAO", "CPNO++", "PNO++"]
@@ -109,9 +115,10 @@ class ccwfn:
             self.C = C_act
             self.H = build_hamiltonian(scf_wfn, C=C_act)
         else:
-            # blocked storage keeps the dense nact^4 tensors on the host;
-            # only the six Dirac blocks are shipped to the device below
-            self.H = build_hamiltonian(scf_wfn, host=(storage == "blocked"))
+            # blocked/df storage keeps the dense nact^4 tensors on the host;
+            # only the Dirac blocks / Cholesky factors go to the device
+            self.H = build_hamiltonian(scf_wfn,
+                                       host=(storage in ("blocked", "df")))
         if precision == "SP":
             self.H = Hamiltonian(F=self.H.F.astype(dtype),
                                  ERI=self.H.ERI.astype(dtype),
@@ -172,18 +179,49 @@ class ccwfn:
             self.blocks = ERIBlocks(*(jnp.asarray(b, dtype=dtype)
                                       for b in blocks_np))
 
+        self._df_residual_fn = None
+        if self.storage == "df":
+            if self.local is not None or self.model == "CC3":
+                raise Exception("storage='df' supports canonical "
+                                "CCD/CC2/CCSD/CCSD(T) only.")
+            from .models import dfccsd as dfq
+            from .ops.cholesky import cholesky_factor_eri
+            B = cholesky_factor_eri(np.asarray(self.H.ERI), tol=self.df_tol)
+            self.naux = B.shape[0]
+            self.dfb = dfq.df_blocks(jnp.asarray(B, dtype=dtype), self.no)
+            _df_map = {"CCD": dfq.residuals_ccd_df,
+                       "CC2": dfq.residuals_cc2_df,
+                       "CCSD": dfq.residuals_ccsd_df,
+                       "CCSD(T)": dfq.residuals_ccsd_df}
+            self._df_residual_fn = partial(_df_map[self.model],
+                                           nblocks=self._df_nblocks)
+            print("DF/Cholesky factors: naux = %d (tol %.1e)"
+                  % (self.naux, self.df_tol))
+
         print("CCWFN object initialized in %.3f seconds." % (time.time() - time_init))
 
     def _solver_H(self):
-        """(ERI-arg, L-arg) for the jitted solve step: the full tensors, or
-        the ERIBlocks pytree (+ None) under storage='blocked'."""
+        """(ERI-arg, L-arg) for the jitted solve step: the full tensors,
+        the ERIBlocks pytree (+ None) under storage='blocked', or the
+        DFERI factor pytree (+ None) under storage='df'."""
         if self.storage == "blocked":
             return self.blocks, None
+        if self.storage == "df":
+            return self.dfb, None
         return self.H.ERI, self.H.L
+
+    def _df_Loovv(self, dfb=None):
+        """L[o,o,v,v] assembled from the Cholesky factors (trace inside
+        jit; XLA CSEs it against the residual's own assembly)."""
+        from .models.dfccsd import _eri_oovv
+        e = _eri_oovv(self.dfb if dfb is None else dfb)
+        return 2.0 * e - e.swapaxes(2, 3)
 
     # ------------------------------------------------------------------
     def residuals(self, F, t1, t2):
         """T1/T2 residuals r_mu = <mu|HBAR|0> for the current amplitudes."""
+        if self.storage == "df":
+            return self._df_residual_fn(F, self.dfb, t1, t2, self.no)
         return self._residual_fn(F, self.H.ERI, self.H.L, t1, t2, self.no)
 
     def cc_energy(self, t1, t2, F=None):
@@ -193,6 +231,11 @@ class ccwfn:
             from .models.blocked import blocked_views
             _, bL = blocked_views(self.blocks, self.no)
             return self._energy_fn(jnp.asarray(F), bL, t1, t2, self.no)
+        if self.storage == "df":
+            from .models.blocked import LoovvOnly
+            return self._energy_fn(jnp.asarray(F),
+                                   LoovvOnly(self._df_Loovv(), self.no),
+                                   t1, t2, self.no)
         return self._energy_fn(F, self.H.L, t1, t2, self.no)
 
     # ------------------------------------------------------------------
@@ -277,12 +320,20 @@ class ccwfn:
                     state)
                 return t1n, t2n, t1e, t2e, state, ecc, rms
 
+        df_mode = self.storage == "df"
+        df_residual_fn = self._df_residual_fn
+
         @jax.jit
         def step(F, ERI, L, Dia, Dijab, t1, t2, state, do_extrap):
             if blocked:
                 from .models.blocked import blocked_views
                 ERI, L = blocked_views(ERI, no)
-            r1, r2 = residual_fn(F, ERI, L, t1, t2, no)
+            if df_mode:
+                from .models.blocked import LoovvOnly
+                r1, r2 = df_residual_fn(F, ERI, t1, t2, no)
+                L = LoovvOnly(self._df_Loovv(ERI), no)
+            else:
+                r1, r2 = residual_fn(F, ERI, L, t1, t2, no)
             if use_filter:
                 inc1, inc2 = filter_fn(r1, r2)
             else:
@@ -427,9 +478,15 @@ class ccwfn:
         blocked = self.storage == "blocked"
         Fj = jnp.asarray(H.F)
 
+        df_mode = self.storage == "df"
+        df_residual_fn = self._df_residual_fn
+
         def body(carry, ERIc, Lc):
             t1, t2, state, niter, ecc, _rms, _done = carry
-            r1, r2 = residual_fn(Fj, ERIc, Lc, t1, t2, no)
+            if df_mode:
+                r1, r2 = df_residual_fn(Fj, ERIc, t1, t2, no)
+            else:
+                r1, r2 = residual_fn(Fj, ERIc, Lc, t1, t2, no)
             if use_filter:
                 inc1, inc2 = filter_fn(r1, r2)
             else:
@@ -459,6 +516,10 @@ class ccwfn:
             if blocked:
                 from .models.blocked import blocked_views
                 ERIc, Lc = blocked_views(ERIa, no)
+            elif df_mode:
+                from .models.blocked import LoovvOnly
+                ERIc = ERIa
+                Lc = LoovvOnly(self._df_Loovv(ERIa), no)
             else:
                 ERIc, Lc = ERIa, La
             ecc0 = jnp.real(energy_fn(Fj, Lc, t1, t2, no))

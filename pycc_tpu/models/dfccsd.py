@@ -1,0 +1,375 @@
+"""Density-fitted (Cholesky-factorized) CCSD amplitude equations.
+
+The same spin-adapted closed-shell equations as models/ccsd.py
+(/root/reference/pycc/ccwfn.py:331-622 is the reference's dense builder),
+re-derived so that NO four-index quantity larger than o^2 v^2 ever exists:
+the Hamiltonian enters as three-index Cholesky factors
+
+    ERI[p,q,r,s] = <pq|rs> = (pr|qs) = sum_P B[P,p,r] B[P,q,s]
+
+split into occ/vir blocks Boo/Bov/Bvv (ops/cholesky.py builds B).  This is
+the architecture that breaks the reference's nact^4 memory wall
+(/root/reference/pycc/hamiltonian.py:36-39): at nact ~ 600 the dense ERI+L
+pair is ~2 TB while B is naux * nact^2 ~ a few GB.
+
+Key re-factorizations (everything is an MXU matmul):
+
+* all <= o^2 v^2 integral classes (oovv, ovvo, ovov, oooo, ooov, ovoo) are
+  assembled once per residual evaluation from B — cheap naux-contraction
+  matmuls that XLA fuses into their consumers;
+* every ovvv-class term is reordered so the v^3 tensor never forms
+  (t1/t2 first contract with one B factor, then with the other);
+* the particle-particle ladder folds its t1 contamination (the reference's
+  Zmbij term) into a LEFT-DRESSED factor  BL[P,a,e] = 0.5 B[P,a,e] -
+  sum_m t1[m,a] B[P,m,e],  so the ladder is a single dressed contraction
+
+      r2 += sum_ef tau[i,j,e,f] * sum_P BL[P,a,e] B[P,b,f]
+
+  evaluated in a-blocks under lax.scan: per block a (blk*v, naux) x
+  (naux, v^2) assembly matmul feeds an (o^2, v^2) x (v^2, blk*v)
+  application matmul, with peak extra memory blk * v^3 instead of v^4.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.contract import contract
+
+
+class DFERI(NamedTuple):
+    """Cholesky/DF factors of the active-space ERI, blocked by MO space.
+
+    Boo (naux,o,o), Bov (naux,o,v), Bvv (naux,v,v); B[P] is symmetric, so
+    the vo block is Bov transposed.
+    """
+    Boo: jnp.ndarray
+    Bov: jnp.ndarray
+    Bvv: jnp.ndarray
+
+
+def df_blocks(B, no):
+    """Split full B (naux, nact, nact) into a DFERI pytree."""
+    return DFERI(Boo=B[:, :no, :no], Bov=B[:, :no, no:], Bvv=B[:, no:, no:])
+
+
+# ---------------------------------------------------------------------------
+# <= o^2 v^2 integral classes, assembled on the fly
+# ---------------------------------------------------------------------------
+
+def _eri_oovv(df):   # <mn|ef> = (me|nf)
+    return contract("Pme,Pnf->mnef", df.Bov, df.Bov)
+
+
+def _eri_ovvo(df):   # <mb|ej> = (me|bj)
+    return contract("Pme,Pjb->mbej", df.Bov, df.Bov)
+
+
+def _eri_ovov(df):   # <mb|je> = (mj|be)
+    return contract("Pmj,Pbe->mbje", df.Boo, df.Bvv)
+
+
+def _eri_oooo(df):   # <mn|ij> = (mi|nj)
+    return contract("Pmi,Pnj->mnij", df.Boo, df.Boo)
+
+
+def _eri_ooov(df):   # <mn|ie> = (mi|ne)
+    return contract("Pmi,Pne->mnie", df.Boo, df.Bov)
+
+
+def _eri_ovoo(df):   # <mb|ij> = (mi|bj)
+    return contract("Pmi,Pjb->mbij", df.Boo, df.Bov)
+
+
+# ---------------------------------------------------------------------------
+# one-particle intermediates
+# ---------------------------------------------------------------------------
+
+def _tau(t1, t2, f1=1.0, f2=1.0):
+    return f1 * t2 + f2 * contract("ia,jb->ijab", t1, t1)
+
+
+def build_Fae_df(F, df, Loovv, t1, t2, no):
+    # contract('mf,mafe->ae', t1, L[o,v,v,v]) with L[mafe] = 2(mf|ae)-(me|af)
+    dP = contract("Pmf,mf->P", df.Bov, t1)
+    Cam = contract("Paf,mf->Pam", df.Bvv, t1)
+    ovvv_term = (2.0 * contract("P,Pae->ae", dP, df.Bvv)
+                 - contract("Pam,Pme->ae", Cam, df.Bov))
+    tau_h = _tau(t1, t2, 1.0, 0.5)
+    o, v = slice(0, no), slice(no, None)
+    return (F[v, v]
+            - 0.5 * contract("me,ma->ae", F[o, v], t1)
+            + ovvv_term
+            - contract("mnaf,mnef->ae", tau_h, Loovv))
+
+
+def build_Fmi_df(F, Looov, Loovv, t1, t2, no):
+    o, v = slice(0, no), slice(no, None)
+    tau_h = _tau(t1, t2, 1.0, 0.5)
+    return (F[o, o]
+            + 0.5 * contract("ie,me->mi", t1, F[o, v])
+            + contract("ne,mnie->mi", t1, Looov)
+            + contract("inef,mnef->mi", tau_h, Loovv))
+
+
+def build_Fme_df(F, Loovv, t1, no):
+    o, v = slice(0, no), slice(no, None)
+    return F[o, v] + contract("nf,mnef->me", t1, Loovv)
+
+
+# ---------------------------------------------------------------------------
+# two-particle intermediates
+# ---------------------------------------------------------------------------
+
+def build_Wmnij_df(eri_oooo, eri_ooov, eri_oovv, t1, t2):
+    tau = _tau(t1, t2)
+    return (eri_oooo
+            + contract("je,mnie->mnij", t1, eri_ooov)
+            # <mn|ej> = <nm|je>: reuse the ooov assembly transposed
+            + contract("ie,nmje->mnij", t1, eri_ooov)
+            + contract("ijef,mnef->mnij", tau, eri_oovv))
+
+
+def build_Wmbej_df(df, eri_ovvo, eri_oovv, Loovv, eri_ooov, t1, t2):
+    # contract('jf,mbef->mbej', t1, <mb|ef>=(me|bf)) without the ovvv tensor
+    Cbj = contract("Pbf,jf->Pbj", df.Bvv, t1)
+    ovvv_term = contract("Pme,Pbj->mbej", df.Bov, Cbj)
+    tau_x = _tau(t1, t2, 0.5, 1.0)
+    return (eri_ovvo
+            + ovvv_term
+            # <mn|ej> = <nm|je>
+            - contract("nb,nmje->mbej", t1, eri_ooov)
+            - contract("jnfb,mnef->mbej", tau_x, eri_oovv)
+            + 0.5 * contract("njfb,mnef->mbej", t2, Loovv))
+
+
+def build_Wmbje_df(df, eri_ovov, eri_oovv, eri_ooov, t1, t2):
+    # contract('jf,mbfe->mbje', t1, <mb|fe>=(mf|be)) without the ovvv tensor
+    Dmj = contract("Pmf,jf->Pmj", df.Bov, t1)
+    ovvv_term = contract("Pmj,Pbe->mbje", Dmj, df.Bvv)
+    tau_x = _tau(t1, t2, 0.5, 1.0)
+    return (-eri_ovov
+            - ovvv_term
+            + contract("nb,mnje->mbje", t1, eri_ooov)
+            + contract("jnfb,mnfe->mbje", tau_x, eri_oovv))
+
+
+# ---------------------------------------------------------------------------
+# the dressed particle-particle ladder
+# ---------------------------------------------------------------------------
+
+def _ladder_blocks(nv, naux, max_elems=2 ** 26):
+    """Number of a-blocks so one (blk, v, v, v) assembly stays under
+    ~max_elems elements (default ~256 MB in f32)."""
+    blk = max(1, int(max_elems // (nv * nv * nv)))
+    nblk = max(1, -(-nv // blk))
+    while nv % nblk:
+        nblk += 1
+    return nblk
+
+
+def ladder_df(df, t1, t2, nblocks=None):
+    """sum_ef tau[ijef] * W[abef] with
+    W[abef] = sum_P (0.5 B[Pae] - sum_m t1[ma] B[Pme]) B[Pbf]:
+    the vvvv ladder and the reference's `- t1*Zmbij` term in one dressed
+    contraction, assembled in a-blocks (peak blk*v^3, never v^4)."""
+    naux, nv = df.Bvv.shape[0], df.Bvv.shape[2]
+    no = t1.shape[0]
+    tau = _tau(t1, t2)
+    BL = 0.5 * df.Bvv - contract("ma,Pme->Pae", t1, df.Bov)
+    if nblocks is None:
+        nblocks = _ladder_blocks(nv, naux)
+    if nblocks == 1:
+        W = contract("Pae,Pbf->abef", BL, df.Bvv)
+        return contract("ijef,abef->ijab", tau, W)
+
+    blk = -(-nv // nblocks)
+    if nblocks * blk != nv:
+        # zero-pad the a-axis: padded rows contribute zero blocks, sliced
+        # off the output below
+        BL = jnp.concatenate(
+            [BL, jnp.zeros((naux, nblocks * blk - nv, nv), BL.dtype)], axis=1)
+    # xs for scan: (nblk, naux, blk, v)
+    BLs = jnp.moveaxis(BL.reshape(naux, nblocks, blk, nv), 1, 0)
+    tau2 = tau.reshape(no * no, nv * nv)
+    BR2 = df.Bvv.reshape(naux, nv * nv)
+
+    def body(carry, BL_blk):
+        # (blk*v, naux) @ (naux, v^2) -> W as (a e, b f)
+        W = jnp.matmul(BL_blk.reshape(naux, blk * nv).T, BR2,
+                       preferred_element_type=tau2.dtype)
+        W = W.reshape(blk, nv, nv, nv)  # (a, e, b, f)
+        z = contract("xef,aebf->xab", tau2.reshape(no * no, nv, nv), W)
+        return carry, z
+
+    _, zs = jax.lax.scan(body, 0, BLs)
+    # zs: (nblk, o^2, blk, v) -> (o, o, nblk*blk, v) -> slice padded rows
+    z = jnp.moveaxis(zs, 0, 1).reshape(no, no, nblocks * blk, nv)
+    return z[:, :, :nv, :]
+
+
+# ---------------------------------------------------------------------------
+# residuals
+# ---------------------------------------------------------------------------
+
+def _r_T1_df(F, df, eri_oovv, Loovv, eri_ooov, t1, t2, Fae, Fme, Fmi, no):
+    o, v = slice(0, no), slice(no, None)
+    t2s = 2.0 * t2 - t2.swapaxes(2, 3)
+    # contract('nf,nafi->ia', t1, L[o,v,v,o]): L[nafi] = 2(nf|ai) - (ni|af)
+    dP = contract("Pnf,nf->P", df.Bov, t1)
+    Can = contract("Paf,nf->Pan", df.Bvv, t1)
+    lovvo_term = (2.0 * contract("P,Pia->ia", dP, df.Bov)
+                  - contract("Pan,Pni->ia", Can, df.Boo))
+    # contract('mief,maef->ia', t2s, <ma|ef>=(me|af))
+    Vif = contract("Pme,mief->Pif", df.Bov, t2s)
+    ovvv_term = contract("Pif,Paf->ia", Vif, df.Bvv)
+    # contract('mnae,nmei->ia', t2, L[o,o,v,o]) with
+    # L[nmei] = 2<nm|ei> - <nm|ie> = 2(ne|mi) - (ni|me); since
+    # eri_ooov[m,n,i,e] = (mi|ne), (ne|mi) = eri_ooov[m,n,i,e] and
+    # (ni|me) = eri_ooov[n,m,i,e]:
+    Loovo_term = (2.0 * contract("mnae,mnie->ia", t2, eri_ooov)
+                  - contract("mnae,nmie->ia", t2, eri_ooov))
+    return (F[o, v]
+            + contract("ie,ae->ia", t1, Fae)
+            - contract("ma,mi->ia", t1, Fmi)
+            + contract("imae,me->ia", t2s, Fme)
+            + lovvo_term
+            + ovvv_term
+            - Loovo_term)
+
+
+def residuals_ccsd_df(F, df, t1, t2, no, nblocks=None):
+    """DF-CCSD residuals: same fixed point as models/ccsd.residuals_ccsd
+    evaluated on the B-reconstructed ERI (exactly, given exact factors)."""
+    o, v = slice(0, no), slice(no, None)
+    eri_oovv = _eri_oovv(df)
+    Loovv = 2.0 * eri_oovv - eri_oovv.swapaxes(2, 3)
+    eri_ooov = _eri_ooov(df)
+    Looov = 2.0 * eri_ooov - contract("Pme,Pni->mnie", df.Bov, df.Boo)
+    eri_oooo = _eri_oooo(df)
+    eri_ovvo = _eri_ovvo(df)
+    eri_ovov = _eri_ovov(df)
+    eri_ovoo = _eri_ovoo(df)
+
+    Fae = build_Fae_df(F, df, Loovv, t1, t2, no)
+    Fmi = build_Fmi_df(F, Looov, Loovv, t1, t2, no)
+    Fme = build_Fme_df(F, Loovv, t1, no)
+    Wmnij = build_Wmnij_df(eri_oooo, eri_ooov, eri_oovv, t1, t2)
+    Wmbej = build_Wmbej_df(df, eri_ovvo, eri_oovv, Loovv, eri_ooov, t1, t2)
+    Wmbje = build_Wmbje_df(df, eri_ovov, eri_oovv, eri_ooov, t1, t2)
+    tau = _tau(t1, t2)
+
+    r1 = _r_T1_df(F, df, eri_oovv, Loovv, eri_ooov, t1, t2,
+                  Fae, Fme, Fmi, no)
+
+    r2 = 0.5 * eri_oovv
+    r2 += contract("ijae,be->ijab", t2, Fae)
+    r2 -= 0.5 * contract("ijae,be->ijab", t2, contract("mb,me->be", t1, Fme))
+    r2 -= contract("imab,mj->ijab", t2, Fmi)
+    r2 -= 0.5 * contract("imab,jm->ijab", t2, contract("je,me->jm", t1, Fme))
+    r2 += 0.5 * contract("mnab,mnij->ijab", tau, Wmnij)
+    # dressed ladder == 0.5*vvvv ladder - t1*Zmbij of the dense equations
+    r2 += ladder_df(df, t1, t2, nblocks=nblocks)
+    r2 += contract("imae,mbej->ijab", t2 - t2.swapaxes(2, 3), Wmbej)
+    r2 += contract("imae,mbej->ijab", t2, Wmbej + Wmbje.swapaxes(2, 3))
+    r2 += contract("mjae,mbie->ijab", t2, Wmbje)
+    tt = contract("ie,ma->imea", t1, t1)
+    r2 -= contract("imea,mbej->ijab", tt, eri_ovvo)
+    r2 -= contract("imeb,maje->ijab", tt, eri_ovov)
+    # contract('ie,abej->ijab', t1, <ab|ej>=(ae|bj)) without the vvvo tensor
+    Eia = contract("Pae,ie->Pia", df.Bvv, t1)
+    r2 += contract("Pia,Pjb->ijab", Eia, df.Bov)
+    r2 -= contract("ma,mbij->ijab", t1, eri_ovoo)
+    r2 = r2 + r2.transpose(1, 0, 3, 2)
+    return r1, r2
+
+
+def residuals_ccd_df(F, df, t1, t2, no, nblocks=None):
+    """DF-CCD: models/ccsd.residuals_ccd with factorized integrals."""
+    o, v = slice(0, no), slice(no, None)
+    eri_oovv = _eri_oovv(df)
+    Loovv = 2.0 * eri_oovv - eri_oovv.swapaxes(2, 3)
+    Fae = F[v, v] - contract("mnaf,mnef->ae", t2, Loovv)
+    Fmi = F[o, o] + contract("inef,mnef->mi", t2, Loovv)
+    Wmnij = _eri_oooo(df) + contract("ijef,mnef->mnij", t2, eri_oovv)
+    eri_ovvo = _eri_ovvo(df)
+    eri_ovov = _eri_ovov(df)
+    Wmbej = (eri_ovvo
+             - 0.5 * contract("jnfb,mnef->mbej", t2, eri_oovv)
+             + 0.5 * contract("njfb,mnef->mbej", t2, Loovv))
+    Wmbje = -eri_ovov + 0.5 * contract("jnfb,mnfe->mbje", t2, eri_oovv)
+
+    r1 = jnp.zeros_like(t1)
+    r2 = 0.5 * eri_oovv
+    r2 += contract("ijae,be->ijab", t2, Fae)
+    r2 -= contract("imab,mj->ijab", t2, Fmi)
+    r2 += 0.5 * contract("mnab,mnij->ijab", t2, Wmnij)
+    # undressed ladder: t1 = 0 makes BL = 0.5 * Bvv and tau = t2
+    r2 += ladder_df(df, jnp.zeros_like(t1), t2, nblocks=nblocks)
+    r2 += contract("imae,mbej->ijab", t2 - t2.swapaxes(2, 3), Wmbej)
+    r2 += contract("imae,mbej->ijab", t2, Wmbej + Wmbje.swapaxes(2, 3))
+    r2 += contract("mjae,mbie->ijab", t2, Wmbje)
+    r2 = r2 + r2.transpose(1, 0, 3, 2)
+    return r1, r2
+
+
+def residuals_cc2_df(F, df, t1, t2, no, nblocks=None):
+    """DF-CC2: models/ccsd.residuals_cc2 with factorized integrals.  The
+    t1^2 vvvv and ovvv terms collapse to rank-1-in-t1 B contractions, so
+    CC2 needs no ladder blocks at all."""
+    o, v = slice(0, no), slice(no, None)
+    eri_oovv = _eri_oovv(df)
+    Loovv = 2.0 * eri_oovv - eri_oovv.swapaxes(2, 3)
+    eri_ooov = _eri_ooov(df)
+    Looov = 2.0 * eri_ooov - contract("Pme,Pni->mnie", df.Bov, df.Boo)
+    eri_oooo = _eri_oooo(df)
+    eri_ovvo = _eri_ovvo(df)
+    eri_ovov = _eri_ovov(df)
+    eri_ovoo = _eri_ovoo(df)
+
+    Fae = build_Fae_df(F, df, Loovv, t1, t2, no)
+    Fmi = build_Fmi_df(F, Looov, Loovv, t1, t2, no)
+    Fme = build_Fme_df(F, Loovv, t1, no)
+    Wmnij = (eri_oooo
+             + contract("je,mnie->mnij", t1, eri_ooov)
+             + contract("ie,nmje->mnij", t1, eri_ooov)
+             + contract("jf,mnif->mnij", t1,
+                        contract("ie,mnef->mnif", t1, eri_oovv)))
+    # Zmbij(CC2) = sum_ef <mb|ef> t1[ie] t1[jf] = sum_P (Bov.t1)(Bvv.t1)
+    Dmi = contract("Pme,ie->Pmi", df.Bov, t1)
+    Cbj = contract("Pbf,jf->Pbj", df.Bvv, t1)
+    Zmbij = contract("Pmi,Pbj->mbij", Dmi, Cbj)
+
+    r1 = _r_T1_df(F, df, eri_oovv, Loovv, eri_ooov, t1, t2,
+                  Fae, Fme, Fmi, no)
+
+    r2 = 0.5 * eri_oovv
+    fae = F[v, v] - 0.5 * contract("me,ma->ae", F[o, v], t1)
+    r2 += contract("ijae,be->ijab", t2, fae)
+    r2 -= 0.5 * contract("ijae,be->ijab", t2, contract("mb,me->be", t1, F[o, v]))
+    fmi = F[o, o] + 0.5 * contract("ie,me->mi", t1, F[o, v])
+    r2 -= contract("imab,mj->ijab", t2, fmi)
+    r2 -= 0.5 * contract("imab,jm->ijab", t2, contract("je,me->jm", t1, F[o, v]))
+    r2 += 0.5 * contract("ma,mbij->ijab", t1,
+                         contract("nb,mnij->mbij", t1, Wmnij))
+    # 0.5 * t1[ie] t1[jf] <ab|ef>: rank-1 dressed — no v^4, no blocks
+    Eia = contract("Pae,ie->Pia", df.Bvv, t1)
+    r2 += 0.5 * contract("Pia,Pjb->ijab", Eia, Eia)
+    r2 -= contract("ma,mbij->ijab", t1, Zmbij)
+    r2 -= contract("ma,mbij->ijab", t1,
+                   contract("ie,mbej->mbij", t1, eri_ovvo))
+    r2 -= contract("mb,maji->ijab", t1,
+                   contract("ie,maje->maji", t1, eri_ovov))
+    r2 += contract("Pia,Pjb->ijab", Eia, df.Bov)
+    r2 -= contract("ma,mbij->ijab", t1, eri_ovoo)
+    r2 = r2 + r2.transpose(1, 0, 3, 2)
+    return r1, r2
+
+
+def cc_energy_df(F, df, t1, t2, no):
+    o, v = slice(0, no), slice(no, None)
+    eri_oovv = _eri_oovv(df)
+    Loovv = 2.0 * eri_oovv - eri_oovv.swapaxes(2, 3)
+    ecc = 2.0 * contract("ia,ia->", F[o, v], t1)
+    return ecc + contract("ijab,ijab->", _tau(t1, t2), Loovv)

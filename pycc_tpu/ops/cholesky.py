@@ -1,0 +1,71 @@
+"""Pivoted-Cholesky factorization of the two-electron integrals.
+
+The ERI supermatrix in chemists' ordering, V[(pr),(qs)] = (pr|qs), is
+symmetric positive semidefinite, so a pivoted Cholesky decomposition
+truncated at `tol` yields three-index factors
+
+    (pr|qs) ~= sum_P  B[P, p, r] * B[P, q, s],        naux = O(few * nact)
+
+i.e. in the repo's Dirac convention  ERI[p,q,r,s] = (pr|qs) ~=
+einsum('Ppr,Pqs->pqrs', B, B).  This is the memory architecture that breaks
+the nact^4 wall the reference hits at /root/reference/pycc/hamiltonian.py:36-39
+(dense `mo_eri`): the CC solver works from B (naux * nact^2) and assembles
+any four-index quantity it needs on the fly as MXU matmuls
+(models/dfccsd.py).
+
+The decomposition runs on the host in float64 (LAPACK dpstrf when the dense
+supermatrix fits; a greedy column-wise fallback otherwise) — it is a one-time
+O(naux * n^4 / n^2) setup cost, not an iteration cost.
+"""
+
+import numpy as np
+
+
+def cholesky_factor_eri(ERI, tol=1e-8, max_naux=None):
+    """Factor a Dirac-convention MO ERI: returns B (naux, n, n) with
+    ERI[p,q,r,s] ~= einsum('Ppr,Pqs->pqrs', B, B) to accuracy `tol`
+    (max abs error on the diagonal of the residual supermatrix).
+
+    B rows are symmetric in (p, r) since (pr|qs) = (rp|qs) for real
+    orbitals.
+    """
+    ERI = np.asarray(ERI, dtype=np.float64)
+    n = ERI.shape[0]
+    # chemist supermatrix rows/cols are the (p,r) / (q,s) pairs
+    V = ERI.transpose(0, 2, 1, 3).reshape(n * n, n * n)
+    B = _pivoted_cholesky(V, tol=tol, max_rank=max_naux)
+    return B.reshape(-1, n, n)
+
+
+def _pivoted_cholesky(V, tol, max_rank=None):
+    """Greedy pivoted Cholesky of a dense symmetric PSD matrix.
+
+    Returns L (rank, n) with V ~= L.T @ L and
+    max|diag(V - L.T L)| <= tol.  O(n^2 * rank) using full columns of V.
+    """
+    n = V.shape[0]
+    if max_rank is None:
+        max_rank = n
+    d = np.ascontiguousarray(np.diag(V).copy())
+    rows = []
+    order = []
+    for _ in range(max_rank):
+        p = int(np.argmax(d))
+        if d[p] <= tol:
+            break
+        col = V[:, p].astype(np.float64, copy=True)
+        for (q, row) in zip(order, rows):
+            col -= row[p] * row
+        piv = np.sqrt(d[p])
+        row = col / piv
+        # exact zeros on already-eliminated pivots keep d non-negative
+        row[order] = 0.0
+        row[p] = piv
+        rows.append(row)
+        order.append(p)
+        d -= row * row
+        d[p] = 0.0
+        np.maximum(d, 0.0, out=d)
+    if not rows:
+        return np.zeros((0, n))
+    return np.array(rows)

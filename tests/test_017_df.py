@@ -1,0 +1,99 @@
+"""DF/Cholesky-factorized storage: factorization accuracy, residual
+equality with the dense equations, and frozen-energy oracles.
+
+The reference has no DF path (its hamiltonian.py:36-39 materializes the
+dense MO ERI); the oracle here is the repo's own dense solver plus the
+frozen Psi4 energies of tests/test_002.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pycc_tpu import ccwfn
+from pycc_tpu.hamiltonian import build_hamiltonian
+from pycc_tpu.models import ccsd as eqs
+from pycc_tpu.models import dfccsd as dfq
+from pycc_tpu.ops.cholesky import cholesky_factor_eri
+from pycc_tpu.scf import run_rhf
+
+from .common import H2O as H2O_GEOM
+
+
+@pytest.fixture(scope="module")
+def h2o_sto3g():
+    return run_rhf(H2O_GEOM, "sto-3g", freeze_core=True)
+
+
+@pytest.fixture(scope="module")
+def h2o_dz():
+    return run_rhf(H2O_GEOM, "cc-pvdz", freeze_core=True)
+
+
+def test_cholesky_reconstruction(h2o_dz):
+    H = build_hamiltonian(h2o_dz, host=True)
+    ERI = np.asarray(H.ERI)
+    for tol in (1e-4, 1e-8):
+        B = cholesky_factor_eri(ERI, tol=tol)
+        rec = np.einsum("Ppr,Pqs->pqrs", B, B)
+        assert np.abs(rec - ERI).max() < 10 * tol
+        assert B.shape[0] < ERI.shape[0] ** 2  # actually compressed
+
+
+def test_df_residuals_match_dense(h2o_sto3g):
+    H = build_hamiltonian(h2o_sto3g, host=True)
+    ERI = np.asarray(H.ERI)
+    no = H.no
+    nv = ERI.shape[0] - no
+    B = cholesky_factor_eri(ERI, tol=1e-14)
+    rec = np.einsum("Ppr,Pqs->pqrs", B, B)
+    L = 2.0 * rec - rec.swapaxes(2, 3)
+    rng = np.random.default_rng(7)
+    t1 = jnp.asarray(0.05 * rng.standard_normal((no, nv)))
+    t2r = 0.05 * rng.standard_normal((no, no, nv, nv))
+    t2 = jnp.asarray(t2r + t2r.transpose(1, 0, 3, 2))
+    F = jnp.asarray(H.F)
+    df = dfq.df_blocks(jnp.asarray(B), no)
+    rec, L = jnp.asarray(rec), jnp.asarray(L)
+    for dense_fn, df_fn in [(eqs.residuals_ccsd, dfq.residuals_ccsd_df),
+                            (eqs.residuals_ccd, dfq.residuals_ccd_df),
+                            (eqs.residuals_cc2, dfq.residuals_cc2_df)]:
+        r1d, r2d = dense_fn(F, rec, L, t1, t2, no)
+        r1f, r2f = df_fn(F, df, t1, t2, no)
+        assert float(jnp.abs(r1d - r1f).max()) < 1e-13
+        assert float(jnp.abs(r2d - r2f).max()) < 1e-13
+    # blocked ladder path == single-shot
+    r1b, r2b = dfq.residuals_ccsd_df(F, df, t1, t2, no, nblocks=3)
+    _, r2u = dfq.residuals_ccsd_df(F, df, t1, t2, no, nblocks=1)
+    assert float(jnp.abs(r2b - r2u).max()) < 1e-13
+    # energy
+    ed = eqs.cc_energy(F, L, t1, t2, no)
+    ef = dfq.cc_energy_df(F, df, t1, t2, no)
+    assert abs(float(ed - ef)) < 1e-13
+
+
+def test_df_ccsd_oracle_sto3g(h2o_sto3g):
+    cc = ccwfn(h2o_sto3g, storage="df", df_tol=1e-12)
+    e = cc.solve_cc(e_conv=1e-12, r_conv=1e-12)
+    assert abs(e - -0.070616830152761) < 1e-10
+
+
+def test_df_tolerance_controls_energy_error(h2o_sto3g):
+    dense = ccwfn(h2o_sto3g)
+    e_ref = dense.solve_cc(e_conv=1e-12, r_conv=1e-12)
+    loose = ccwfn(h2o_sto3g, storage="df", df_tol=1e-4)
+    e_loose = loose.solve_cc(e_conv=1e-12, r_conv=1e-12)
+    assert 0 < abs(e_loose - e_ref) < 1e-3
+    assert loose.naux < dense.nact ** 2
+
+
+def test_df_fused_solver(h2o_sto3g):
+    cc = ccwfn(h2o_sto3g, storage="df", df_tol=1e-12)
+    e = cc.solve_cc_fused(e_conv=1e-12, r_conv=1e-12)
+    assert abs(e - -0.070616830152761) < 1e-10
+
+
+def test_df_rejects_unsupported():
+    wfn = run_rhf(H2O_GEOM, "sto-3g", freeze_core=True)
+    with pytest.raises(Exception):
+        ccwfn(wfn, storage="df", model="CC3")

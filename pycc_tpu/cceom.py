@@ -17,6 +17,7 @@ import numpy as np
 
 from .models.ccsd import slices, vvvv_contract
 from .ops.contract import contract
+from .utils.timing import timers
 
 HARTREE2EV = 27.211386245988
 
@@ -100,6 +101,7 @@ class cceom:
         _sig_v = jax.jit(jax.vmap(sig, in_axes=(None, None, 0)))
 
         def sigma(C):
+          with timers.time("eom.sigma"):
             # pad the subspace to the next power-of-two bucket: a growing
             # Davidson subspace otherwise recompiles the vmapped sigma for
             # EVERY new size — ruinous through a remote-compile TPU tunnel

@@ -11,6 +11,7 @@ import time
 from dataclasses import dataclass
 
 import jax
+from .utils.timing import timers
 import jax.numpy as jnp
 
 from .models.ccsd import build_tau, slices
@@ -171,6 +172,8 @@ class cchbar:
 
     def __init__(self, ccwfn):
         t0 = time.time()
+        self._timer = timers.time("hbar.build")
+        self._timer.__enter__()
         self.ccwfn = ccwfn
         if getattr(ccwfn, "storage", "full") == "blocked":
             # build from the six Dirac blocks: the full ERI + L pair would
@@ -191,4 +194,6 @@ class cchbar:
         for name in ("Hov", "Hvv", "Hoo", "Hoooo", "Hvvvv", "Hvovv",
                      "Hooov", "Hovvo", "Hovov", "Hvvvo", "Hovoo"):
             setattr(self, name, getattr(hbar, name))
+        self._timer.__exit__(None, None, None)
+        del self._timer
         print("\nHBAR constructed in %.3f seconds.\n" % (time.time() - t0))

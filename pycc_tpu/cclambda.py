@@ -17,6 +17,7 @@ from .cchbar import build_hbar
 from .models.ccsd import build_tau, slices, vvvv_contract_efab
 from .ops.contract import contract
 from .ops.diis import DIIS
+from .utils.timing import timers
 
 
 def build_Goo(t2, l2):
@@ -214,6 +215,7 @@ class cclambda:
         print("\nLCC Iter %3d: LCC PseudoE = %.15f  dE = % .5E" % (0, lecc, -lecc))
         state = diis.init()
         for niter in range(1, maxiter + 1):
+          with timers.time("lambda.iteration"):
             lecc_last = lecc
             do_ext = (max_diis > 0) and (niter >= start_diis)
             if host_extras is not None:

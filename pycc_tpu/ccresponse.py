@@ -18,6 +18,7 @@ from .cclambda import build_Goo, build_Gvv
 from .models.ccsd import slices, vvvv_contract, vvvv_contract_efab
 from .ops.contract import contract
 from .ops.diis import DIIS
+from .utils.timing import timers
 
 CART = ["X", "Y", "Z"]
 
@@ -359,6 +360,7 @@ class ccresponse:
         pseudo = complex(self.pseudoresponse(A, X1, X2))
         state = diis.init()
         for niter in range(1, maxiter + 1):
+          with timers.time("response.right_iteration"):
             pseudo_last = pseudo
             do_ext = (max_diis > 0) and (niter >= start_diis)
             X1n, X2n, X1, X2, state, rms = step(hb, L.block, t2, X1, X2,
@@ -417,6 +419,7 @@ class ccresponse:
         pseudo = complex(self.pseudoresponse(A, Y1, Y2))
         state = diis.init()
         for niter in range(1, maxiter + 1):
+          with timers.time("response.left_iteration"):
             pseudo_last = pseudo
             do_ext = (max_diis > 0) and (niter >= start_diis)
             Y1n, Y2n, Y1, Y2, state, rms = step(hb, L.block, t2, imY1,

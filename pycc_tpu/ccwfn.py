@@ -22,6 +22,7 @@ import numpy as np
 from .hamiltonian import Hamiltonian, build_hamiltonian
 from .models import ccsd as eqs
 from .ops.diis import DIIS
+from .utils.timing import timers
 
 _VALID_MODELS = ["CCD", "CC2", "CCSD", "CCSD(T)", "CC3"]
 
@@ -361,6 +362,7 @@ class ccwfn:
         rms = float("inf")
         bf16_active = use_bf16
         for niter in range(1, maxiter + 1):
+          with timers.time("ccwfn.iteration"):
             ecc_last = ecc
             do_ext = (max_diis > 0) and (niter >= start_diis)
             if bf16_active and rms <= bf16_until:
@@ -420,6 +422,7 @@ class ccwfn:
                     print("E(%s) = %20.15f" % (self.model, ecc))
                 self.ecc = ecc
                 print("E(TOT)  = %20.15f" % (ecc + self.eref))
+                timers.report()
                 return ecc
         self.t1, self.t2 = t1, t2
         self.ecc = ecc

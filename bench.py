@@ -1,18 +1,21 @@
-"""Benchmark: CCSD amplitude-iteration throughput (driver metric).
+"""Benchmark: CC throughput on the TPU (driver metric).
 
-Runs one jitted CCSD amplitude iteration (full residual + Jacobi/DIIS-free
-update) on a synthetic Hamiltonian at (o, v) = (32, 128) in float32, on the
-default JAX device (the real TPU chip when available, CPU otherwise), and
-prints ONE JSON line:
+Prints ONE JSON line.  The primary metric is the DF-CCSD amplitude
+iteration at (o, v) = (48, 512) — a 560-basis-function-equivalent system,
+the BASELINE.json north-star scale — in bfloat16 from Cholesky factors
+(naux = 1664), where the dense ERI could never fit (dense ERI+L at
+nact=560 is ~1.6 TB f32 vs ~0.9 GB of factors).  `flops` is XLA's own
+cost analysis of the compiled step; `tflops` = flops/s; `mfu` is the
+fraction of the TPU v5e bf16 matmul peak (197 TFLOP/s).
 
-  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+`extra` carries secondary rows: the round-1 blocked-storage CCSD
+iteration at (32,128) f32 (continuity metric) and the (T) slab-scan wall
+time at (32,128) (the BASELINE.json "(T) wall time" metric).
 
-vs_baseline compares against the reference-equivalent CPU path: the same
-iteration executed in float64 through the XLA CPU backend on this host's
-single core measured at (16, 64) = 6.596 s/iter and scaled by the exact
-o^2 v^4 flop ratio (x64) to (32, 128) -> 422.1 s/iter.  (The reference
-publishes no performance numbers of its own; BASELINE.json `published` is
-empty, so the CPU path defines the baseline.)
+vs_baseline scales the measured single-core CPU time (dense blocked CCSD
+(16,64) f64: 6.596 s/iter = 3.031e10 flops -> 2.176e-10 s/flop; the
+reference publishes no perf numbers, BASELINE.json `published` is empty)
+to each config by XLA flop count: vs_baseline = cpu_s_per_flop * flops / dt.
 """
 
 import json
@@ -22,77 +25,197 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-CPU_BASELINE_S = 6.596 * 64.0  # (32^2*128^4)/(16^2*64^4) flop scaling
+# measured: 6.596 s/iter at (16,64) f64 dense-blocked CCSD on this host's
+# single core; 3.0314522624e10 flops per step from XLA cost_analysis
+CPU_S_PER_FLOP = 6.596 / 3.0314522624e10
 
-NO, NV = 32, 128
+DF_CFG = dict(no=48, nv=512, naux=1664, nblocks=128)  # 560-bf equivalent
+BLK_CFG = dict(no=32, nv=128)
+T_CFG = dict(no=32, nv=128)
+
+TPU_BF16_PEAK = 197e12  # TPU v5e
 
 
-def synth_device(no, nv, key):
+def _sync(tree):
     import jax
-    import jax.numpy as jnp
-    k1, k2 = jax.random.split(key)
-    nact = no + nv
-    eps = jnp.concatenate([jnp.linspace(-2.0, -0.5, no),
-                           jnp.linspace(0.3, 3.0, nv)]).astype(jnp.float32)
-    F = jnp.diag(eps) + 0.0005 * jax.random.normal(k1, (nact, nact), jnp.float32)
-    F = 0.5 * (F + F.T)
-    A = 0.05 * jax.random.normal(k2, (nact,) * 4, jnp.float32)
-    A = A + jnp.transpose(A, (1, 0, 2, 3))
-    A = A + jnp.transpose(A, (0, 1, 3, 2))
-    A = A + jnp.transpose(A, (2, 3, 0, 1))
-    ERI = jnp.swapaxes(A, 1, 2)
-    L = 2.0 * ERI - jnp.swapaxes(ERI, 2, 3)
-    return F, ERI, L
+    jax.tree_util.tree_map(lambda x: x.block_until_ready(), tree)
 
 
-def _run(no, nv):
+def _flops_of(jitted, *args):
+    try:
+        c = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(c, list):
+            c = c[0]
+        return float(c.get("flops"))
+    except Exception:
+        return None
+
+
+def _setup_cache():
     import jax
-    # persistent compile cache: the axon remote compile of the full CCSD
-    # residual graph takes ~10 min cold; cached runs start in seconds.
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def bench_df(no, nv, naux, nblocks, n=5):
+    """DF-CCSD amplitude iteration, bf16 factors/amplitudes."""
+    import jax
     import jax.numpy as jnp
-    import pycc_tpu  # noqa: F401
+    from pycc_tpu.models import dfccsd as dfq
+
+    DT = jnp.bfloat16
+
+    @jax.jit
+    def synth(key):
+        ks = jax.random.split(key, 5)
+        mk = lambda k, sh: (0.05 * jax.random.normal(k, sh)).astype(DT)
+        nact = no + nv
+        eps = jnp.concatenate([jnp.linspace(-2.0, -0.5, no),
+                               jnp.linspace(0.3, 3.0, nv)])
+        F = (jnp.diag(eps)
+             + 0.0005 * jax.random.normal(ks[0], (nact, nact))).astype(DT)
+        df = dfq.DFERI(mk(ks[1], (naux, no, no)), mk(ks[2], (naux, no, nv)),
+                       mk(ks[3], (naux, nv, nv)))
+        t1 = jnp.zeros((no, nv), DT)
+        t2 = (0.01 * jax.random.normal(ks[4], (no, no, nv, nv))).astype(DT)
+        return 0.5 * (F + F.T), df, t1, t2
+
+    F, df, t1, t2 = synth(jax.random.PRNGKey(0))
+    _sync(F)
+
+    def step(F, df, t1, t2):
+        r1, r2 = dfq.residuals_ccsd_df(F, df, t1, t2, no, nblocks=nblocks)
+        return t1 + 0.1 * r1, t2 + 0.1 * r2
+
+    jstep = jax.jit(step)
+    flops = _flops_of(jstep, F, df, t1, t2)
+    a, b = jstep(F, df, t1, t2)
+    _sync((a, b))
+    t0 = time.time()
+    for _ in range(n):
+        a, b = jstep(F, df, a, b)
+    _sync((a, b))
+    dt = (time.time() - t0) / n
+    return dt, flops
+
+
+def bench_blocked(no, nv, n=10):
+    """Round-1 continuity metric: blocked-storage CCSD iteration, f32."""
+    import jax
+    import jax.numpy as jnp
     from pycc_tpu.models import ccsd as eqs
-    from pycc_tpu.models.blocked import blocks_from_full, blocked_views
+    from pycc_tpu.models.blocked import blocked_views, blocks_from_full
 
-    build = jax.jit(lambda k: synth_device(no, nv, k))
-    F, ERI, L = build(jax.random.PRNGKey(0))
-    F.block_until_ready()
+    @jax.jit
+    def synth(key):
+        k1, k2 = jax.random.split(key)
+        nact = no + nv
+        eps = jnp.concatenate([jnp.linspace(-2.0, -0.5, no),
+                               jnp.linspace(0.3, 3.0, nv)]).astype(jnp.float32)
+        F = jnp.diag(eps) + 0.0005 * jax.random.normal(k1, (nact, nact),
+                                                       jnp.float32)
+        F = 0.5 * (F + F.T)
+        A = 0.05 * jax.random.normal(k2, (nact,) * 4, jnp.float32)
+        A = A + jnp.transpose(A, (1, 0, 2, 3))
+        A = A + jnp.transpose(A, (0, 1, 3, 2))
+        A = A + jnp.transpose(A, (2, 3, 0, 1))
+        ERI = jnp.swapaxes(A, 1, 2)
+        eps = jnp.diag(F)
+        Dia = eps[:no, None] - eps[None, no:]
+        Dijab = (eps[:no, None, None, None] + eps[None, :no, None, None]
+                 - eps[None, None, no:, None] - eps[None, None, None, no:])
+        t2 = ERI[:no, :no, no:, no:] / Dijab
+        return F, ERI, Dia, Dijab, t2
 
-    eps = jnp.diag(F)
-    Dia = eps[:no, None] - eps[None, no:]
-    Dijab = (eps[:no, None, None, None] + eps[None, :no, None, None]
-             - eps[None, None, no:, None] - eps[None, None, None, no:])
-    t1 = jnp.zeros((no, nv), jnp.float32)
-    t2 = ERI[:no, :no, no:, no:] / Dijab
-
-    # blocked storage (models/blocked.py): 1.76x faster than full ERI+L on
-    # TPU at this size (30.2 vs 53.2 ms/iter) -- lane-aligned blocks, no
-    # padding waste, half the HBM traffic
+    F, ERI, Dia, Dijab, t2 = synth(jax.random.PRNGKey(0))
+    _sync(F)
+    t1 = jax.numpy.zeros((no, nv), jax.numpy.float32)
     blocks = jax.jit(blocks_from_full, static_argnums=1)(ERI, no)
-    del ERI, L
+    del ERI
 
-    # big arrays enter as jit ARGUMENTS (closure constants are serialized
-    # into the axon remote-compile HTTP request -> 413 at larger sizes)
     @jax.jit
     def step(F, blocks, Dia, Dijab, t1, t2):
         bE, bL = blocked_views(blocks, no)
         r1, r2 = eqs.residuals_ccsd(F, bE, bL, t1, t2, no)
         return t1 + r1 / Dia, t2 + r2 / Dijab
 
-    # warmup/compile
+    flops = _flops_of(step, F, blocks, Dia, Dijab, t1, t2)
     a, b = step(F, blocks, Dia, Dijab, t1, t2)
-    a.block_until_ready()
-
-    n = 10
+    _sync((a, b))
     t0 = time.time()
     for _ in range(n):
         a, b = step(F, blocks, Dia, Dijab, a, b)
-    a.block_until_ready()
+    _sync((a, b))
     dt = (time.time() - t0) / n
+    return dt, flops
 
-    return dt
+
+def bench_triples(no, nv):
+    """(T) slab-scan wall time (one full energy evaluation), f32."""
+    import jax
+    import jax.numpy as jnp
+    from pycc_tpu.triples import slab_layouts, t_vikings_scan_core
+
+    @jax.jit
+    def synth(key):
+        ks = jax.random.split(key, 6)
+        mk = lambda k, sh: 0.02 * jax.random.normal(k, sh, jnp.float32)
+        Wvvvo = mk(ks[0], (nv, nv, nv, no))
+        Wovoo = mk(ks[1], (no, nv, no, no))
+        Evovv = mk(ks[2], (nv, no, nv, nv))
+        Eooov = mk(ks[3], (no, no, no, nv))
+        Loovv = mk(ks[4], (no, no, nv, nv))
+        Fov = mk(ks[5], (no, nv))
+        eps = jnp.concatenate([jnp.linspace(-2.0, -0.5, no),
+                               jnp.linspace(0.3, 3.0, nv)]).astype(jnp.float32)
+        Wvvvo_o, Wovoo_t = slab_layouts(Wvvvo, Wovoo)
+        t2 = mk(ks[4], (no, no, nv, nv))
+        t1 = mk(ks[5], (no, nv))
+        return Wvvvo_o, Wovoo_t, Evovv, Eooov, Loovv, Fov, eps, t1, t2
+
+    args = synth(jax.random.PRNGKey(1))
+    _sync(args[0])
+    # warm (compiles the row program)
+    e = t_vikings_scan_core(*args, no)
+    _sync(e)
+    t0 = time.time()
+    e = t_vikings_scan_core(*args, no)
+    _sync(e)
+    return time.time() - t0, None
+
+
+def _row(metric, dt, flops, unit="s/iter"):
+    row = {"metric": metric, "value": round(dt, 6), "unit": unit}
+    if flops:
+        row["flops"] = flops
+        row["tflops"] = round(flops / dt / 1e12, 1)
+        row["mfu_vs_bf16_peak"] = round(flops / dt / TPU_BF16_PEAK, 3)
+        row["vs_baseline"] = round(CPU_S_PER_FLOP * flops / dt, 1)
+    return row
+
+
+def _child():
+    _setup_cache()
+    import pycc_tpu  # noqa: F401
+
+    dt, flops = bench_df(**DF_CFG)
+    out = _row("dfccsd_iteration_o%d_v%d_naux%d_bf16"
+               % (DF_CFG["no"], DF_CFG["nv"], DF_CFG["naux"]), dt, flops)
+    out.setdefault("vs_baseline", -1)
+    extra = []
+    try:
+        dtb, fb = bench_blocked(**BLK_CFG)
+        extra.append(_row("ccsd_iteration_o32_v128_f32_blocked", dtb, fb))
+    except Exception as exc:
+        print("# blocked extra failed: %s" % exc, file=sys.stderr)
+    try:
+        dtt, _ = bench_triples(**T_CFG)
+        extra.append(_row("triples_T_scan_wall_o32_v128_f32", dtt, None,
+                          unit="s"))
+    except Exception as exc:
+        print("# triples extra failed: %s" % exc, file=sys.stderr)
+    out["extra"] = extra
+    print(json.dumps(out))
 
 
 def main():
@@ -103,7 +226,7 @@ def main():
     try:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child"],
-            capture_output=True, text=True, timeout=2400)
+            capture_output=True, text=True, timeout=3000)
         for line in out.stdout.splitlines():
             if line.startswith("{"):
                 print(line)
@@ -114,23 +237,16 @@ def main():
               file=sys.stderr)
         import jax
         jax.config.update("jax_platforms", "cpu")
-        dt = _run(16, 64) * 64.0  # flop-scale to the (32,128) metric size
+        _setup_cache()
+        # measure a small DF step on the CPU and flop-scale it
+        dt, flops = bench_df(no=8, nv=32, naux=128, nblocks=4, n=2)
         print(json.dumps({
-            "metric": "ccsd_iteration_o32_v128_f32_cpu_fallback_scaled",
+            "metric": "dfccsd_iteration_cpu_fallback_o8_v32",
             "value": round(dt, 6),
             "unit": "s/iter",
-            "vs_baseline": round(CPU_BASELINE_S / dt, 2),
+            "flops": flops,
+            "vs_baseline": round(CPU_S_PER_FLOP * (flops or 0) / dt, 2),
         }))
-
-
-def _child():
-    dt = _run(NO, NV)
-    print(json.dumps({
-        "metric": "ccsd_iteration_o32_v128_f32",
-        "value": round(dt, 6),
-        "unit": "s/iter",
-        "vs_baseline": round(CPU_BASELINE_S / dt, 2),
-    }))
 
 
 if __name__ == "__main__":

@@ -1,3 +1,5 @@
-from .mesh import make_mesh, shard_amps, shard_blocks, shard_hamiltonian
+from .mesh import (make_mesh, shard_amps, shard_blocks, shard_df,
+                   shard_hamiltonian)
 
-__all__ = ["make_mesh", "shard_hamiltonian", "shard_amps", "shard_blocks"]
+__all__ = ["make_mesh", "shard_hamiltonian", "shard_amps", "shard_blocks",
+           "shard_df"]

@@ -62,6 +62,21 @@ def shard_amps(t1, t2, mesh):
             _put(t2, mesh, P(None, None, "va", "vb")))
 
 
+def shard_df(dfb, mesh):
+    """Distribute DF/Cholesky factors over the mesh.
+
+    Bvv (the big factor, naux*v^2) shards over its two virtual axes; Bov
+    over its virtual axis; Boo is replicated (tiny).  The ladder assembly
+    (Pae,Pbf->abef) then contracts naux locally per shard pair and the
+    application reduce-scatters onto the t2 sharding."""
+    from ..models.dfccsd import DFERI
+    return DFERI(
+        Boo=_put(dfb.Boo, mesh, P()),
+        Bov=_put(dfb.Bov, mesh, P(None, None, "vb")),
+        Bvv=_put(dfb.Bvv, mesh, P(None, "va", "vb")),
+    )
+
+
 def shard_blocks(blocks, mesh):
     """Distribute an ERIBlocks pytree over the mesh.
 

@@ -209,16 +209,23 @@ class cceom:
 
             # Gram-Schmidt the corrections against the subspace; drop
             # linearly-dependent directions (keeps the subspace full rank,
-            # which the reference's QR-phase scheme does not guarantee)
+            # which the reference's QR-phase scheme does not guarantee).
+            # The dependence cutoff is RELATIVE to the pre-projection norm
+            # (DGKS criterion) — an absolute cutoff discards the small
+            # preconditioned corrections of nearly-converged roots and
+            # stalls the residual at ~1e-7.  Converged roots are locked.
             added = []
             for k in range(N):
+                if rnorms[k] <= r_conv:
+                    continue
                 d = delta[k]
+                d0 = np.linalg.norm(d)
                 for _ in range(2):
                     d = d - (d @ C.T) @ C
                     for prev in added:
                         d = d - (d @ prev) * prev
                 n = np.linalg.norm(d)
-                if n > 1e-7:
+                if n > 1e-4 * d0:
                     added.append(d / n)
             if not added:
                 # every correction was linearly dependent on the subspace;

@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.contract import contract
+from ..ops.ctensor import ct_zeros_like
 from ..triples import t3_denom, t3c_full, _swap_ac, _swap_bc, slab_layouts
 from .ccsd import build_Fme, residuals_ccsd, slices
 
@@ -302,8 +303,8 @@ def residuals_cc3_scan(F, ERI, L, t1, t2, no, real_time=False, F_ref=None):
                      - eps_v[None, None, :, None]
                      - eps_v[None, None, None, :])
             t3 = t3 - t3p / denom
-        td = t3 - jnp.swapaxes(t3, 1, 3)
-        T = 2.0 * t3 - jnp.swapaxes(t3, 2, 3) - jnp.swapaxes(t3, 1, 3)
+        td = t3 - (t3).swapaxes(1, 3)
+        T = 2.0 * t3 - (t3).swapaxes(2, 3) - (t3).swapaxes(1, 3)
         X1 = X1.at[i].add(contract("kabc,kbc->a", td, Lo[j]))
         X2_ij = contract("kabc,kc->ab", td, Fme)
         X2_ij += contract("kabc,dkbc->ad", T, Wamef)
@@ -311,8 +312,8 @@ def residuals_cc3_scan(F, ERI, L, t1, t2, no, real_time=False, F_ref=None):
         X2 = X2.at[i].add(-contract("kabc,klc->lab", T, Wmnie[j]))
         return (X1, X2)
 
-    X1 = jnp.zeros_like(r1)
-    X2 = jnp.zeros_like(r2)
+    X1 = ct_zeros_like(r1)
+    X2 = ct_zeros_like(r2)
     X1, X2 = jax.lax.fori_loop(0, no * no, body, (X1, X2))
     r1 = r1 + X1
     r2 = r2 + X2 + X2.transpose(1, 0, 3, 2)
@@ -354,8 +355,8 @@ def _cc3_row_xs(i, carry, Wabei_o, Wmbij_t, t2, eps, Lo, Fme, Wamef, Wmnie,
                      - eps_v[None, None, :, None]
                      - eps_v[None, None, None, :])
             t3 = t3 - t3p / denom
-        td = t3 - jnp.swapaxes(t3, 1, 3)
-        T = 2.0 * t3 - jnp.swapaxes(t3, 2, 3) - jnp.swapaxes(t3, 1, 3)
+        td = t3 - (t3).swapaxes(1, 3)
+        T = 2.0 * t3 - (t3).swapaxes(2, 3) - (t3).swapaxes(1, 3)
         X1 = X1.at[i].add(contract("kabc,kbc->a", td, Lo[j]))
         X2_ij = contract("kabc,kc->ab", td, Fme)
         X2_ij += contract("kabc,dkbc->ad", T, Wamef)
@@ -399,8 +400,8 @@ def residuals_cc3_rows(F, ERI, L, t1, t2, no, real_time=False, F_ref=None,
         (r1, r2, Fme, Wamef, Wmnie, Wabei_o, Wmbij_t,
          eps, Lo, Vov) = prep(F, ERI, L, t1, t2, no=no,
                               real_time=real_time, F_ref=F_ref)
-    X1 = jnp.zeros_like(r1)
-    X2 = jnp.zeros_like(r2)
+    X1 = ct_zeros_like(r1)
+    X2 = ct_zeros_like(r2)
     for i in range(no):
         X1, X2 = _cc3_row_xs_jit(jnp.asarray(i), (X1, X2), Wabei_o, Wmbij_t,
                                  t2, eps, Lo, Fme, Wamef, Wmnie, Vov,
@@ -600,7 +601,7 @@ def _cc3_lambda_row_t3(l, carry, Wabei_o, Wmbij_t, t2, l2, eps, Lo, Eo,
         Zmdfa = Zmdfa.at[m].add(contract("ndef,nea->dfa", s, Eo[:, l])
                                 - contract("ndfe,nea->dfa", s, Lo[:, l]))
         Znf = Znf + contract("de,ndef->nf", l2[l, m],
-                             s - jnp.swapaxes(s, 1, 3))
+                             s - (s).swapaxes(1, 3))
         return (Zmndi, Zmdfa, Znf)
 
     return jax.lax.fori_loop(0, no, body, carry)
@@ -652,8 +653,14 @@ def cc3_lambda_extra_rows(F, ERI, L, t1, t2, l1, l2, no, real_time=False,
     nv = t2.shape[2]
     D = t2.dtype
 
-    carry = (jnp.zeros((no, no, nv, no), D), jnp.zeros((no, nv, nv, nv), D),
-             jnp.zeros((no, nv), D))
+    from ..ops.ctensor import CTensor
+
+    def _zeros(shape):
+        z = jnp.zeros(shape, D)
+        return CTensor(z, jnp.zeros(shape, D)) if isinstance(t2, CTensor) else z
+
+    carry = (_zeros((no, no, nv, no)), _zeros((no, nv, nv, nv)),
+             _zeros((no, nv)))
     for l in range(no):
         carry = _cc3_lambda_row_t3(jnp.asarray(l), carry, Wabei_o, Wmbij_t,
                                    t2, l2, eps, Lo, Eo, Vov, no=no,
@@ -664,10 +671,10 @@ def cc3_lambda_extra_rows(F, ERI, L, t1, t2, l1, l2, no, real_time=False,
     Y1 += contract("imaf,mf->ia", Lo, Znf)
     Y1 += contract("mnad,mndi->ia", l2, Zmndi)
 
-    carry = (jnp.zeros((nv, no, nv, nv), D), jnp.zeros((nv, no, nv, nv), D),
-             jnp.zeros((nv, no, nv, nv), D), jnp.zeros((no, no, no, nv), D),
-             jnp.zeros((no, no, no, nv), D), jnp.zeros((no, no, no, nv), D),
-             jnp.zeros((no, no, nv, nv), D))
+    carry = (_zeros((nv, no, nv, nv)), _zeros((nv, no, nv, nv)),
+             _zeros((nv, no, nv, nv)), _zeros((no, no, no, nv)),
+             _zeros((no, no, no, nv)), _zeros((no, no, no, nv)),
+             _zeros((no, no, nv, nv)))
     for k in range(no):
         carry = _cc3_lambda_row_l3(jnp.asarray(k), carry, t2, l1, l2, Fov,
                                    Wamef, Wmnie, Wabei_o, Wmbij_t, eps, Lo,
@@ -769,7 +776,7 @@ def _cc3_onepdm_row(i, carry, Wabei_o, Wmbij_t, t2, l1, l2, Fov, Wamef,
                          eps_v)                                 # [k,a,b,c]
         Zlmdi = Zlmdi.at[i, j].add(contract("kdef,kpfe->dp", l3, t2))
         Dov = Dov.at[i].add(
-            contract("kabc,kbc->a", t3 - jnp.swapaxes(t3, 1, 2), l2[j]))
+            contract("kabc,kbc->a", t3 - (t3).swapaxes(1, 2), l2[j]))
         # this pair is (lead, m); the free occupied axes of t3/l3 are p/q
         Doo = Doo - 0.5 * contract("pabc,qabc->pq", t3, l3)
         Dvv = Dvv + 0.5 * contract("kbdc,kadc->ab", t3, l3)

@@ -138,6 +138,38 @@ class CTensor:
     def trace(self):
         return CTensor(jnp.trace(self.re), jnp.trace(self.im))
 
+    @property
+    def at(self):
+        """jnp-style indexed-update proxy: X.at[i].add/set on both parts."""
+        return _CTAt(self)
+
+
+class _CTAt:
+    def __init__(self, ct):
+        self._ct = ct
+
+    def __getitem__(self, key):
+        return _CTAtIndexed(self._ct, key)
+
+
+class _CTAtIndexed:
+    def __init__(self, ct, key):
+        self._ct, self._key = ct, key
+
+    def _pair(self, other):
+        o = other if isinstance(other, CTensor) else CTensor(other)
+        return o.re, o.im
+
+    def add(self, other):
+        orr, oi = self._pair(other)
+        return CTensor(self._ct.re.at[self._key].add(orr),
+                       self._ct.im.at[self._key].add(oi))
+
+    def set(self, other):
+        orr, oi = self._pair(other)
+        return CTensor(self._ct.re.at[self._key].set(orr),
+                       self._ct.im.at[self._key].set(oi))
+
 
 def ct_contract(subscripts, a, b, _real_contract=None):
     """Complex-aware einsum over CTensor/real operands.

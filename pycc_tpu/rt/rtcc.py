@@ -37,10 +37,10 @@ class rtcc:
         self.magnetic = bool(magnetic)
         # ri_split: carry the complex amplitudes as (re, im) real pairs so
         # the RHS executes on TPU (the axon runtime has NO complex ops;
-        # see ops/ctensor.py).  CCD/CC2/CCSD, canonical only.
+        # see ops/ctensor.py).  Canonical CCD/CC2/CCSD/CC3.
         self.ri_split = bool(ri_split)
-        if self.ri_split and (ccwfn.model == "CC3" or ccwfn.local):
-            raise Exception("ri_split supports canonical CCD/CC2/CCSD only.")
+        if self.ri_split and ccwfn.local:
+            raise Exception("ri_split supports canonical models only.")
 
         self.mu = ccwfn.H.mu
         if kick:
@@ -158,6 +158,48 @@ class rtcc:
 
         self._f_ri_jit = jax.jit(_f_core_ri)
 
+        # Host-stepped CC3 RHS: the fused _f_core embeds the whole T3/L3
+        # slab scan in ONE device program, which the axon TPU watchdog
+        # kills at production sizes.  This path splits the RHS into
+        # per-occupied-row dispatches (residuals_cc3_rows +
+        # cc3_lambda_extra_rows) around one jitted CCSD-part program.
+        # Auto-selected at no^3 nv^3 > 2e8 (ccwfn.t3_scan forces on/off);
+        # works for complex (CPU) and ri_split/CTensor (TPU) amplitudes.
+        big = (no ** 3) * (nv ** 3) > 2e8
+        self.host_stepped = (model == "CC3") and (
+            big if ccwfn.t3_scan is None else bool(ccwfn.t3_scan))
+        if self.host_stepped:
+            from ..models.cc3 import (cc3_lambda_extra_rows,
+                                      residuals_cc3_rows)
+
+            @jax.jit
+            def _f_ccsd_part(F, t1, t2, l1, l2, *Hargs):
+                ERIv, Lv = _views(Hargs)
+                rl1, rl2 = lambda_residuals_from_F("CCSD", F, ERIv, Lv,
+                                                   t1, t2, l1, l2, no)
+                return rl1, rl2, _phase(F, t1, t2, Lv)
+
+            def _f_rows(t, F, t1, t2, l1, l2):
+                kw = dict(real_time=ccwfn.real_time, F_ref=Fj)
+                if blocked:
+                    bl = self._H_args[0]
+                    rt1, rt2 = residuals_cc3_rows(F, None, None, t1, t2,
+                                                  no, blocks=bl, **kw)
+                    Y1, Y2 = cc3_lambda_extra_rows(F, None, None, t1, t2,
+                                                   l1, l2, no, blocks=bl,
+                                                   **kw)
+                else:
+                    ERIa, La = self._H_args
+                    rt1, rt2 = residuals_cc3_rows(F, ERIa, La, t1, t2,
+                                                  no, **kw)
+                    Y1, Y2 = cc3_lambda_extra_rows(F, ERIa, La, t1, t2,
+                                                   l1, l2, no, **kw)
+                rl1, rl2, ph = _f_ccsd_part(F, t1, t2, l1, l2,
+                                            *self._H_args)
+                return rt1, rt2, rl1 + Y1, rl2 + Y2, ph
+
+            self._f_rows = _f_rows
+
         def _lagrangian(t, t1, t2, l1, l2, *Hargs):
             ERIv, Lv = _views(Hargs)
             F = Fj.astype(t1.dtype) + mu_tot.astype(t1.dtype) * self.V(t)
@@ -202,6 +244,8 @@ class rtcc:
     # ------------------------------------------------------------------
     def f(self, t, y):
         """ODE right-hand side; numpy-compatible for scipy.complex_ode."""
+        if getattr(self, "host_stepped", False):
+            return self._f_host(t, y)
         if self.ri_split:
             y = np.asarray(y)
             yri = jnp.stack([jnp.asarray(y.real), jnp.asarray(y.imag)])
@@ -210,6 +254,39 @@ class rtcc:
             return out[0] + 1.0j * out[1]
         return np.asarray(self._f_jit(jnp.asarray(t), jnp.asarray(y),
                                       *self._H_args))
+
+    def _f_host(self, t, y):
+        """Host-orchestrated CC3 RHS (per-row device dispatches)."""
+        from ..ops.ctensor import CTensor
+        no, nv = self.no, self.nv
+        len1, len2 = no * nv, (no * nv) ** 2
+        y = np.asarray(y)
+        Fj = jnp.asarray(self.ccwfn.H.F)
+        if self.ri_split:
+            def amp(lo, hi, shape):
+                blk = y[lo:hi].reshape(shape)
+                return CTensor(jnp.asarray(blk.real), jnp.asarray(blk.imag))
+            F = Fj + self.mu_tot.real * self.V(t)  # real field
+        else:
+            def amp(lo, hi, shape):
+                return jnp.asarray(y[lo:hi].reshape(shape))
+            F = Fj.astype(y.dtype) + self.mu_tot.astype(y.dtype) * self.V(t)
+        t1 = amp(0, len1, (no, nv))
+        t2 = amp(len1, len1 + len2, (no, no, nv, nv))
+        l1 = amp(len1 + len2, 2 * len1 + len2, (no, nv))
+        l2 = amp(2 * len1 + len2, 2 * (len1 + len2), (no, no, nv, nv))
+        rt1, rt2, rl1, rl2, ph = self._f_rows(t, F, t1, t2, l1, l2)
+        rt1, rt2 = rt1 * (-1.0j), rt2 * (-1.0j)
+        rl1, rl2 = rl1 * (1.0j), rl2 * (1.0j)
+        if self.ri_split:
+            cx = lambda a: (np.asarray(a.re) + 1.0j * np.asarray(a.im)).ravel()
+            return np.concatenate([cx(rt1), cx(rt2), cx(rl1), cx(rl2),
+                                   cx(ph).reshape(1)])
+        return np.concatenate([np.asarray(rt1).ravel(),
+                               np.asarray(rt2).ravel(),
+                               np.asarray(rl1).ravel(),
+                               np.asarray(rl2).ravel(),
+                               np.asarray(ph).reshape(1)])
 
     def collect_amps(self, t1, t2, l1, l2, phase):
         dtype = "complex128" if self.ccwfn.precision == "DP" else "complex64"

@@ -74,11 +74,11 @@ def t3d_full(t1, t2, Woovv, F, no, with_denom=True):
 
 
 def _swap_ac(t3):
-    return jnp.swapaxes(t3, 3, 5)
+    return (t3).swapaxes(3, 5)
 
 
 def _swap_bc(t3):
-    return jnp.swapaxes(t3, 4, 5)
+    return (t3).swapaxes(4, 5)
 
 
 def _vikings_X(F, ERI, L, t2, t3, no):
@@ -204,7 +204,7 @@ def t_tjl(cc):
         V3 = V3 / Vdeg
 
         def P(x, perm):
-            return jnp.transpose(x, perm)
+            return (x).transpose(*perm)
 
         X3 = (W3 * V3
               + P(W3, (0, 2, 1)) * P(V3, (0, 2, 1))
@@ -237,13 +237,13 @@ def t_tjl(cc):
 def _perm_v(t3, order):
     """Permute the three virtual axes (3,4,5) of the full T3 tensor."""
     axes = (0, 1, 2) + tuple(3 + "abc".index(c) for c in order)
-    return jnp.transpose(t3, axes)
+    return (t3).transpose(*axes)
 
 
 def _perm_o(t3, order):
     """Permute the three occupied axes (0,1,2)."""
     axes = tuple("ijk".index(c) for c in order) + (3, 4, 5)
-    return jnp.transpose(t3, axes)
+    return (t3).transpose(*axes)
 
 
 def _X3_v(M):
@@ -343,7 +343,7 @@ def slab_layouts(Wvvvo, Wovoo):
     inside a fori_loop is slow on TPU and crashes the XLA:TPU runtime at
     (no,nv)=(32,128); one up-front transpose makes every per-(i,j) access a
     major-axis slice."""
-    return jnp.transpose(Wvvvo, (3, 0, 1, 2)), jnp.transpose(Wovoo, (2, 3, 0, 1))
+    return (Wvvvo).transpose(3, 0, 1, 2), (Wovoo).transpose(2, 3, 0, 1)
 
 
 def _t3c_slab(i, Wvvvo_o, Wovoo_t, t2, eps_o, eps_v):
@@ -448,8 +448,8 @@ def _t_vikings_row(i, Wvvvo_o, Wovoo_t, Evovv, Eooov, Loovv, Fov, eps,
 
     def body(j, acc):
         t3 = _t3c_slab_ij(i, j, Wvvvo_o, Wovoo_t, t2, eps_o, eps_v)
-        td = t3 - jnp.swapaxes(t3, 1, 3)
-        T = 2.0 * t3 - jnp.swapaxes(t3, 2, 3) - jnp.swapaxes(t3, 1, 3)
+        td = t3 - (t3).swapaxes(1, 3)
+        T = 2.0 * t3 - (t3).swapaxes(2, 3) - (t3).swapaxes(1, 3)
         X1 = contract("kabc,kbc->a", td, Loovv[j])
         X2 = contract("kabc,kc->ab", td, Fov)
         X2 += contract("kabc,dkbc->ad", T, Evovv)
@@ -487,7 +487,7 @@ def t_vikings_scan_core(Wvvvo_o, Wovoo_t, Evovv, Eooov, Loovv, Fov, eps,
 def _perm_v_slab(s, order):
     """Permute the three virtual axes (1,2,3) of a (k,a,b,c) slab."""
     axes = (0,) + tuple(1 + "abc".index(c) for c in order)
-    return jnp.transpose(s, axes)
+    return (s).transpose(*axes)
 
 
 def _X3_v_slab(s):
@@ -718,7 +718,7 @@ def t3_density_scan_core(Wvvvo_o, Wovoo_t, Evovv, Eooov, Eovvv, Eoovv,
                                   eps, t1, t2, no=no)
     (X2, Dvv, Dov, Goovv, S1) = acc1
     (Gooov, Gvvvo_t, S2) = acc2
-    Gvvvo = jnp.transpose(Gvvvo_t, (1, 2, 3, 0))
+    Gvvvo = (Gvvvo_t).transpose(1, 2, 3, 0)
     tt = 4.0 * t2 - 2.0 * t2.swapaxes(2, 3)
     S2 = S2 + S2.transpose(1, 0, 3, 2)
     ET = contract("ia,ia->", t1, S1)

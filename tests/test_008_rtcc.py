@@ -213,17 +213,19 @@ def test_ri_split_matches_complex():
 
 
 def test_ri_split_rejects_unsupported():
-    cc, lam, dens = _setup("He", "cc-pvdz")
+    """ri_split covers canonical CCD/CC2/CCSD/CC3 (CC3 gained support in
+    round 2); only LOCAL models remain complex-on-CPU and must raise."""
     import pycc_tpu as p
     with contextlib.redirect_stdout(io.StringIO()):
-        cc3 = p.ccwfn(scf("He", "cc-pvdz", freeze_core=False), model="CC3")
-        cc3.solve_cc(1e-10, 1e-10)
-        hb3 = p.cchbar(cc3)
-        lam3 = p.cclambda(cc3, hb3)
-        lam3.solve_lambda(1e-10, 1e-10)
-        dens3 = p.ccdensity(cc3, lam3)
+        ccl = p.ccwfn(scf("H2O", "sto-3g", freeze_core=False),
+                      local="PNO", local_cutoff=1e-7, filter=True)
+        ccl.solve_cc(1e-10, 1e-10)
+        hbl = p.cchbar(ccl)
+        laml = p.cclambda(ccl, hbl)
+        laml.solve_lambda(1e-10, 1e-10)
+        densl = p.ccdensity(ccl, laml)
     try:
-        p.rtcc(cc3, lam3, dens3, None, ri_split=True)
+        p.rtcc(ccl, laml, densl, None, ri_split=True)
         assert False, "should have raised"
     except Exception as e:
         assert "canonical" in str(e)

@@ -1,21 +1,31 @@
 """Benchmark: CC throughput on the TPU (driver metric).
 
 Prints ONE JSON line.  The primary metric is the DF-CCSD amplitude
-iteration at (o, v) = (48, 512) — a 560-basis-function-equivalent system,
-the BASELINE.json north-star scale — in bfloat16 from Cholesky factors
-(naux = 1664), where the dense ERI could never fit (dense ERI+L at
-nact=560 is ~1.6 TB f32 vs ~0.9 GB of factors).  `flops` is XLA's own
-cost analysis of the compiled step; `tflops` = flops/s; `mfu` is the
-fraction of the TPU v5e bf16 matmul peak (197 TFLOP/s).
+iteration at (o, v) = (32, 512) — a 544-basis-function system, the
+BASELINE.json north-star scale — in bfloat16 from Cholesky factors,
+where the dense ERI could never fit (dense ERI+L at nact=544 is ~1.4 TB
+f32 vs ~1 GB of factors).  `flops` counts the full step: XLA's own cost
+analysis PLUS the ladder-scan body times its remaining trip count (XLA
+costs a scan body once), so `tflops`/`mfu` are true sustained rates.
 
 `extra` carries secondary rows: the round-1 blocked-storage CCSD
 iteration at (32,128) f32 (continuity metric) and the (T) slab-scan wall
 time at (32,128) (the BASELINE.json "(T) wall time" metric).
 
+Measurement rules learned the hard way on the axon runtime (see
+PERF.md): executions are async and a FAILED execution makes
+block_until_ready return immediately (a timing loop over errored arrays
+measures dispatch, not compute), so every timed loop here ends with a
+device->host fetch of one element that is checked finite; synthetic
+factors are drawn uniform (jax.random.normal's erf_inv chain holds ~13
+f32 copies of a (naux,v,v) tensor — an instant HBM OOM at this size);
+and the amplitude update is a real Jacobi step with denominators so the
+iterates stay bounded in bfloat16.
+
 vs_baseline scales the measured single-core CPU time (dense blocked CCSD
 (16,64) f64: 6.596 s/iter = 3.031e10 flops -> 2.176e-10 s/flop; the
 reference publishes no perf numbers, BASELINE.json `published` is empty)
-to each config by XLA flop count: vs_baseline = cpu_s_per_flop * flops / dt.
+to each config by flop count: vs_baseline = cpu_s_per_flop * flops / dt.
 """
 
 import json
@@ -29,11 +39,21 @@ sys.path.insert(0, "/root/repo")
 # single core; 3.0314522624e10 flops per step from XLA cost_analysis
 CPU_S_PER_FLOP = 6.596 / 3.0314522624e10
 
-DF_CFG = dict(no=48, nv=512, naux=1664, nblocks=128)  # 560-bf equivalent
+DF_CFG = dict(no=32, nv=512, naux=1632, nblocks=64)  # 544-bf, naux=3*nact
 BLK_CFG = dict(no=32, nv=128)
 T_CFG = dict(no=32, nv=128)
 
 TPU_BF16_PEAK = 197e12  # TPU v5e
+
+
+def _fetch_finite(x):
+    """Force execution by fetching one element; raise if non-finite."""
+    import jax
+    import numpy as np
+    v = float(np.asarray(jax.device_get(x[(0,) * x.ndim])))
+    if not np.isfinite(v):
+        raise FloatingPointError("non-finite bench iterate: %r" % v)
+    return v
 
 
 def _sync(tree):
@@ -41,9 +61,9 @@ def _sync(tree):
     jax.tree_util.tree_map(lambda x: x.block_until_ready(), tree)
 
 
-def _flops_of(jitted, *args):
+def _flops_of(compiled):
     try:
-        c = jitted.lower(*args).compile().cost_analysis()
+        c = compiled.cost_analysis()
         if isinstance(c, list):
             c = c[0]
         return float(c.get("flops"))
@@ -68,33 +88,52 @@ def bench_df(no, nv, naux, nblocks, n=5):
     @jax.jit
     def synth(key):
         ks = jax.random.split(key, 5)
-        mk = lambda k, sh: (0.05 * jax.random.normal(k, sh)).astype(DT)
+        # uniform, NOT normal: erf_inv on a (naux, v, v) operand OOMs.
+        # 1/sqrt(v) keeps the ladder a bounded operator so the damped
+        # Jacobi iteration stays finite at any (v, naux) (real Cholesky
+        # factors have a decaying spectrum; constant-scale random ones
+        # make the synthetic ERI norm grow with v and diverge the
+        # fixed point at production sizes)
+        mk = lambda k, sh: ((0.05 / nv ** 0.5) * jax.random.uniform(
+            k, sh, minval=-1.0, maxval=1.0)).astype(DT)
         nact = no + nv
         eps = jnp.concatenate([jnp.linspace(-2.0, -0.5, no),
                                jnp.linspace(0.3, 3.0, nv)])
-        F = (jnp.diag(eps)
-             + 0.0005 * jax.random.normal(ks[0], (nact, nact))).astype(DT)
+        F = jnp.diag(eps).astype(DT)
         df = dfq.DFERI(mk(ks[1], (naux, no, no)), mk(ks[2], (naux, no, nv)),
                        mk(ks[3], (naux, nv, nv)))
+        Dia = (eps[:no, None] - eps[None, no:]).astype(DT)
+        Dijab = (eps[:no, None, None, None] + eps[None, :no, None, None]
+                 - eps[None, None, no:, None]
+                 - eps[None, None, None, no:]).astype(DT)
         t1 = jnp.zeros((no, nv), DT)
-        t2 = (0.01 * jax.random.normal(ks[4], (no, no, nv, nv))).astype(DT)
-        return 0.5 * (F + F.T), df, t1, t2
+        t2 = (contract("Pia,Pjb->ijab", df.Bov, df.Bov) / Dijab).astype(DT)
+        return F, df, Dia, Dijab, t1, t2
 
-    F, df, t1, t2 = synth(jax.random.PRNGKey(0))
+    from pycc_tpu.ops.contract import contract
+    F, df, Dia, Dijab, t1, t2 = synth(jax.random.PRNGKey(0))
     _sync(F)
 
-    def step(F, df, t1, t2):
+    def step(F, df, Dia, Dijab, t1, t2):
+        # damped Jacobi: a synthetic (non-physical) Hamiltonian is not
+        # diagonally dominant enough for the undamped update in bf16
         r1, r2 = dfq.residuals_ccsd_df(F, df, t1, t2, no, nblocks=nblocks)
-        return t1 + 0.1 * r1, t2 + 0.1 * r2
+        return (t1 + 0.25 * r1 / Dia).astype(DT), \
+               (t2 + 0.25 * r2 / Dijab).astype(DT)
 
-    jstep = jax.jit(step)
-    flops = _flops_of(jstep, F, df, t1, t2)
-    a, b = jstep(F, df, t1, t2)
-    _sync((a, b))
+    comp = jax.jit(step).lower(F, df, Dia, Dijab, t1, t2).compile()
+    flops = _flops_of(comp)
+    if flops:
+        # cost_analysis charges the ladder scan body ONCE; add the
+        # remaining trips: per block 2*blk*v^3*(naux + o^2) flops
+        blk = -(-nv // nblocks)
+        flops += (nblocks - 1) * 2.0 * blk * nv ** 3 * (naux + no * no)
+    a, b = comp(F, df, Dia, Dijab, t1, t2)
+    _fetch_finite(b)
     t0 = time.time()
     for _ in range(n):
-        a, b = jstep(F, df, a, b)
-    _sync((a, b))
+        a, b = comp(F, df, Dia, Dijab, a, b)
+    _fetch_finite(b)
     dt = (time.time() - t0) / n
     return dt, flops
 
@@ -115,7 +154,10 @@ def bench_blocked(no, nv, n=10):
         F = jnp.diag(eps) + 0.0005 * jax.random.normal(k1, (nact, nact),
                                                        jnp.float32)
         F = 0.5 * (F + F.T)
-        A = 0.05 * jax.random.normal(k2, (nact,) * 4, jnp.float32)
+        # 1/v: the random-ladder operator norm is ~2*sigma*v, which must
+        # stay below the denominator floor for the damped Jacobi iterates
+        # to remain finite (see bench_df)
+        A = (0.05 / nv) * jax.random.normal(k2, (nact,) * 4, jnp.float32)
         A = A + jnp.transpose(A, (1, 0, 2, 3))
         A = A + jnp.transpose(A, (0, 1, 3, 2))
         A = A + jnp.transpose(A, (2, 3, 0, 1))
@@ -137,15 +179,16 @@ def bench_blocked(no, nv, n=10):
     def step(F, blocks, Dia, Dijab, t1, t2):
         bE, bL = blocked_views(blocks, no)
         r1, r2 = eqs.residuals_ccsd(F, bE, bL, t1, t2, no)
-        return t1 + r1 / Dia, t2 + r2 / Dijab
+        return t1 + 0.25 * r1 / Dia, t2 + 0.25 * r2 / Dijab
 
-    flops = _flops_of(step, F, blocks, Dia, Dijab, t1, t2)
-    a, b = step(F, blocks, Dia, Dijab, t1, t2)
-    _sync((a, b))
+    comp = jax.jit(step).lower(F, blocks, Dia, Dijab, t1, t2).compile()
+    flops = _flops_of(comp)
+    a, b = comp(F, blocks, Dia, Dijab, t1, t2)
+    _fetch_finite(b)
     t0 = time.time()
     for _ in range(n):
-        a, b = step(F, blocks, Dia, Dijab, a, b)
-    _sync((a, b))
+        a, b = comp(F, blocks, Dia, Dijab, a, b)
+    _fetch_finite(b)
     dt = (time.time() - t0) / n
     return dt, flops
 
@@ -154,6 +197,7 @@ def bench_triples(no, nv):
     """(T) slab-scan wall time (one full energy evaluation), f32."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
     from pycc_tpu.triples import slab_layouts, t_vikings_scan_core
 
     @jax.jit
@@ -177,10 +221,10 @@ def bench_triples(no, nv):
     _sync(args[0])
     # warm (compiles the row program)
     e = t_vikings_scan_core(*args, no)
-    _sync(e)
+    assert np.isfinite(float(e))
     t0 = time.time()
     e = t_vikings_scan_core(*args, no)
-    _sync(e)
+    assert np.isfinite(float(e))
     return time.time() - t0, None
 
 

@@ -84,3 +84,29 @@ def test_mixed_precision_solver():
         cc = pycc_tpu.ccwfn(wfn)
         e = cc.solve_cc_mixed(1e-12, 1e-12)
     assert abs(e - -0.070616830152761) < 1e-11
+
+
+def test_triples_pallas_kernel_interpret():
+    """Fused Pallas (T) row kernel == the XLA slab reference (adjoint
+    projections, both tilings)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from pycc_tpu.ops.kernels.triples import t_vikings_pallas
+    from pycc_tpu.triples import slab_layouts, t_vikings_scan_core
+
+    no, nv = 4, 8
+    rng = np.random.default_rng(7)
+    mk = lambda sh: jnp.asarray(0.02 * rng.standard_normal(sh), jnp.float32)
+    Wv_o, Wo_t = slab_layouts(mk((nv, nv, nv, no)), mk((no, nv, no, no)))
+    Ev, Eo = mk((nv, no, nv, nv)), mk((no, no, no, nv))
+    L, Fov = mk((no, no, nv, nv)), mk((no, nv))
+    eps = jnp.concatenate([jnp.linspace(-2.0, -0.5, no),
+                           jnp.linspace(0.3, 3.0, nv)]).astype(jnp.float32)
+    t1, t2 = mk((no, nv)), mk((no, no, nv, nv))
+    e_ref = float(t_vikings_scan_core(Wv_o, Wo_t, Ev, Eo, L, Fov, eps,
+                                      t1, t2, no))
+    for cblk in (None, 4):
+        e_pal = float(t_vikings_pallas(Wv_o, Wo_t, Ev, Eo, L, Fov, eps,
+                                       t1, t2, no, cblk=cblk,
+                                       interpret=True))
+        assert abs(e_ref - e_pal) < 1e-9, (cblk, e_ref, e_pal)

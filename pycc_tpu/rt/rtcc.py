@@ -37,10 +37,10 @@ class rtcc:
         self.magnetic = bool(magnetic)
         # ri_split: carry the complex amplitudes as (re, im) real pairs so
         # the RHS executes on TPU (the axon runtime has NO complex ops;
-        # see ops/ctensor.py).  Canonical CCD/CC2/CCSD/CC3.
+        # see ops/ctensor.py).  CCD/CC2/CCSD/CC3, canonical or local
+        # (the pair-space filter projections are real-linear, so they
+        # apply componentwise to the (re, im) pair).
         self.ri_split = bool(ri_split)
-        if self.ri_split and ccwfn.local:
-            raise Exception("ri_split supports canonical models only.")
 
         self.mu = ccwfn.H.mu
         if kick:
@@ -138,15 +138,24 @@ class rtcc:
 
             F = Fj + mu_tot.real * self.V(t)  # the field stays real
 
+            def ct_filter(r1, r2):
+                fr1, fr2 = filter_res(r1.re, r2.re)
+                fi1, fi2 = filter_res(r1.im, r2.im)
+                return CTensor(fr1, fi1), CTensor(fr2, fi2)
+
             rt1, rt2 = residual_fn(F, ERI, L, t1, t2, no)
             rt1 = rt1 * (-1.0j)
             rt2 = rt2 * (-1.0j)
+            if use_filter:
+                rt1, rt2 = ct_filter(rt1, rt2)
             rl1, rl2 = lambda_residuals_from_F(model, F, ERI, L,
                                                t1, t2, l1, l2, no,
                                                real_time=ccwfn.real_time,
                                                F_ref=Fj)
             rl1 = rl1 * (1.0j)
             rl2 = rl2 * (1.0j)
+            if use_filter:
+                rl1, rl2 = ct_filter(rl1, rl2)
             ph = _phase(F, t1, t2, L)
             re = jnp.concatenate([rt1.re.ravel(), rt2.re.ravel(),
                                   rl1.re.ravel(), rl2.re.ravel(),

@@ -212,9 +212,12 @@ def test_ri_split_matches_complex():
     assert np.abs(yc - yr).max() < 1e-14
 
 
-def test_ri_split_rejects_unsupported():
-    """ri_split covers canonical CCD/CC2/CCSD/CC3 (CC3 gained support in
-    round 2); only LOCAL models remain complex-on-CPU and must raise."""
+def test_ri_split_local_matches_complex():
+    """RT-PNO with re/im-split amplitudes == the complex path: the
+    pair-space filter projections are real-linear, so they apply
+    componentwise to the (re, im) pair (round-2 coverage; previously
+    local models raised)."""
+    import numpy as np
     import pycc_tpu as p
     with contextlib.redirect_stdout(io.StringIO()):
         ccl = p.ccwfn(scf("H2O", "sto-3g", freeze_core=False),
@@ -224,8 +227,9 @@ def test_ri_split_rejects_unsupported():
         laml = p.cclambda(ccl, hbl)
         laml.solve_lambda(1e-10, 1e-10)
         densl = p.ccdensity(ccl, laml)
-    try:
-        p.rtcc(ccl, laml, densl, None, ri_split=True)
-        assert False, "should have raised"
-    except Exception as e:
-        assert "canonical" in str(e)
+    V = gaussian_laser(0.01, 0, 0.01, 0.05)
+    rt_c = p.rtcc(ccl, laml, densl, V)
+    rt_r = p.rtcc(ccl, laml, densl, V, ri_split=True)
+    y0 = rt_c.collect_amps(ccl.t1, ccl.t2, laml.l1, laml.l2,
+                           0).astype("complex128")
+    assert np.abs(rt_c.f(0.02, y0) - rt_r.f(0.02, y0)).max() < 1e-14

@@ -100,6 +100,20 @@ class cceom:
 
         _sig_v = jax.jit(jax.vmap(sig, in_axes=(None, None, 0)))
 
+        @jax.jit
+        def _sig_chunked(hb, t2, C):
+            # lax.map over fixed-size chunks: one compiled body regardless
+            # of subspace size, and the batched-sigma intermediates stay
+            # bounded (an M=8 vmapped sigma at (32,128) wants a 16 GB
+            # padded 6-D temp on TPU)
+            return jax.lax.map(
+                lambda c: jax.vmap(sig, in_axes=(None, None, 0))(hb, t2, c),
+                C).reshape(-1, C.shape[-1])
+
+        # chunk the batched sigma on big systems (no*nv^3 heuristic);
+        # settable after construction
+        self.sigma_chunk = 2 if no * nv ** 3 > 2e7 else None
+
         def sigma(C):
           with timers.time("eom.sigma"):
             # pad the subspace to the next power-of-two bucket: a growing
@@ -109,11 +123,19 @@ class cceom:
             Mp = 1
             while Mp < M:
                 Mp *= 2
+            ch = self.sigma_chunk
+            if ch is not None and Mp > ch:
+                Mp = max(Mp, ch) if Mp % ch == 0 else (Mp // ch + 1) * ch
             if Mp != M:
                 C = jnp.concatenate(
                     [jnp.asarray(C),
                      jnp.zeros((Mp - M, C.shape[1]), C.dtype)])
-            return _sig_v(hb, cc.t2, C)[:M]
+            else:
+                C = jnp.asarray(C)
+            if ch is None or Mp <= ch:
+                return _sig_v(hb, cc.t2, C)[:M]
+            return _sig_chunked(hb, cc.t2,
+                                C.reshape(Mp // ch, ch, -1))[:M]
 
         self._sigma = sigma
 

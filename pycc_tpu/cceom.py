@@ -15,14 +15,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .models.ccsd import slices, vvvv_contract
+from .models.ccsd import slices, vvvv_contract, vvvv_contract_efab
 from .ops.contract import contract
 from .utils.timing import timers
 
 HARTREE2EV = 27.211386245988
 
 
-def sigma1(hb, C1, C2, L, no):
+def sigma1(hb, C1, C2, L, no, aux=None):
     o, v = slices(no)
     s1 = contract("ie,ae->ia", C1, hb.Hvv)
     s1 -= contract("mi,ma->ia", hb.Hoo, C1)
@@ -30,31 +30,56 @@ def sigma1(hb, C1, C2, L, no):
     s1 -= contract("maie,me->ia", hb.Hovov, C1)
     s1 += 2.0 * contract("miea,me->ia", C2, hb.Hov)
     s1 -= contract("imea,me->ia", C2, hb.Hov)
-    s1 += 2.0 * contract("imef,amef->ia", C2, hb.Hvovv)
-    s1 -= contract("imef,amfe->ia", C2, hb.Hvovv)
+    if aux is None:
+        s1 += 2.0 * contract("imef,amef->ia", C2, hb.Hvovv)
+        s1 -= contract("imef,amfe->ia", C2, hb.Hvovv)
+    else:
+        # pre-laid Hvovv: the contracted (m,e,f) axes lead, so these are
+        # clean (i, mef) x (mef, a) GEMMs — the natural einsum makes XLA
+        # copy the ov^3 tensor into an o-minor layout (4x lane padding)
+        # per batched sigma vector: an instant HBM OOM at (32,128)
+        s1 += 2.0 * contract("imef,mefa->ia", C2, aux["Hv_mefa"])
+        s1 -= contract("imef,mefa->ia", C2, aux["Hv_mfea"])
     s1 -= 2.0 * contract("mnie,mnae->ia", hb.Hooov, C2)
     s1 += contract("nmie,mnae->ia", hb.Hooov, C2)
     return s1
 
 
-def sigma2(hb, C1, C2, L, t2, no):
+def sigma2(hb, C1, C2, L, t2, no, aux=None, skip_vvvv=False):
     o, v = slices(no)
-    Zvv = 2.0 * contract("amef,mf->ae", hb.Hvovv, C1)
-    Zvv -= contract("amfe,mf->ae", hb.Hvovv, C1)
+    if aux is None:
+        Zvv = 2.0 * contract("amef,mf->ae", hb.Hvovv, C1)
+        Zvv -= contract("amfe,mf->ae", hb.Hvovv, C1)
+    else:
+        # ((a e), (m f)) 2-D forms: the (m, f) contraction is a clean
+        # GEMV; the non-adjacent-axes einsum makes XLA relayout the
+        # ov^3 operand inside the Davidson's lax.map loop, where the
+        # hoisted copy is replicated per trip (2 GB at (32,128))
+        nvv = C1.shape[1]
+        Zvv = jnp.dot(aux["Hv_ae_mf"], C1.ravel()).reshape(nvv, nvv)
+        Zvv = 2.0 * Zvv - jnp.dot(aux["Hv_ae_mf2"],
+                                  C1.ravel()).reshape(nvv, nvv)
     Zvv -= contract("nmaf,nmef->ae", C2, L[o, o, v, v])
 
     Zoo = -2.0 * contract("mnie,ne->mi", hb.Hooov, C1)
     Zoo += contract("nmie,ne->mi", hb.Hooov, C1)
     Zoo -= contract("mnef,inef->mi", L[o, o, v, v], C2)
 
-    s2 = contract("ie,abej->ijab", C1, hb.Hvvvo)
+    if aux is None:
+        s2 = contract("ie,abej->ijab", C1, hb.Hvvvo)
+    else:
+        s2 = contract("ie,ejab->ijab", C1, aux["Hvvvo_ejab"])
     s2 -= contract("mbij,ma->ijab", hb.Hovoo, C1)
     s2 += contract("ijeb,ae->ijab", t2, Zvv)
     s2 += contract("mi,mjab->ijab", Zoo, t2)
     s2 += contract("ijeb,ae->ijab", C2, hb.Hvv)
     s2 -= contract("mi,mjab->ijab", hb.Hoo, C2)
     s2 += 0.5 * contract("mnij,mnab->ijab", hb.Hoooo, C2)
-    s2 += 0.5 * vvvv_contract(C2, hb.Hvvvv)
+    if not skip_vvvv:
+        if aux is None:
+            s2 += 0.5 * vvvv_contract(C2, hb.Hvvvv)
+        else:
+            s2 += 0.5 * vvvv_contract_efab(C2, aux["Hvvvv_efab"])
     s2 -= contract("imeb,maje->ijab", C2, hb.Hovov)
     s2 -= contract("imea,mbej->ijab", C2, hb.Hovvo)
     s2 += 2.0 * contract("miea,mbej->ijab", C2, hb.Hovvo)
@@ -91,28 +116,92 @@ class cceom:
             def __getitem__(self, key):
                 return Loovv
 
-        def sig(hb, t2, cvec):
+        # pre-lay the two big HBAR tensors so the contracted axes lead
+        # (once, at construction): the batched sigmas then avoid per-
+        # vector o-minor layout copies of ov^3 tensors (4x lane padding)
+        @jax.jit
+        def _prelay(Hvovv, Hvvvo, Hvvvv):
+            nvv = Hvovv.shape[0]
+            noo = Hvovv.shape[1]
+            return dict(Hv_mefa=jnp.transpose(Hvovv, (1, 2, 3, 0)),
+                        Hv_mfea=jnp.transpose(Hvovv, (1, 3, 2, 0)),
+                        # ((a e), (m f)): Hvovv[a,m,e,f] and the fe-swap
+                        Hv_ae_mf=jnp.transpose(Hvovv, (0, 2, 1, 3))
+                        .reshape(nvv * nvv, noo * nvv),
+                        Hv_ae_mf2=jnp.transpose(Hvovv, (0, 3, 1, 2))
+                        .reshape(nvv * nvv, noo * nvv),
+                        Hvvvo_ejab=jnp.transpose(Hvvvo, (2, 3, 0, 1)),
+                        Hvvvv_efab=jnp.transpose(Hvvvv, (2, 3, 0, 1)))
+
+        aux = _prelay(hb.Hvovv, hb.Hvvvo, hb.Hvvvv)
+        # the big-system sigma never touches hb.Hvvvv/Hvovv/Hvvvo (the
+        # pre-laid aux replaces them) — hand it a slimmed HBAR so those
+        # ~1.6 GB of blocks are not resident in the mapped program
+        z = jnp.zeros((1, 1, 1, 1), hb.Hvv.dtype)
+        hb_slim = type(hb)(*[
+            z if name in ("Hvvvv", "Hvovv", "Hvvvo") else getattr(hb, name)
+            for name in ("Hov", "Hvv", "Hoo", "Hoooo", "Hvvvv", "Hvovv",
+                         "Hooov", "Hovvo", "Hovov", "Hvvvo", "Hovoo")])
+
+        def sig(hb, aux, t2, cvec, skip_vvvv=False):
             C1 = cvec[:no * nv].reshape(no, nv)
             C2 = cvec[no * nv:].reshape(no, no, nv, nv)
-            s1 = sigma1(hb, C1, C2, _L(), no)
-            s2 = sigma2(hb, C1, C2, _L(), t2, no)
+            s1 = sigma1(hb, C1, C2, _L(), no, aux=aux)
+            s2 = sigma2(hb, C1, C2, _L(), t2, no, aux=aux,
+                        skip_vvvv=skip_vvvv)
             return jnp.concatenate([s1.ravel(), s2.ravel()])
 
-        _sig_v = jax.jit(jax.vmap(sig, in_axes=(None, None, 0)))
+        _sig_v = jax.jit(jax.vmap(sig, in_axes=(None, None, None, 0)))
+
+        # Big-system sigma, split into TWO device programs.  Three
+        # hard-won rules (each was an HBM compile OOM at (32,128)):
+        # (1) the per-vector terms run under lax.map, one vector per
+        # trip — any batched evaluation makes the TPU backend broadcast
+        # big operand buffers across the batch; (2) the Hvvvv ladder
+        # comes OUT of the loop — a while body containing the (v^2, v^2)
+        # dot replicates the invariant operand per trip (an 8 GB
+        # AllocateBuffer) — and runs as ONE flat (M o^2, v^2) x
+        # (v^2, v^2) matmul for the whole subspace in its own dispatch;
+        # (3) the mapped program gets a slimmed HBAR and an aux without
+        # the ladder tensor, so the two programs' live sets stay apart.
+        aux_core = {k: v for k, v in aux.items() if k != "Hvvvv_efab"}
 
         @jax.jit
-        def _sig_chunked(hb, t2, C):
-            # lax.map over fixed-size chunks: one compiled body regardless
-            # of subspace size, and the batched-sigma intermediates stay
-            # bounded (an M=8 vmapped sigma at (32,128) wants a 16 GB
-            # padded 6-D temp on TPU)
-            return jax.lax.map(
-                lambda c: jax.vmap(sig, in_axes=(None, None, 0))(hb, t2, c),
-                C).reshape(-1, C.shape[-1])
+        def _sig_one(hb, aux, t2, c):
+            return sig(hb, aux, t2, c, skip_vvvv=True)
 
-        # chunk the batched sigma on big systems (no*nv^3 heuristic);
-        # settable after construction
-        self.sigma_chunk = 2 if no * nv ** 3 > 2e7 else None
+        @jax.jit
+        def _ladder_half(acc, c2h, Hh):
+            # one vector, HALF the ef contraction per dispatch: the f32
+            # MXU synthesis allocates an 8 GB temp for the full
+            # (v^2, v^2) dot at (32,128) — with everything else resident
+            # that is 2 MB over the HBM budget, so the two halves run as
+            # separate programs whose temps never coexist
+            return acc + jnp.dot(c2h, Hh,
+                                 preferred_element_type=acc.dtype)
+
+        @jax.jit
+        def _ladder_fin(s_row, lad):
+            lad = 0.5 * lad.reshape(no, no, nv, nv)
+            lad = lad + lad.transpose(1, 0, 3, 2)
+            return s_row.at[no * nv:].add(lad.ravel())
+
+        def _ladder_one(s_row, c_row, Hefab):
+            C2 = c_row[no * nv:].reshape(no * no, nv * nv)
+            H2 = Hefab.reshape(nv * nv, nv * nv)
+            h = (nv * nv) // 2
+            lad = jnp.zeros((no * no, nv * nv), c_row.dtype)
+            lad = _ladder_half(lad, C2[:, :h], H2[:h])
+            lad = _ladder_half(lad, C2[:, h:], H2[h:])
+            return _ladder_fin(s_row, lad)
+
+        # sequential sigma on big systems (no*nv^3 heuristic); settable
+        self.sigma_sequential = no * nv ** 3 > 2e7
+        if self.sigma_sequential:
+            # only the slim HBAR + aux survive in the closures: keeping
+            # the original Hvvvv/Hvovv/Hvvvo referenced alongside their
+            # pre-laid aux forms doubles ~2 GB of residency at (32,128)
+            hb = hb_slim
 
         def sigma(C):
           with timers.time("eom.sigma"):
@@ -123,19 +212,28 @@ class cceom:
             Mp = 1
             while Mp < M:
                 Mp *= 2
-            ch = self.sigma_chunk
-            if ch is not None and Mp > ch:
-                Mp = max(Mp, ch) if Mp % ch == 0 else (Mp // ch + 1) * ch
             if Mp != M:
                 C = jnp.concatenate(
                     [jnp.asarray(C),
                      jnp.zeros((Mp - M, C.shape[1]), C.dtype)])
             else:
                 C = jnp.asarray(C)
-            if ch is None or Mp <= ch:
-                return _sig_v(hb, cc.t2, C)[:M]
-            return _sig_chunked(hb, cc.t2,
-                                C.reshape(Mp // ch, ch, -1))[:M]
+            if self.sigma_sequential:
+                # one VECTOR per device dispatch, host-sequenced, with a
+                # sync after each: any batched/scanned formulation makes
+                # this backend replicate shared operands per trip, and
+                # async in-flight workspaces of individually-fitting
+                # programs collide in HBM.  The per-vector graphs
+                # compile once each (fixed shapes).
+                rows = []
+                for k in range(C.shape[0]):
+                    r = _sig_one(hb_slim, aux_core, cc.t2, C[k])
+                    jax.block_until_ready(r)
+                    r = _ladder_one(r, C[k], aux["Hvvvv_efab"])
+                    jax.block_until_ready(r)
+                    rows.append(r)
+                return jnp.stack(rows)[:M]
+            return _sig_v(hb, aux, cc.t2, C)[:M]
 
         self._sigma = sigma
 
@@ -185,7 +283,7 @@ class cceom:
         return eps[:M], guesses
 
     def solve_eom(self, N=1, e_conv=1e-5, r_conv=1e-5, maxiter=100,
-                  guess="HBAR_SS"):
+                  guess="HBAR_SS", maxM=None):
         t_init = time.time()
         no, nv = self.no, self.nv
         D = self.D
@@ -193,7 +291,8 @@ class cceom:
         s2_len = (no * nv) ** 2
 
         M = N * 2
-        maxM = N * 10
+        if maxM is None:
+            maxM = N * 10
 
         _, C1 = self.guess(M, guess)
         C = np.hstack((C1.reshape(M, s1_len), np.zeros((M, s2_len))))

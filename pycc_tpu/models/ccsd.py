@@ -34,8 +34,8 @@ def vvvv_contract(tau, W):
     no1, no2, nv, _ = tau.shape
     na, nb = W.shape[0], W.shape[1]
     out = ct_dot(tau.reshape(no1 * no2, nv * nv),
-                 W.reshape(na * nb, nv * nv).T,
-                 preferred_element_type=tau.dtype)
+                 W.reshape(na * nb, nv * nv),
+                 preferred_element_type=tau.dtype, contract_last=True)
     return out.reshape(no1, no2, na, nb)
 
 

@@ -192,9 +192,19 @@ def ct_contract(subscripts, a, b, _real_contract=None):
     return CTensor(m1 - m2, m3 - m1 - m2)
 
 
-def ct_dot(a, b, preferred_element_type=None):
-    """Complex-aware 2-D dot (the vvvv ladder path)."""
-    dot = lambda x, y: jnp.dot(x, y, preferred_element_type=preferred_element_type)
+def ct_dot(a, b, preferred_element_type=None, contract_last=False):
+    """Complex-aware 2-D dot (the vvvv ladder path).
+
+    contract_last=True contracts a's LAST axis with b's LAST axis
+    (A @ B.T) without materializing the transposed copy of b — the
+    explicit .T on a (v^2, v^2) operand allocates a full transposed
+    buffer per batch element under vmap/scan (8 GB at v=128, M=8)."""
+    if contract_last:
+        dot = lambda x, y: jax.lax.dot_general(
+            x, y, (((1,), (1,)), ((), ())),
+            preferred_element_type=preferred_element_type)
+    else:
+        dot = lambda x, y: jnp.dot(x, y, preferred_element_type=preferred_element_type)
     ar, ai = _re_im(a)
     br, bi = _re_im(b)
     if ai is None and bi is None:

@@ -32,6 +32,13 @@ def test_eom_ccsd_h2o_sto3g():
             E, C = eom.solve_eom(N=3, e_conv=1e-7, guess=g)
         assert np.allclose(E, ev, atol=1e-5), (g, E, ev)
 
+    # the big-system sequential-sigma path (lax.map + hoisted Hvvvv
+    # ladder) must give the same roots
+    eom.sigma_sequential = True
+    with contextlib.redirect_stdout(io.StringIO()):
+        E, C = eom.solve_eom(N=3, e_conv=1e-7)
+    assert np.allclose(E, ev, atol=1e-5), (E, ev)
+
 
 def _solve_eom_dz(freeze_core):
     wfn = scf("H2O", "cc-pvdz", freeze_core=freeze_core)

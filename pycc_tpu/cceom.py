@@ -205,10 +205,27 @@ class cceom:
 
         def sigma(C):
           with timers.time("eom.sigma"):
+            M = C.shape[0]
+            if self.sigma_sequential:
+                # one VECTOR per device dispatch, host-sequenced, with a
+                # sync after each: any batched/scanned formulation makes
+                # this backend replicate shared operands per trip, and
+                # async in-flight workspaces of individually-fitting
+                # programs collide in HBM.  The per-vector graphs
+                # compile once each (fixed shapes), so no subspace
+                # padding is needed — iterate the M real vectors only.
+                C = jnp.asarray(C)
+                rows = []
+                for k in range(M):
+                    r = _sig_one(hb_slim, aux_core, cc.t2, C[k])
+                    jax.block_until_ready(r)
+                    r = _ladder_one(r, C[k], aux["Hvvvv_efab"])
+                    jax.block_until_ready(r)
+                    rows.append(r)
+                return jnp.stack(rows)
             # pad the subspace to the next power-of-two bucket: a growing
             # Davidson subspace otherwise recompiles the vmapped sigma for
             # EVERY new size — ruinous through a remote-compile TPU tunnel
-            M = C.shape[0]
             Mp = 1
             while Mp < M:
                 Mp *= 2
@@ -218,21 +235,6 @@ class cceom:
                      jnp.zeros((Mp - M, C.shape[1]), C.dtype)])
             else:
                 C = jnp.asarray(C)
-            if self.sigma_sequential:
-                # one VECTOR per device dispatch, host-sequenced, with a
-                # sync after each: any batched/scanned formulation makes
-                # this backend replicate shared operands per trip, and
-                # async in-flight workspaces of individually-fitting
-                # programs collide in HBM.  The per-vector graphs
-                # compile once each (fixed shapes).
-                rows = []
-                for k in range(C.shape[0]):
-                    r = _sig_one(hb_slim, aux_core, cc.t2, C[k])
-                    jax.block_until_ready(r)
-                    r = _ladder_one(r, C[k], aux["Hvvvv_efab"])
-                    jax.block_until_ready(r)
-                    rows.append(r)
-                return jnp.stack(rows)[:M]
             return _sig_v(hb, aux, cc.t2, C)[:M]
 
         self._sigma = sigma

@@ -285,6 +285,19 @@ class rtcc:
         l1 = amp(len1 + len2, 2 * len1 + len2, (no, nv))
         l2 = amp(2 * len1 + len2, 2 * (len1 + len2), (no, no, nv, nv))
         rt1, rt2, rl1, rl2, ph = self._f_rows(t, F, t1, t2, l1, l2)
+        if self.ccwfn.local is not None:
+            # the pair-space projection is real-linear, so it commutes with
+            # the +-1j factors below and applies componentwise to CTensors
+            filter_res = self.ccwfn.Local.filter_res
+            if self.ri_split:
+                def _filt(r1, r2):
+                    fr1, fr2 = filter_res(r1.re, r2.re)
+                    fi1, fi2 = filter_res(r1.im, r2.im)
+                    return CTensor(fr1, fi1), CTensor(fr2, fi2)
+            else:
+                _filt = filter_res
+            rt1, rt2 = _filt(rt1, rt2)
+            rl1, rl2 = _filt(rl1, rl2)
         rt1, rt2 = rt1 * (-1.0j), rt2 * (-1.0j)
         rl1, rl2 = rl1 * (1.0j), rl2 * (1.0j)
         if self.ri_split:

@@ -193,3 +193,42 @@ def test_rtcc3_host_stepped_rhs_matches_fused():
 
     rt_ri, _ = build(True, True)
     assert np.abs(rt_ri.f(0.03, y0) - f_ref).max() < 1e-12
+
+
+def test_rtcc3_host_stepped_local_filter_matches_fused():
+    """Local (PNO) RT-CC3: the host-stepped per-row RHS applies the
+    pair-space filter exactly like the fused one-graph RHS, in complex
+    and re/im-split modes (round-2 advisor finding: the row path used to
+    return UNFILTERED residuals for local models)."""
+    import numpy as np
+    from pycc_tpu import ccdensity, cchbar, cclambda, ccwfn, rtcc
+    from pycc_tpu.rt.lasers import gaussian_laser
+    from .common import scf
+
+    wfn = scf("H2O", "sto-3g", freeze_core=True)
+
+    def build(t3_scan, ri):
+        with contextlib.redirect_stdout(io.StringIO()):
+            cc = ccwfn(wfn, model="CC3", real_time=True, t3_scan=t3_scan,
+                       local="PNO", local_cutoff=1e-7, filter=True)
+            cc.solve_cc(e_conv=1e-10, r_conv=1e-10)
+            hb = cchbar(cc)
+            lam = cclambda(cc, hb)
+            lam.solve_lambda(e_conv=1e-10, r_conv=1e-10)
+            dens = ccdensity(cc, lam)
+        V = gaussian_laser(0.05, 0.0, 0.01, center=0.05)
+        rt = rtcc(cc, lam, dens, V, ri_split=ri)
+        y0 = rt.collect_amps(cc.t1, cc.t2, lam.l1, lam.l2,
+                             np.array([0.0 + 0.0j]))
+        return rt, y0
+
+    rt_ref, y0 = build(False, False)
+    assert not rt_ref.host_stepped
+    f_ref = rt_ref.f(0.03, y0)
+
+    rt_rows, _ = build(True, False)
+    assert rt_rows.host_stepped
+    assert np.abs(rt_rows.f(0.03, y0) - f_ref).max() < 1e-12
+
+    rt_ri, _ = build(True, True)
+    assert np.abs(rt_ri.f(0.03, y0) - f_ref).max() < 1e-12

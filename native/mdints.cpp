@@ -2,10 +2,19 @@
 //
 // C++ counterpart of pycc_tpu/scf/integrals.py's eri(): the reference
 // framework outsources integral generation to Psi4's C++ core; pycc_tpu
-// ships this engine instead.  Computes the full (ab|cd) tensor over raw
-// cartesian shells in the (l,0,0)-normalized primitive convention; the
-// Python layer applies cartesian->spherical transforms and scatters into
-// the final AO ordering.
+// ships this engine instead.  Computes (ab|cd) blocks over raw cartesian
+// shells in the (l,0,0)-normalized primitive convention; the Python layer
+// applies cartesian->spherical transforms and scatters into the final AO
+// ordering.
+//
+// Entry points:
+//   md_eri        — full (ab|cd) tensor (small systems / oracle path)
+//   md_ctx_new    — persistent shell-pair context for the direct paths
+//   md_eri_diag   — per-shell-pair diagonal blocks (ij|ij) (pivots/Schwarz)
+//   md_eri_cols   — (ab|kl) for ALL bra pairs at one fixed ket shell pair:
+//                   the column batches that drive the integral-direct
+//                   pivoted-Cholesky factorization (scf/df.py) without
+//                   ever materializing the nao^4 tensor
 //
 // Build: g++ -O3 -march=native -shared -fPIC -o libmdints.so mdints.cpp
 
@@ -129,6 +138,166 @@ struct ShellPairData {
     std::vector<double> theta;  // [npp][ncab][nh], coef folded in
 };
 
+// persistent context for the integral-direct paths
+struct Ctx {
+    int nshell, ncart_tot, maxL;
+    std::vector<int> ls, cart_off;
+    std::vector<ShellPairData> pairs;           // i >= j
+    std::vector<std::vector<Cart>> hl_by_L;     // hermite lists per L
+};
+
+ShellPairData build_pair(int i, int j, const int* ls, const int* nprim,
+                         const int* poff, const double* exps,
+                         const double* coefs, const double* centers) {
+    ShellPairData sp;
+    sp.sa = i; sp.sb = j;
+    int la = ls[i], lb = ls[j];
+    sp.L = la + lb;
+    auto ca = cart_components(la);
+    auto cb = cart_components(lb);
+    auto hl = hermite_list(sp.L);
+    sp.ncab = (int)(ca.size() * cb.size());
+    sp.nh = (int)hl.size();
+    const double* A = centers + 3 * i;
+    const double* B = centers + 3 * j;
+    for (int ka = 0; ka < nprim[i]; ++ka) {
+        for (int kb = 0; kb < nprim[j]; ++kb) {
+            double a = exps[poff[i] + ka];
+            double b = exps[poff[j] + kb];
+            double p = a + b;
+            PrimPair q;
+            q.p = p;
+            for (int d = 0; d < 3; ++d)
+                q.P[d] = (a * A[d] + b * B[d]) / p;
+            q.coef = coefs[poff[i] + ka] * coefs[poff[j] + kb];
+            // E tensors per dimension
+            Etab E[3];
+            for (int d = 0; d < 3; ++d) {
+                double K = std::exp(-a * b / p * (A[d] - B[d]) * (A[d] - B[d]));
+                E[d] = hermite_E(la, lb, p, q.P[d] - A[d], q.P[d] - B[d], K);
+            }
+            // theta block for this primitive pair
+            size_t base = sp.theta.size();
+            sp.theta.resize(base + (size_t)sp.ncab * sp.nh, 0.0);
+            for (size_t ia = 0; ia < ca.size(); ++ia) {
+                for (size_t ib = 0; ib < cb.size(); ++ib) {
+                    size_t idx = ia * cb.size() + ib;
+                    for (int h = 0; h < sp.nh; ++h) {
+                        Cart tuv = hl[h];
+                        if (tuv.x > ca[ia].x + cb[ib].x ||
+                            tuv.y > ca[ia].y + cb[ib].y ||
+                            tuv.z > ca[ia].z + cb[ib].z) continue;
+                        double val = E[0].at(ca[ia].x, cb[ib].x, tuv.x)
+                                   * E[1].at(ca[ia].y, cb[ib].y, tuv.y)
+                                   * E[2].at(ca[ia].z, cb[ib].z, tuv.z);
+                        sp.theta[base + idx * sp.nh + h] = val * q.coef;
+                    }
+                }
+            }
+            sp.pp.push_back(q);
+        }
+    }
+    return sp;
+}
+
+Ctx* build_ctx(int nshell, const int* ls, const int* nprim, const int* poff,
+               const double* exps, const double* coefs, const double* centers,
+               const int* cart_off, int ncart_tot) {
+    Ctx* c = new Ctx();
+    c->nshell = nshell;
+    c->ncart_tot = ncart_tot;
+    c->ls.assign(ls, ls + nshell);
+    c->cart_off.assign(cart_off, cart_off + nshell);
+    int maxL = 0;
+    for (int i = 0; i < nshell; ++i) maxL = std::max(maxL, ls[i]);
+    c->maxL = maxL;
+    for (int L = 0; L <= 2 * maxL; ++L)
+        c->hl_by_L.push_back(hermite_list(L));
+    for (int i = 0; i < nshell; ++i)
+        for (int j = 0; j <= i; ++j)
+            c->pairs.push_back(build_pair(i, j, ls, nprim, poff, exps,
+                                          coefs, centers));
+    return c;
+}
+
+// (P1 | P2) cartesian block: blk must hold P1.ncab * P2.ncab doubles.
+void compute_block(const Ctx& ctx, const ShellPairData& P1,
+                   const ShellPairData& P2, double* blk) {
+    const auto& hl1 = ctx.hl_by_L[P1.L];
+    const auto& hl2 = ctx.hl_by_L[P2.L];
+    int Ltot = P1.L + P2.L;
+    std::memset(blk, 0, sizeof(double) * (size_t)P1.ncab * P2.ncab);
+    std::vector<double> Rn((size_t)(Ltot + 1) * (Ltot + 1) * (Ltot + 1) * (Ltot + 1));
+    std::vector<double> Fm(Ltot + 1);
+    auto Rat = [&](std::vector<double>& arr, int n, int t, int u, int v) -> double& {
+        return arr[(((size_t)n * (Ltot + 1) + t) * (Ltot + 1) + u) * (Ltot + 1) + v];
+    };
+    for (const PrimPair& qp1 : P1.pp) {
+        for (const PrimPair& qp2 : P2.pp) {
+            double alpha = qp1.p * qp2.p / (qp1.p + qp2.p);
+            double PQ[3] = {qp1.P[0] - qp2.P[0], qp1.P[1] - qp2.P[1],
+                            qp1.P[2] - qp2.P[2]};
+            double T = alpha * (PQ[0] * PQ[0] + PQ[1] * PQ[1] + PQ[2] * PQ[2]);
+            boys(Ltot, T, Fm.data());
+            double pref = 2.0 * std::pow(PI, 2.5)
+                / (qp1.p * qp2.p * std::sqrt(qp1.p + qp2.p));
+            // build R^n_{tuv} recursion
+            std::fill(Rn.begin(), Rn.end(), 0.0);
+            double sgn = 1.0;
+            for (int n = 0; n <= Ltot; ++n) {
+                Rat(Rn, n, 0, 0, 0) = sgn * Fm[n];
+                sgn *= -2.0 * alpha;
+            }
+            for (int s = 1; s <= Ltot; ++s) {
+                for (int t = std::min(s, Ltot); t >= 0; --t) {
+                    for (int u = std::min(s - t, Ltot); u >= 0; --u) {
+                        int v = s - t - u;
+                        if (v < 0 || v > Ltot) continue;
+                        for (int n = 0; n <= Ltot - s; ++n) {
+                            double val;
+                            if (v > 0) {
+                                val = PQ[2] * Rat(Rn, n + 1, t, u, v - 1);
+                                if (v > 1) val += (v - 1) * Rat(Rn, n + 1, t, u, v - 2);
+                            } else if (u > 0) {
+                                val = PQ[1] * Rat(Rn, n + 1, t, u - 1, v);
+                                if (u > 1) val += (u - 1) * Rat(Rn, n + 1, t, u - 2, v);
+                            } else {
+                                val = PQ[0] * Rat(Rn, n + 1, t - 1, u, v);
+                                if (t > 1) val += (t - 1) * Rat(Rn, n + 1, t - 2, u, v);
+                            }
+                            Rat(Rn, n, t, u, v) = val;
+                        }
+                    }
+                }
+            }
+            // contract: blk[ab,cd] += pref * theta1[ab,h1] * sign2 * theta2[cd,h2] * R[h1+h2]
+            size_t npp1 = &qp1 - &P1.pp[0];
+            size_t npp2 = &qp2 - &P2.pp[0];
+            const double* th1 = &P1.theta[npp1 * P1.ncab * P1.nh];
+            const double* th2 = &P2.theta[npp2 * P2.ncab * P2.nh];
+            for (int ab = 0; ab < P1.ncab; ++ab) {
+                for (int h1 = 0; h1 < P1.nh; ++h1) {
+                    double t1v = th1[ab * P1.nh + h1] * pref;
+                    if (t1v == 0.0) continue;
+                    Cart c1 = hl1[h1];
+                    for (int cd = 0; cd < P2.ncab; ++cd) {
+                        double acc = 0.0;
+                        for (int h2 = 0; h2 < P2.nh; ++h2) {
+                            double t2v = th2[cd * P2.nh + h2];
+                            if (t2v == 0.0) continue;
+                            Cart c2 = hl2[h2];
+                            double rv = Rat(Rn, 0, c1.x + c2.x, c1.y + c2.y, c1.z + c2.z);
+                            double s = ((c2.x + c2.y + c2.z) & 1) ? -1.0 : 1.0;
+                            acc += t2v * s * rv;
+                        }
+                        blk[(size_t)ab * P2.ncab + cd] += t1v * acc;
+                    }
+                }
+            }
+        }
+    }
+}
+
 }  // namespace
 
 extern "C" int md_eri(
@@ -143,154 +312,24 @@ extern "C" int md_eri(
     int ncart_tot,
     double* out) {
 
-    // ---------------- build shell pair data
-    std::vector<ShellPairData> pairs;
-    for (int i = 0; i < nshell; ++i) {
-        for (int j = 0; j <= i; ++j) {
-            ShellPairData sp;
-            sp.sa = i; sp.sb = j;
-            int la = ls[i], lb = ls[j];
-            sp.L = la + lb;
-            auto ca = cart_components(la);
-            auto cb = cart_components(lb);
-            auto hl = hermite_list(sp.L);
-            sp.ncab = (int)(ca.size() * cb.size());
-            sp.nh = (int)hl.size();
-            const double* A = centers + 3 * i;
-            const double* B = centers + 3 * j;
-            double AB2 = 0;
-            for (int d = 0; d < 3; ++d) AB2 += (A[d] - B[d]) * (A[d] - B[d]);
-            for (int ka = 0; ka < nprim[i]; ++ka) {
-                for (int kb = 0; kb < nprim[j]; ++kb) {
-                    double a = exps[poff[i] + ka];
-                    double b = exps[poff[j] + kb];
-                    double p = a + b;
-                    PrimPair q;
-                    q.p = p;
-                    for (int d = 0; d < 3; ++d)
-                        q.P[d] = (a * A[d] + b * B[d]) / p;
-                    q.coef = coefs[poff[i] + ka] * coefs[poff[j] + kb];
-                    // E tensors per dimension
-                    Etab E[3];
-                    for (int d = 0; d < 3; ++d) {
-                        double K = std::exp(-a * b / p * (A[d] - B[d]) * (A[d] - B[d]));
-                        E[d] = hermite_E(la, lb, p, q.P[d] - A[d], q.P[d] - B[d], K);
-                    }
-                    // theta block for this primitive pair
-                    size_t base = sp.theta.size();
-                    sp.theta.resize(base + (size_t)sp.ncab * sp.nh, 0.0);
-                    for (size_t ia = 0; ia < ca.size(); ++ia) {
-                        for (size_t ib = 0; ib < cb.size(); ++ib) {
-                            size_t idx = ia * cb.size() + ib;
-                            for (int h = 0; h < sp.nh; ++h) {
-                                Cart tuv = hl[h];
-                                if (tuv.x > ca[ia].x + cb[ib].x ||
-                                    tuv.y > ca[ia].y + cb[ib].y ||
-                                    tuv.z > ca[ia].z + cb[ib].z) continue;
-                                double val = E[0].at(ca[ia].x, cb[ib].x, tuv.x)
-                                           * E[1].at(ca[ia].y, cb[ib].y, tuv.y)
-                                           * E[2].at(ca[ia].z, cb[ib].z, tuv.z);
-                                sp.theta[base + idx * sp.nh + h] = val * q.coef;
-                            }
-                        }
-                    }
-                    sp.pp.push_back(q);
-                }
-            }
-            pairs.push_back(std::move(sp));
-        }
-    }
+    Ctx* ctx = build_ctx(nshell, ls, nprim, poff, exps, coefs, centers,
+                         cart_off, ncart_tot);
+    const auto& pairs = ctx->pairs;
 
-    // ---------------- quartet loop
     size_t N = (size_t)ncart_tot;
     auto idx4 = [N](size_t a, size_t b, size_t c, size_t d) {
         return ((a * N + b) * N + c) * N + d;
     };
 
-    int maxL = 0;
-    for (int i = 0; i < nshell; ++i) maxL = std::max(maxL, ls[i]);
-    int Lmax4 = 4 * maxL;
-    std::vector<double> Fm(Lmax4 + 1);
-
+    std::vector<double> blk;
     for (size_t pi = 0; pi < pairs.size(); ++pi) {
         const ShellPairData& P1 = pairs[pi];
-        auto hl1 = hermite_list(P1.L);
         auto ca1 = cart_components(ls[P1.sa]);
         auto cb1 = cart_components(ls[P1.sb]);
         for (size_t qi = 0; qi <= pi; ++qi) {
             const ShellPairData& P2 = pairs[qi];
-            auto hl2 = hermite_list(P2.L);
-            int Ltot = P1.L + P2.L;
-            // R tensor stored as a dense (n,t,u,v) hypercube for simplicity
-            std::vector<double> blk((size_t)P1.ncab * P2.ncab, 0.0);
-            std::vector<double> Rn((size_t)(Ltot + 1) * (Ltot + 1) * (Ltot + 1) * (Ltot + 1));
-            auto Rat = [&](std::vector<double>& arr, int n, int t, int u, int v) -> double& {
-                return arr[(((size_t)n * (Ltot + 1) + t) * (Ltot + 1) + u) * (Ltot + 1) + v];
-            };
-            for (const PrimPair& qp1 : P1.pp) {
-                for (const PrimPair& qp2 : P2.pp) {
-                    double alpha = qp1.p * qp2.p / (qp1.p + qp2.p);
-                    double PQ[3] = {qp1.P[0] - qp2.P[0], qp1.P[1] - qp2.P[1],
-                                    qp1.P[2] - qp2.P[2]};
-                    double T = alpha * (PQ[0] * PQ[0] + PQ[1] * PQ[1] + PQ[2] * PQ[2]);
-                    boys(Ltot, T, Fm.data());
-                    double pref = 2.0 * std::pow(PI, 2.5)
-                        / (qp1.p * qp2.p * std::sqrt(qp1.p + qp2.p));
-                    // build R^n_{tuv} recursion
-                    std::fill(Rn.begin(), Rn.end(), 0.0);
-                    double sgn = 1.0;
-                    for (int n = 0; n <= Ltot; ++n) {
-                        Rat(Rn, n, 0, 0, 0) = sgn * Fm[n];
-                        sgn *= -2.0 * alpha;
-                    }
-                    for (int s = 1; s <= Ltot; ++s) {
-                        for (int t = std::min(s, Ltot); t >= 0; --t) {
-                            for (int u = std::min(s - t, Ltot); u >= 0; --u) {
-                                int v = s - t - u;
-                                if (v < 0 || v > Ltot) continue;
-                                for (int n = 0; n <= Ltot - s; ++n) {
-                                    double val;
-                                    if (v > 0) {
-                                        val = PQ[2] * Rat(Rn, n + 1, t, u, v - 1);
-                                        if (v > 1) val += (v - 1) * Rat(Rn, n + 1, t, u, v - 2);
-                                    } else if (u > 0) {
-                                        val = PQ[1] * Rat(Rn, n + 1, t, u - 1, v);
-                                        if (u > 1) val += (u - 1) * Rat(Rn, n + 1, t, u - 2, v);
-                                    } else {
-                                        val = PQ[0] * Rat(Rn, n + 1, t - 1, u, v);
-                                        if (t > 1) val += (t - 1) * Rat(Rn, n + 1, t - 2, u, v);
-                                    }
-                                    Rat(Rn, n, t, u, v) = val;
-                                }
-                            }
-                        }
-                    }
-                    // contract: blk[ab,cd] += pref * theta1[ab,h1] * sign2 * theta2[cd,h2] * R[h1+h2]
-                    size_t npp1 = &qp1 - &P1.pp[0];
-                    size_t npp2 = &qp2 - &P2.pp[0];
-                    const double* th1 = &P1.theta[npp1 * P1.ncab * P1.nh];
-                    const double* th2 = &P2.theta[npp2 * P2.ncab * P2.nh];
-                    for (int ab = 0; ab < P1.ncab; ++ab) {
-                        for (int h1 = 0; h1 < P1.nh; ++h1) {
-                            double t1v = th1[ab * P1.nh + h1] * pref;
-                            if (t1v == 0.0) continue;
-                            Cart c1 = hl1[h1];
-                            for (int cd = 0; cd < P2.ncab; ++cd) {
-                                double acc = 0.0;
-                                for (int h2 = 0; h2 < P2.nh; ++h2) {
-                                    double t2v = th2[cd * P2.nh + h2];
-                                    if (t2v == 0.0) continue;
-                                    Cart c2 = hl2[h2];
-                                    double rv = Rat(Rn, 0, c1.x + c2.x, c1.y + c2.y, c1.z + c2.z);
-                                    double s = ((c2.x + c2.y + c2.z) & 1) ? -1.0 : 1.0;
-                                    acc += t2v * s * rv;
-                                }
-                                blk[(size_t)ab * P2.ncab + cd] += t1v * acc;
-                            }
-                        }
-                    }
-                }
-            }
+            blk.resize((size_t)P1.ncab * P2.ncab);
+            compute_block(*ctx, P1, P2, blk.data());
             // scatter 8 permutational images
             int oa = cart_off[P1.sa], ob = cart_off[P1.sb];
             int oc = cart_off[P2.sa], od = cart_off[P2.sb];
@@ -314,6 +353,81 @@ extern "C" int md_eri(
                             out[idx4(D_, C_, B_, A_)] = val;
                         }
         }
+    }
+    delete ctx;
+    return 0;
+}
+
+// --------------------------------------------------------------------------
+// persistent-context API (integral-direct Cholesky driver, scf/df.py)
+// --------------------------------------------------------------------------
+
+extern "C" void* md_ctx_new(
+    int nshell, const int* ls, const int* nprim, const int* poff,
+    const double* exps, const double* coefs, const double* centers,
+    const int* cart_off, int ncart_tot) {
+    return (void*)build_ctx(nshell, ls, nprim, poff, exps, coefs, centers,
+                            cart_off, ncart_tot);
+}
+
+extern "C" void md_ctx_free(void* h) { delete (Ctx*)h; }
+
+extern "C" int md_ctx_npairs(void* h) { return (int)((Ctx*)h)->pairs.size(); }
+
+// shell indices (i >= j) of pair `p`
+extern "C" int md_ctx_pair(void* h, int p, int* i, int* j) {
+    Ctx* c = (Ctx*)h;
+    if (p < 0 || p >= (int)c->pairs.size()) return 1;
+    *i = c->pairs[p].sa;
+    *j = c->pairs[p].sb;
+    return 0;
+}
+
+// diagonal blocks (p|p) for every shell pair, concatenated in pair order;
+// block p occupies ncab_p^2 doubles.  Drives Cholesky pivots + Schwarz.
+extern "C" int md_eri_diag(void* h, double* out) {
+    Ctx* c = (Ctx*)h;
+    size_t off = 0;
+    for (const auto& P : c->pairs) {
+        compute_block(*c, P, P, out + off);
+        off += (size_t)P.ncab * P.ncab;
+    }
+    return 0;
+}
+
+// (ab|kl) for ALL bra shell pairs at the fixed ket pair `kp`:
+// out has shape (ncart_tot, ncart_tot, ncab_ket), both (a,b) and (b,a)
+// bra images scattered.  `schwarz` (len npairs) are per-pair
+// sqrt(max diag) bounds; bra pairs with schwarz[bra]*schwarz[ket] < thresh
+// are skipped (their out entries left as zero) — callers must pre-zero out.
+extern "C" int md_eri_cols(void* h, int kp, const double* schwarz,
+                           double thresh, double* out) {
+    Ctx* c = (Ctx*)h;
+    if (kp < 0 || kp >= (int)c->pairs.size()) return 1;
+    const ShellPairData& K = c->pairs[kp];
+    size_t N = (size_t)c->ncart_tot;
+    size_t nck = (size_t)K.ncab;
+    double sk = schwarz ? schwarz[kp] : 1.0;
+    std::vector<double> blk;
+    for (size_t pi = 0; pi < c->pairs.size(); ++pi) {
+        const ShellPairData& P = c->pairs[pi];
+        if (schwarz && schwarz[pi] * sk < thresh) continue;
+        blk.resize((size_t)P.ncab * K.ncab);
+        compute_block(*c, P, K, blk.data());
+        int oa = c->cart_off[P.sa], ob = c->cart_off[P.sb];
+        auto ca = cart_components(c->ls[P.sa]);
+        auto cb = cart_components(c->ls[P.sb]);
+        int na = (int)ca.size(), nb = (int)cb.size();
+        for (int a = 0; a < na; ++a)
+            for (int b = 0; b < nb; ++b) {
+                const double* src = &blk[(size_t)(a * nb + b) * nck];
+                double* d1 = out + ((size_t)(oa + a) * N + (ob + b)) * nck;
+                std::memcpy(d1, src, sizeof(double) * nck);
+                if (oa + a != ob + b) {
+                    double* d2 = out + ((size_t)(ob + b) * N + (oa + a)) * nck;
+                    std::memcpy(d2, src, sizeof(double) * nck);
+                }
+            }
     }
     return 0;
 }

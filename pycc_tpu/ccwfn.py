@@ -69,6 +69,17 @@ class ccwfn:
         self.storage = storage
         self.df_tol = kwargs.pop("df_tol", 1e-8)
         self._df_nblocks = kwargs.pop("df_nblocks", None)
+        # df_direct=True sources the Cholesky factors INTEGRAL-DIRECTLY
+        # from AO shell-pair batches (scf/df.py) and never builds a dense
+        # ERI on host or device; None = auto (on when the SCF wavefunction
+        # carries AO factors, i.e. run_rhf(df=True))
+        df_direct = kwargs.pop("df_direct", None)
+        if storage == "df":
+            if df_direct is None:
+                df_direct = getattr(scf_wfn, "B_ao", None) is not None
+            self.df_direct = bool(df_direct)
+        else:
+            self.df_direct = False
         self.real_time = kwargs.pop("real_time", False)
 
         valid_local = [None, "PNO", "PAO", "CPNO++", "PNO++"]
@@ -117,26 +128,36 @@ class ccwfn:
             self.H = build_hamiltonian(scf_wfn, C=C_act)
         else:
             # blocked/df storage keeps the dense nact^4 tensors on the host;
-            # only the Dirac blocks / Cholesky factors go to the device
+            # only the Dirac blocks / Cholesky factors go to the device.
+            # df_direct skips the dense tensors ENTIRELY (ERI=L=None).
             self.H = build_hamiltonian(scf_wfn,
-                                       host=(storage in ("blocked", "df")))
+                                       host=(storage in ("blocked", "df")),
+                                       eri=not self.df_direct)
         if precision == "SP":
-            self.H = Hamiltonian(F=self.H.F.astype(dtype),
-                                 ERI=self.H.ERI.astype(dtype),
-                                 L=self.H.L.astype(dtype),
+            cast = lambda x: None if x is None else x.astype(dtype)
+            self.H = Hamiltonian(F=jnp.asarray(self.H.F).astype(dtype),
+                                 ERI=cast(self.H.ERI),
+                                 L=cast(self.H.L),
                                  mu=self.H.mu, m=self.H.m, p=self.H.p,
                                  Q=self.H.Q, no=self.H.no)
         self.o = slice(0, self.no)
         self.v = slice(self.no, self.nact)
 
         o, v = self.o, self.v
-        eps = jnp.diag(self.H.F)
+        eps = jnp.diag(jnp.asarray(self.H.F))
         self.Dia = (eps[o, None] - eps[None, v]).astype(dtype)
         self.Dijab = (eps[o, None, None, None] + eps[None, o, None, None]
                       - eps[None, None, v, None] - eps[None, None, None, v]).astype(dtype)
 
         self.t1 = jnp.zeros((self.no, self.nv), dtype=dtype)
-        self.t2 = (self.H.ERI[o, o, v, v] / self.Dijab).astype(dtype)
+        if self.df_direct:
+            # factors first (the only ERI representation in this mode),
+            # then the MP2 guess from the factor-assembled oovv block
+            self._setup_df_factors(scf_wfn, dtype)
+            from .models.dfccsd import _eri_oovv
+            self.t2 = (_eri_oovv(self.dfb).astype(dtype) / self.Dijab)
+        else:
+            self.t2 = (self.H.ERI[o, o, v, v] / self.Dijab).astype(dtype)
 
         if local is not None:
             from .local import Local
@@ -186,20 +207,49 @@ class ccwfn:
                 raise Exception("storage='df' supports canonical "
                                 "CCD/CC2/CCSD/CCSD(T) only.")
             from .models import dfccsd as dfq
-            from .ops.cholesky import cholesky_factor_eri
-            B = cholesky_factor_eri(np.asarray(self.H.ERI), tol=self.df_tol)
-            self.naux = B.shape[0]
-            self.dfb = dfq.df_blocks(jnp.asarray(B, dtype=dtype), self.no)
+            if not self.df_direct:
+                from .ops.cholesky import cholesky_factor_eri
+                B = cholesky_factor_eri(np.asarray(self.H.ERI),
+                                        tol=self.df_tol)
+                self.naux = B.shape[0]
+                self.dfb = dfq.df_blocks(jnp.asarray(B, dtype=dtype),
+                                         self.no)
             _df_map = {"CCD": dfq.residuals_ccd_df,
                        "CC2": dfq.residuals_cc2_df,
                        "CCSD": dfq.residuals_ccsd_df,
                        "CCSD(T)": dfq.residuals_ccsd_df}
             self._df_residual_fn = partial(_df_map[self.model],
                                            nblocks=self._df_nblocks)
-            print("DF/Cholesky factors: naux = %d (tol %.1e)"
-                  % (self.naux, self.df_tol))
+            print("DF/Cholesky factors: naux = %d (tol %.1e%s)"
+                  % (self.naux, self.df_tol,
+                     ", integral-direct" if self.df_direct else ""))
 
         print("CCWFN object initialized in %.3f seconds." % (time.time() - time_init))
+
+    def _setup_df_factors(self, scf_wfn, dtype):
+        """Integral-direct DF setup: AO Cholesky factors (reused from
+        run_rhf(df=True) when available and tight enough), MO transform,
+        and a second-stage recompression to active-space rank.  No
+        four-index tensor exists at any point (contrast the reference,
+        /root/reference/pycc/hamiltonian.py:36-39, and this framework's
+        own dense-sourced route, ops/cholesky.cholesky_factor_eri)."""
+        if self.local is not None or self.model in ("CC3", "CCSD(T)"):
+            raise Exception("df_direct supports canonical CCD/CC2/CCSD "
+                            "only (no dense ERI exists for %s)."
+                            % (self.local or self.model))
+        from .models import dfccsd as dfq
+        from .ops.cholesky import recompress_factors
+        from .scf.df import cholesky_factor_ao, factors_to_mo
+
+        B_ao = getattr(scf_wfn, "B_ao", None)
+        B_tol = getattr(scf_wfn, "B_tol", None)
+        if B_ao is None or B_tol is None or B_tol > self.df_tol:
+            B_ao = cholesky_factor_ao(scf_wfn.basisset(), tol=self.df_tol)
+        C_act = np.asarray(scf_wfn.Ca_subset("AO", "ACTIVE"))
+        B_mo = factors_to_mo(np.asarray(B_ao), C_act)
+        B = recompress_factors(B_mo, tol=self.df_tol)
+        self.naux = B.shape[0]
+        self.dfb = dfq.df_blocks(jnp.asarray(B, dtype=dtype), self.no)
 
     def _solver_H(self):
         """(ERI-arg, L-arg) for the jitted solve step: the full tensors,

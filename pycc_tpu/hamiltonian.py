@@ -54,7 +54,7 @@ def _mo_eri_dirac(ERI_ao, C):
     return t.swapaxes(1, 2)  # <pq|rs>
 
 
-def build_hamiltonian(wfn, C=None, dtype=jnp.float64, host=False):
+def build_hamiltonian(wfn, C=None, dtype=jnp.float64, host=False, eri=True):
     """Build the active-space Hamiltonian pytree from an SCF wavefunction.
 
     `wfn` is a pycc_tpu.scf.RHFWavefunction (or anything with the same
@@ -67,6 +67,11 @@ def build_hamiltonian(wfn, C=None, dtype=jnp.float64, host=False):
     which ships only the six unique Dirac blocks to the device.  Consumers
     that do touch the dense tensors (HBAR, full-tensor triples) then pay a
     per-call host->device transfer.
+
+    eri=False skips the four-index tensors entirely (ERI=L=None): the
+    integral-direct DF path (ccwfn(storage='df', df_direct=True)) carries
+    the two-electron integrals as Cholesky factors instead, so nothing
+    nao^4- or nact^4-sized exists anywhere.
     """
     from .scf import integrals as ints
 
@@ -76,9 +81,12 @@ def build_hamiltonian(wfn, C=None, dtype=jnp.float64, host=False):
     F = C.T @ np.asarray(wfn.Fa()) @ C
 
     basis = wfn.basisset()
-    ERI_ao = ints.eri(basis)
-    ERI = _mo_eri_dirac(ERI_ao, C)
-    L = 2.0 * ERI - ERI.swapaxes(2, 3)
+    if eri:
+        ERI_ao = ints.eri(basis)
+        ERI = _mo_eri_dirac(ERI_ao, C)
+        L = 2.0 * ERI - ERI.swapaxes(2, 3)
+    else:
+        ERI = L = None
 
     mu = tuple(jnp.asarray(C.T @ M @ C, dtype=dtype) for M in ints.dipole(basis))
     m = tuple(jnp.asarray((C.T @ (M * -0.5) @ C) * 1.0j) for M in ints.angular_momentum(basis))
@@ -86,6 +94,9 @@ def build_hamiltonian(wfn, C=None, dtype=jnp.float64, host=False):
     Q = tuple(jnp.asarray(C.T @ M @ C, dtype=dtype) for M in ints.traceless_quadrupole(basis))
 
     no = wfn.doccpi()[0] - wfn.frzcpi()[0]
+    if not eri:
+        return Hamiltonian(F=F, ERI=None, L=None, mu=mu, m=m, p=p, Q=Q,
+                           no=no)
     if host:
         as_np = np.float64 if dtype == jnp.float64 else np.float32
         return Hamiltonian(F=F.astype(as_np), ERI=ERI.astype(as_np),

@@ -13,9 +13,17 @@ the nact^4 wall the reference hits at /root/reference/pycc/hamiltonian.py:36-39
 any four-index quantity it needs on the fly as MXU matmuls
 (models/dfccsd.py).
 
-The decomposition runs on the host in float64 (LAPACK dpstrf when the dense
-supermatrix fits; a greedy column-wise fallback otherwise) — it is a one-time
-O(naux * n^4 / n^2) setup cost, not an iteration cost.
+Two factorization routes exist:
+
+* `cholesky_factor_eri` — greedy pivoted Cholesky of a DENSE MO ERI on the
+  host.  It needs the nact^4 tensor as input, so it breaks the device-HBM
+  wall only; host memory still bounds it.  Used by ccwfn(storage='df') when
+  a dense Hamiltonian is already in hand (small/medium systems).
+* `pycc_tpu.scf.df.cholesky_factor_ao` — INTEGRAL-DIRECT pivoted Cholesky
+  in the AO basis (shell-pair column batches from the native MD engine; no
+  four-index tensor anywhere), followed by `recompress_factors` below to
+  shrink the AO-sized naux to active-space rank.  This is the at-scale
+  route (ccwfn(storage='df', df_direct=True)).
 """
 
 import numpy as np
@@ -69,3 +77,44 @@ def _pivoted_cholesky(V, tol, max_rank=None):
     if not rows:
         return np.zeros((0, n))
     return np.array(rows)
+
+
+def recompress_factors(B, tol=1e-8, max_naux=None):
+    """Second-stage pivoted Cholesky of V = M^T M with M = B.reshape(naux,
+    n^2), WITHOUT forming the n^2 x n^2 supermatrix: each factor row is a
+    single (naux x n^2) GEMV.  Shrinks AO-derived factors (naux ~ few*nao)
+    to the rank the *active MO space* actually needs (naux ~ few*nact) —
+    the per-iteration cost of every DF-CC contraction is linear in naux,
+    so this directly buys back iteration time.
+
+    Returns B2 (naux2, n, n) with sum_P B2[P,pq] B2[P,rs] equal to
+    sum_P B[P,pq] B[P,rs] to `tol` on the residual diagonal.
+    """
+    naux, n, _ = B.shape
+    M = np.ascontiguousarray(B.reshape(naux, n * n))
+    d = np.einsum("Pq,Pq->q", M, M)
+    if max_naux is None:
+        max_naux = naux
+    rows = np.empty((min(max_naux, naux), n * n))
+    order = []
+    k = 0
+    while k < max_naux:
+        q = int(d.argmax())
+        if d[q] <= tol:
+            break
+        col = M.T @ M[:, q]
+        if k:
+            col -= rows[:k].T @ rows[:k, q]
+        piv = np.sqrt(d[q])
+        row = col / piv
+        row[order] = 0.0
+        row[q] = piv
+        if k == rows.shape[0]:
+            rows = np.concatenate([rows, np.empty((n, n * n))])
+        rows[k] = row
+        k += 1
+        order.append(q)
+        d -= row * row
+        d[q] = 0.0
+        np.maximum(d, 0.0, out=d)
+    return rows[:k].reshape(k, n, n)

@@ -66,15 +66,23 @@ class RHFWavefunction:
 
 
 def run_rhf(geometry, basis_name, freeze_core=False, e_conv=1e-12,
-            d_conv=1e-12, maxiter=200, verbose=False):
-    """Run RHF-SCF. `geometry` is a Psi4-style string or a Molecule."""
+            d_conv=1e-12, maxiter=200, verbose=False, df=False,
+            df_tol=1e-10):
+    """Run RHF-SCF. `geometry` is a Psi4-style string or a Molecule.
+
+    df=True runs INTEGRAL-DIRECT SCF from AO Cholesky factors
+    (scf/df.py): the nao^4 ERI never exists, Fock builds are
+    O(naux nao^2 nocc), and the factors are kept on the returned
+    wavefunction (`wfn.B_ao`, `wfn.B_tol`) so ccwfn(storage='df',
+    df_direct=True) can reuse them without a second factorization.
+    At df_tol=1e-10 the Cholesky is numerically exact for SCF
+    (energy error << 1e-9 Eh)."""
     mol = geometry if isinstance(geometry, Molecule) else Molecule(geometry)
     basis = BasisSet(mol, basis_name)
 
     S = integrals.overlap(basis)
     T = integrals.kinetic(basis)
     V = integrals.nuclear_attraction(basis)
-    ERI = integrals.eri(basis)  # (ab|cd) chemists
     H = T + V
     Enuc = mol.nuclear_repulsion()
 
@@ -87,10 +95,27 @@ def run_rhf(geometry, basis_name, freeze_core=False, e_conv=1e-12,
     sval, svec = np.linalg.eigh(S)
     X = svec @ np.diag(sval ** -0.5) @ svec.T
 
-    def build_fock(D):
-        J = np.einsum("pqrs,rs->pq", ERI, D, optimize=True)
-        K = np.einsum("prqs,rs->pq", ERI, D, optimize=True)
-        return H + 2.0 * J - K
+    if df:
+        from .df import cholesky_factor_ao, fock_from_factors
+        B_ao = cholesky_factor_ao(basis, tol=df_tol, verbose=verbose)
+        if verbose:
+            print("SCF DF factors: naux = %d (tol %.1e)"
+                  % (B_ao.shape[0], df_tol))
+
+        def build_fock(D, Cocc=None):
+            if Cocc is None:
+                # recover Cocc from the (idempotent) density's eigenvectors
+                w, U = np.linalg.eigh(D)
+                Cocc = U[:, w > 0.5] * np.sqrt(w[w > 0.5])
+            return fock_from_factors(B_ao, H, Cocc)
+    else:
+        B_ao = None
+        ERI = integrals.eri(basis)  # (ab|cd) chemists
+
+        def build_fock(D, Cocc=None):
+            J = np.einsum("pqrs,rs->pq", ERI, D, optimize=True)
+            K = np.einsum("prqs,rs->pq", ERI, D, optimize=True)
+            return H + 2.0 * J - K
 
     def diag(F):
         Fp = X @ F @ X
@@ -105,7 +130,7 @@ def run_rhf(geometry, basis_name, freeze_core=False, e_conv=1e-12,
     E = 0.0
     F = H
     for it in range(1, maxiter + 1):
-        F = build_fock(D)
+        F = build_fock(D, C[:, :ndocc])
         E = np.einsum("pq,pq->", D, H + F) + Enuc
         err = F @ D @ S - S @ D @ F
         err = X @ err @ X
@@ -141,10 +166,13 @@ def run_rhf(geometry, basis_name, freeze_core=False, e_conv=1e-12,
         raise RuntimeError("SCF did not converge in %d iterations" % maxiter)
 
     # final canonical orbitals from the *unextrapolated* converged Fock
-    F = build_fock(D)
+    F = build_fock(D, C[:, :ndocc])
     eps, C = diag(F)
     D = C[:, :ndocc] @ C[:, :ndocc].T
     E = np.einsum("pq,pq->", D, H + F) + Enuc
 
     nfzc = sum(_CORE[s] for s in mol.symbols) if freeze_core else 0
-    return RHFWavefunction(mol, basis, E, C, eps, F, S, ndocc, nfzc)
+    wfn = RHFWavefunction(mol, basis, E, C, eps, F, S, ndocc, nfzc)
+    wfn.B_ao = B_ao
+    wfn.B_tol = df_tol if df else None
+    return wfn

@@ -97,3 +97,72 @@ def test_df_rejects_unsupported():
     wfn = run_rhf(H2O_GEOM, "sto-3g", freeze_core=True)
     with pytest.raises(Exception):
         ccwfn(wfn, storage="df", model="CC3")
+
+
+# ---------------------------------------------------------------------------
+# integral-direct route (scf/df.py): no four-index tensor anywhere
+# ---------------------------------------------------------------------------
+
+def test_ao_cholesky_reconstruction(h2o_dz):
+    """AO factors from shell-pair column batches reconstruct the dense AO
+    ERI to tol, at two tolerances (monotone naux)."""
+    from pycc_tpu.scf import integrals
+    from pycc_tpu.scf.df import cholesky_factor_ao
+
+    basis = h2o_dz.basisset()
+    ERI = integrals.eri(basis)
+    naux_prev = None
+    for tol in (1e-4, 1e-8):
+        B = cholesky_factor_ao(basis, tol=tol)
+        rec = np.einsum("Pab,Pcd->abcd", B, B)
+        assert np.abs(rec - ERI).max() < 10 * tol
+        if naux_prev is not None:
+            assert B.shape[0] > naux_prev
+        naux_prev = B.shape[0]
+
+
+def test_recompress_factors(h2o_dz):
+    """Second-stage recompression preserves the reconstructed ERI to tol
+    while shrinking AO-rank factors toward active-space rank."""
+    from pycc_tpu.ops.cholesky import recompress_factors
+    from pycc_tpu.scf.df import cholesky_factor_ao, factors_to_mo
+
+    basis = h2o_dz.basisset()
+    B_ao = cholesky_factor_ao(basis, tol=1e-9)
+    C = np.asarray(h2o_dz.Ca_subset("AO", "ACTIVE"))
+    B_mo = factors_to_mo(B_ao, C)
+    B2 = recompress_factors(B_mo, tol=1e-9)
+    assert B2.shape[0] <= B_mo.shape[0]
+    ref = np.einsum("Ppr,Pqs->pqrs", B_mo, B_mo)
+    rec = np.einsum("Ppr,Pqs->pqrs", B2, B2)
+    assert np.abs(rec - ref).max() < 1e-8
+
+
+def test_df_scf_matches_exact(h2o_dz):
+    """Integral-direct (DF) SCF == conventional SCF at tight df_tol."""
+    wfn_df = run_rhf(H2O_GEOM, "cc-pvdz", freeze_core=True, df=True,
+                     df_tol=1e-10)
+    assert abs(wfn_df.energy() - h2o_dz.energy()) < 1e-9
+    assert wfn_df.B_ao is not None
+
+
+def test_df_direct_ccsd_oracle():
+    """Full dense-free pipeline: DF-SCF -> integral-direct factors ->
+    recompression -> DF-CCSD, vs the frozen Psi4 oracle.  df_direct
+    auto-activates because the wavefunction carries AO factors."""
+    wfn = run_rhf(H2O_GEOM, "cc-pvdz", freeze_core=True, df=True,
+                  df_tol=1e-10)
+    cc = ccwfn(wfn, storage="df", df_tol=1e-10)
+    assert cc.df_direct
+    e = cc.solve_cc(e_conv=1e-10, r_conv=1e-10)
+    assert abs(e - -0.222029814166783) < 1e-9
+
+
+def test_df_direct_explicit_no_scf_factors(h2o_sto3g):
+    """df_direct=True works from a conventional SCF too (factors built on
+    demand), and CCSD(T)/CC3/local are rejected in dense-free mode."""
+    cc = ccwfn(h2o_sto3g, storage="df", df_direct=True, df_tol=1e-11)
+    e = cc.solve_cc(e_conv=1e-12, r_conv=1e-12)
+    assert abs(e - -0.070616830152761) < 1e-9
+    with pytest.raises(Exception):
+        ccwfn(h2o_sto3g, storage="df", df_direct=True, model="CCSD(T)")

@@ -135,7 +135,8 @@ struct ShellPairData {
     int ncab;            // ncart_a * ncart_b
     int nh;              // hermite count
     std::vector<PrimPair> pp;
-    std::vector<double> theta;  // [npp][ncab][nh], coef folded in
+    std::vector<double> theta;     // [npp][ncab][nh], coef folded in
+    std::vector<double> thetamax;  // per-prim-pair max |theta| (screening)
 };
 
 // persistent context for the integral-direct paths
@@ -194,6 +195,10 @@ ShellPairData build_pair(int i, int j, const int* ls, const int* nprim,
                     }
                 }
             }
+            double tmax = 0.0;
+            for (size_t t = base; t < sp.theta.size(); ++t)
+                tmax = std::max(tmax, std::abs(sp.theta[t]));
+            sp.thetamax.push_back(tmax);
             sp.pp.push_back(q);
         }
     }
@@ -222,7 +227,8 @@ Ctx* build_ctx(int nshell, const int* ls, const int* nprim, const int* poff,
 
 // (P1 | P2) cartesian block: blk must hold P1.ncab * P2.ncab doubles.
 void compute_block(const Ctx& ctx, const ShellPairData& P1,
-                   const ShellPairData& P2, double* blk) {
+                   const ShellPairData& P2, double* blk,
+                   double primtol = 0.0) {
     const auto& hl1 = ctx.hl_by_L[P1.L];
     const auto& hl2 = ctx.hl_by_L[P2.L];
     int Ltot = P1.L + P2.L;
@@ -233,14 +239,21 @@ void compute_block(const Ctx& ctx, const ShellPairData& P1,
         return arr[(((size_t)n * (Ltot + 1) + t) * (Ltot + 1) + u) * (Ltot + 1) + v];
     };
     for (const PrimPair& qp1 : P1.pp) {
+        size_t i1 = &qp1 - &P1.pp[0];
         for (const PrimPair& qp2 : P2.pp) {
+            size_t i2 = &qp2 - &P2.pp[0];
+            double pref = 2.0 * std::pow(PI, 2.5)
+                / (qp1.p * qp2.p * std::sqrt(qp1.p + qp2.p));
+            // primitive screening: theta carries exp(-mu AB^2) * coef, so
+            // a vanishing product bounds every quartet in this prim pair
+            if (primtol > 0.0 &&
+                P1.thetamax[i1] * P2.thetamax[i2] * pref < primtol)
+                continue;
             double alpha = qp1.p * qp2.p / (qp1.p + qp2.p);
             double PQ[3] = {qp1.P[0] - qp2.P[0], qp1.P[1] - qp2.P[1],
                             qp1.P[2] - qp2.P[2]};
             double T = alpha * (PQ[0] * PQ[0] + PQ[1] * PQ[1] + PQ[2] * PQ[2]);
             boys(Ltot, T, Fm.data());
-            double pref = 2.0 * std::pow(PI, 2.5)
-                / (qp1.p * qp2.p * std::sqrt(qp1.p + qp2.p));
             // build R^n_{tuv} recursion
             std::fill(Rn.begin(), Rn.end(), 0.0);
             double sgn = 1.0;
@@ -271,10 +284,8 @@ void compute_block(const Ctx& ctx, const ShellPairData& P1,
                 }
             }
             // contract: blk[ab,cd] += pref * theta1[ab,h1] * sign2 * theta2[cd,h2] * R[h1+h2]
-            size_t npp1 = &qp1 - &P1.pp[0];
-            size_t npp2 = &qp2 - &P2.pp[0];
-            const double* th1 = &P1.theta[npp1 * P1.ncab * P1.nh];
-            const double* th2 = &P2.theta[npp2 * P2.ncab * P2.nh];
+            const double* th1 = &P1.theta[i1 * (size_t)P1.ncab * P1.nh];
+            const double* th2 = &P2.theta[i2 * (size_t)P2.ncab * P2.nh];
             for (int ab = 0; ab < P1.ncab; ++ab) {
                 for (int h1 = 0; h1 < P1.nh; ++h1) {
                     double t1v = th1[ab * P1.nh + h1] * pref;
@@ -413,7 +424,7 @@ extern "C" int md_eri_cols(void* h, int kp, const double* schwarz,
         const ShellPairData& P = c->pairs[pi];
         if (schwarz && schwarz[pi] * sk < thresh) continue;
         blk.resize((size_t)P.ncab * K.ncab);
-        compute_block(*c, P, K, blk.data());
+        compute_block(*c, P, K, blk.data(), thresh * 1e-2);
         int oa = c->cart_off[P.sa], ob = c->cart_off[P.sb];
         auto ca = cart_components(c->ls[P.sa]);
         auto cb = cart_components(c->ls[P.sb]);

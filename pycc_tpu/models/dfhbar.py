@@ -1,0 +1,407 @@
+"""DF (Cholesky-factorized) similarity-transformed Hamiltonian.
+
+The dense HBAR (cchbar.py, rebuilt from /root/reference/pycc/cchbar.py)
+stores three blocks that cannot exist at scale: Hvvvv (v^4), Hvovv and
+Hvvvo (o v^3).  At (o,v)=(32,512) those are 17-275 GB — the reference
+delivers its post-convergence property surface only as far as the dense
+tensors reach (/root/reference/pycc/cchbar.py:170-327).  This module keeps
+every block LARGER than o^2 v^2 implicit in the Cholesky factors:
+
+    ERI[p,q,r,s] = <pq|rs> = (pr|qs) = sum_P B[P,p,r] B[P,q,s]
+
+with two t1-dressed factor variants covering the pure-t1 parts of the big
+blocks exactly:
+
+    Bd_ae[P,a,e] = Bvv[P,a,e] - sum_n t1[n,a] Bov[P,n,e]
+        => Hvovv[amef] = sum_P Bd_ae[P,a,e] Bov[P,m,f]          (exact)
+        => Hvvvv[abef] = sum_P Bd_ae[P,a,e] Bd_ae[P,b,f]
+                         + sum_mn t2[mnab->mnef...] t2 term      (CCSD)
+    Bd_mi[P,m,i] = Boo[P,m,i] + sum_f t1[i,f] Bov[P,m,f]
+        => Hooov[mnie] = sum_P Bd_mi[P,m,i] Bov[P,n,e]          (exact)
+
+Every consumer of the implicit blocks (Lambda residuals, EOM sigmas,
+response residuals) is re-derived so the largest intermediate is
+(naux, o, v) or o^2 v^2 — each function documents the contraction it
+replaces with its dense form (cclambda.py / cceom.py line references).
+All equalities are oracle-tested against the dense path with exact
+factors in tests/test_019_dfhbar.py.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.contract import contract
+from .dfccsd import (DFERI, _eri_oooo, _eri_ooov, _eri_oovv, _eri_ovoo,
+                     _eri_ovov, _eri_ovvo, _tau)
+
+
+class DFHBar(NamedTuple):
+    """HBAR over Cholesky factors: explicit blocks <= o^3 v, plus the
+    dressed factors that generate the implicit Hvovv/Hvvvo/Hvvvv."""
+    Hov: jnp.ndarray      # (o, v)
+    Hvv: jnp.ndarray      # (v, v)
+    Hoo: jnp.ndarray      # (o, o)
+    Hoooo: jnp.ndarray    # (o, o, o, o)
+    Hooov: jnp.ndarray    # (o, o, o, v)
+    Hovvo: jnp.ndarray    # (o, v, v, o)
+    Hovov: jnp.ndarray    # (o, v, o, v)
+    Hovoo: jnp.ndarray    # (o, v, o, o)
+    df: DFERI             # undressed factors
+    Bd_ae: jnp.ndarray    # (naux, v, v) creation-virtual dressed
+    Bd_mi: jnp.ndarray    # (naux, o, o) annihilation-occupied dressed
+
+
+def dress_factors(df, t1):
+    """The two t1 dressings (see module docstring)."""
+    Bd_ae = df.Bvv - contract("na,Pne->Pae", t1, df.Bov)
+    Bd_mi = df.Boo + contract("if,Pmf->Pmi", t1, df.Bov)
+    return Bd_ae, Bd_mi
+
+
+# ---------------------------------------------------------------------------
+# generic blocked particle-particle ladder application
+# ---------------------------------------------------------------------------
+
+def _ladder_nblocks(nv, naux, max_elems=2 ** 26):
+    blk = max(1, int(max_elems // (nv * nv * nv)))
+    nblk = max(1, -(-nv // blk))
+    while nv % nblk:
+        nblk += 1
+    return nblk
+
+
+def ladder_apply(BL, BR, x2, nblocks=None):
+    """sum_ef x2[ijef] W[abef],  W[abef] = sum_P BL[P,a,e] BR[P,b,f],
+    assembled in a-blocks under lax.scan (peak blk*v^3, never v^4).
+    Generalizes models/dfccsd.ladder_df's inner loop to arbitrary
+    left/right factors (ground-state tau ladder, Lambda/EOM Hvvvv
+    ladders, C1*t1 rank-1 ladders)."""
+    naux, nva, _ = BL.shape
+    no = x2.shape[0]
+    nv = BR.shape[2]
+    if nblocks is None:
+        nblocks = _ladder_nblocks(nva, naux)
+    if nblocks == 1:
+        W = contract("Pae,Pbf->abef", BL, BR)
+        return contract("ijef,abef->ijab", x2, W)
+    blk = -(-nva // nblocks)
+    if nblocks * blk != nva:
+        BL = jnp.concatenate(
+            [BL, jnp.zeros((naux, nblocks * blk - nva, BL.shape[2]),
+                           BL.dtype)], axis=1)
+    BLs = jnp.moveaxis(BL.reshape(naux, nblocks, blk, BL.shape[2]), 1, 0)
+    x2f = x2.reshape(no * no, -1)
+    BR2 = BR.reshape(naux, -1)
+
+    def body(carry, BL_blk):
+        W = jnp.matmul(BL_blk.reshape(naux, blk * BL.shape[2]).T, BR2,
+                       preferred_element_type=x2f.dtype)
+        W = W.reshape(blk, BL.shape[2], nv, nv)   # (a, e, b, f)
+        z = contract("xef,aebf->xab",
+                     x2f.reshape(no * no, BL.shape[2], nv), W)
+        return carry, z
+
+    _, zs = jax.lax.scan(body, 0, BLs)
+    z = jnp.moveaxis(zs, 0, 1).reshape(no, no, nblocks * blk, nv)
+    return z[:, :, :nva, :]
+
+
+def hvvvv_x2_df(dfh, t2, x2, nblocks=None, cc2=False):
+    """0.5 * sum_ef x2[ijef] Hvvvv[efab]  (no pair symmetrization) —
+    the DF form of 0.5 * models/ccsd.vvvv_contract_efab(x2, Hvvvv) used by
+    the Lambda r2 (cclambda.py:85) and EOM sigma2 (cceom.py:80-82) ladders.
+
+    Hvvvv[efab] = sum_P Bd_ae[P,e,a] Bd_ae[P,f,b]   (pure-t1 part, exact)
+                + sum_mn t2[mnef] <mn|ab>           (CCSD tau-residue)
+    The second line: the dressed bilinear t1.t1 term equals the t1 part of
+    the dense tau contraction (cchbar.py:99-105), leaving only the pure-t2
+    piece, which reduces to o^4-intermediate contractions.  cc2=True drops
+    the t2 piece (the CC2 bilinear is already in the dressing)."""
+    BL = _ea_layout(dfh.Bd_ae)
+    out = 0.5 * ladder_apply(BL, BL, x2, nblocks=nblocks)
+    if not cc2:
+        X = contract("ijef,mnef->ijmn", x2, t2)
+        out = out + 0.5 * contract("ijmn,mnab->ijab", X, _eri_oovv(dfh.df))
+    return out
+
+
+def _ea_layout(Bd_ae):
+    """Bd_ae[P,a,e] -> [P,e,a]: ladder_apply wants the OUTPUT index first
+    (W[abef] = BL[P,a,e] BR[P,b,f]); Hvvvv[efab] contracts x2 over its
+    first two (creation) indices, so the output a,b are the annihilation
+    columns of Bd_ae."""
+    return Bd_ae.transpose(0, 2, 1)
+
+
+# ---------------------------------------------------------------------------
+# the tau * <mb|ef> one-time o^3 v block for Hovoo
+# ---------------------------------------------------------------------------
+
+def _tau_ovvv_ovoo(df, tau):
+    """sum_ef tau[ijef] <mb|ef>  ->  (m, b, i, j); <mb|ef> = (me|bf).
+    m-mapped so the largest live array is (naux, o^2, v) per trip."""
+
+    def one_m(Bm):                             # Bm: (naux, v) row of Bov
+        Z = contract("Pe,ijef->Pijf", Bm, tau)         # (naux, o, o, v)
+        return contract("Pijf,Pbf->bij", Z, df.Bvv)    # (v, o, o)
+
+    out = jax.lax.map(one_m, jnp.moveaxis(df.Bov, 1, 0))  # (o, v, o, o)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# HBAR build (CCSD forms; cchbar.py:81-164)
+# ---------------------------------------------------------------------------
+
+def build_hbar_df(F, dfb, t1, t2, no):
+    """All <= o^3 v HBAR blocks from factors, equal to the dense
+    build_hbar('CCSD', ...) blocks exactly (given exact factors), plus the
+    dressed factors for the implicit blocks."""
+    o, v = slice(0, no), slice(no, None)
+    df = dfb
+    tau = _tau(t1, t2)
+    Bd_ae, Bd_mi = dress_factors(df, t1)
+
+    eri_oovv = _eri_oovv(df)
+    Loovv = 2.0 * eri_oovv - eri_oovv.swapaxes(2, 3)
+    eri_ooov = _eri_ooov(df)
+    Looov = 2.0 * eri_ooov - contract("Pme,Pni->mnie", df.Bov, df.Boo)
+
+    Hov = F[o, v] + contract("nf,mnef->me", t1, Loovv)
+
+    # Hvv: the ovvv term sum_mf t1[mf] L[amef], L[amef] = 2(ae|mf)-(af|me)
+    dP = contract("Pmf,mf->P", df.Bov, t1)
+    Cam = contract("Paf,mf->Pam", df.Bvv, t1)
+    ovvv_t = (2.0 * contract("P,Pae->ae", dP, df.Bvv)
+              - contract("Pam,Pme->ae", Cam, df.Bov))
+    Hvv = (F[v, v]
+           - contract("me,ma->ae", F[o, v], t1)
+           + ovvv_t
+           - contract("mnfa,mnfe->ae", tau, Loovv))
+
+    Hoo = (F[o, o]
+           + contract("ie,me->mi", t1, F[o, v])
+           + contract("ne,mnie->mi", t1, Looov)
+           + contract("inef,mnef->mi", tau, Loovv))
+
+    eri_oooo = _eri_oooo(df)
+    tmp = contract("je,mnie->mnij", t1, eri_ooov)
+    Hoooo = (eri_oooo + tmp + tmp.transpose(1, 0, 3, 2)
+             + contract("ijef,mnef->mnij", tau, eri_oovv))
+
+    # Hooov[mnie] = sum_P Bd_mi[P,m,i] Bov[P,n,e]  (exact; see module doc)
+    Hooov = contract("Pmi,Pne->mnie", Bd_mi, df.Bov)
+
+    eri_ovvo = _eri_ovvo(df)
+    eri_ovov = _eri_ovov(df)
+    eri_ovoo = _eri_ovoo(df)
+    eri_oovo = contract("Pme,Pni->mnei", df.Bov, df.Boo)  # <mn|ei> = (me|ni)
+
+    # Hovvo[mbej] (cchbar.py:110-119): t1 ovvv term via rank-1 dressing
+    Cbj = contract("Pbf,jf->Pbj", df.Bvv, t1)
+    Hovvo = (eri_ovvo
+             + contract("Pme,Pbj->mbej", df.Bov, Cbj)
+             - contract("nb,mnej->mbej", t1, eri_oovo)
+             - contract("jnfb,mnef->mbej", tau, eri_oovv)
+             + contract("njfb,mnef->mbej", t2, Loovv))
+
+    Dmj = contract("Pmf,jf->Pmj", df.Bov, t1)
+    Hovov = (eri_ovov
+             + contract("Pmj,Pbe->mbje", Dmj, df.Bvv)
+             - contract("nb,mnje->mbje", t1, eri_ooov)
+             - contract("jnfb,nmef->mbje", tau, eri_oovv))
+
+    # Hovoo[mbij] (cchbar.py:152-164)
+    Hovoo = (eri_ovoo
+             + contract("me,ijeb->mbij", Hov, t2)
+             - contract("nb,mnij->mbij", t1, Hoooo)
+             + _tau_ovvv_ovoo(df, tau))
+    tmpo = eri_ovov - contract("infb,mnfe->mbie", t2, eri_oovv)
+    Hovoo = (Hovoo
+             - contract("ineb,nmje->mbij", t2, eri_ooov)
+             - contract("jneb,mnie->mbij", t2, eri_ooov)
+             + contract("njeb,mnie->mbij", t2, Looov)
+             + contract("je,mbie->mbij", t1, tmpo))
+    tmpv = (contract("Pjb,Pme->bmje", df.Bov, df.Bov)
+            - contract("jnfb,mnef->bmje", t2, eri_oovv)
+            + contract("njfb,mnef->bmje", t2, Loovv))
+    Hovoo = Hovoo + contract("ie,bmje->mbij", t1, tmpv)
+
+    return DFHBar(Hov=Hov, Hvv=Hvv, Hoo=Hoo, Hoooo=Hoooo, Hooov=Hooov,
+                  Hovvo=Hovvo, Hovov=Hovov, Hovoo=Hovoo,
+                  df=df, Bd_ae=Bd_ae, Bd_mi=Bd_mi)
+
+
+# ---------------------------------------------------------------------------
+# implicit-Hvovv consumers (Hvovv[amef] = sum_P Bd_ae[P,a,e] Bov[P,m,f])
+# ---------------------------------------------------------------------------
+
+def zvv_c1_hvovv(dfh, C1):
+    """2 * 'amef,mf->ae' - 'amfe,mf->ae' over Hvovv (cceom.py:51-52 /
+    ccwfn Fae pattern with HBAR dressing)."""
+    s = contract("Pmf,mf->P", dfh.df.Bov, C1)
+    # second term: C1[mf] Hvovv[amfe] = C1[mf] Bd[P,a,f] Bov[P,m,e]
+    E = contract("Paf,mf->Pam", dfh.Bd_ae, C1)
+    return (2.0 * contract("P,Pae->ae", s, dfh.Bd_ae)
+            - contract("Pam,Pme->ae", E, dfh.df.Bov))
+
+
+def r1_c2_hvovv(dfh, C2):
+    """2 * 'imef,amef->ia' - 'imef,amfe->ia' (cceom sigma1, cceom.py:34-35).
+    Largest intermediate (naux, o, v)."""
+    Z = contract("imef,Pmf->Pie", C2, dfh.df.Bov)
+    Z2 = contract("imef,Pme->Pif", C2, dfh.df.Bov)
+    return (2.0 * contract("Pie,Pae->ia", Z, dfh.Bd_ae)
+            - contract("Pif,Paf->ia", Z2, dfh.Bd_ae))
+
+
+def r1_gvv_hvovv(dfh, Gvv):
+    """-2 'ef,eifa->ia' + 'ef,eiaf->ia' over Hvovv (cclambda.py:61-62)."""
+    s = contract("ef,Pef->P", Gvv, dfh.Bd_ae)
+    T = contract("ef,Pea->Pfa", Gvv, dfh.Bd_ae)
+    return (-2.0 * contract("P,Pia->ia", s, dfh.df.Bov)
+            + contract("Pfa,Pif->ia", T, dfh.df.Bov))
+
+
+def r2_l1_hvovv(dfh, l1):
+    """2 'ie,ejab->ijab' - 'ie,ejba->ijab' over Hvovv (cclambda.py:72-73)."""
+    A = contract("ie,Pea->Pia", l1, dfh.Bd_ae)
+    t1_ = contract("Pia,Pjb->ijab", A, dfh.df.Bov)
+    A2 = contract("ie,Peb->Pib", l1, dfh.Bd_ae)
+    t2_ = contract("Pib,Pja->ijab", A2, dfh.df.Bov)
+    return 2.0 * t1_ - t2_
+
+
+# ---------------------------------------------------------------------------
+# implicit-Hvvvo consumers
+# ---------------------------------------------------------------------------
+
+def r1_l2_hvvvo(dfh, t1, t2, l2, Hov, nblocks=None):
+    """'imef,efam->ia' over the FULL CCSD Hvvvo (cclambda.py:51) without
+    materializing the o v^3 block.  Renaming Hvvvo[abei] -> [e,f,a,m],
+    each of the nine dense terms (cchbar.py:138-150) reduces to factor
+    assemblies with <= (naux,o,v) / o^2 v^2 intermediates; the derivation
+    is in this function term by term."""
+    df = dfh.df
+    Bov, Boo, Bvv = df.Bov, df.Boo, df.Bvv
+    tau = _tau(t1, t2)
+
+    # (1) <ef|am> = (ea|fm):  Z[P,i,e] = l2[imef] Bov[P,m,f]
+    Z = contract("imef,Pmf->Pie", l2, Bov)
+    out = contract("Pie,Pea->ia", Z, Bvv)
+    # (2) -Hov[na] t2[nmef]
+    out -= contract("in,na->ia", contract("imef,nmef->in", l2, t2), Hov)
+    # (3) t1[mg] Hvvvv[efag]:
+    #     factor part: E[P,m,f] = t1[mg] Bd_ae[P,f,g];
+    #     Z3[P,i,e] = l2[imef] E[P,m,f]; out += Z3[P,i,e] Bd_ae[P,e,a]
+    E = contract("mg,Pfg->Pmf", t1, dfh.Bd_ae)
+    Z3 = contract("imef,Pmf->Pie", l2, E)
+    out += contract("Pie,Pea->ia", Z3, dfh.Bd_ae)
+    #     t2 residue of Hvvvv: X[i,g,m?] -> via o^3 v intermediates
+    l2t = contract("imef,mg->igef", l2, t1)
+    X = contract("igef,pqef->igpq", l2t, t2)
+    Y = contract("igpq,Pqg->Pip", X, Bov)
+    out += contract("Pip,Ppa->ia", Y, Bov)
+    # (4) tau[pqef] <pq|am> = (pa|qm)
+    T4 = contract("imef,pqef->ipqm", l2, tau)
+    Y4 = contract("ipqm,Pqm->Pip", T4, Boo)
+    out += contract("Pip,Ppa->ia", Y4, Bov)
+    # (5) -t2[mpge] <fp|ga> = (fg|pa):  U[i,f,p,g] = l2[imef] t2[mpge]
+    U = contract("imef,mpge->ifpg", l2, t2)
+    W5 = contract("ifpg,Pfg->Pip", U, Bvv)
+    out -= contract("Pip,Ppa->ia", W5, Bov)
+    # (6) -t2[mpgf] <ep|ag> = (ea|pg):  V[i,e,p,g] = l2[imef] t2[mpgf]
+    V = contract("imef,mpgf->iepg", l2, t2)
+    W6 = contract("iepg,Ppg->Pie", V, Bov)
+    out -= contract("Pie,Pea->ia", W6, Bvv)
+    # (7) +t2[pmgf] L[epag] = 2(ea|pg) - (eg|pa)
+    Vp = contract("imef,pmgf->iepg", l2, t2)
+    W7 = contract("iepg,Ppg->Pie", Vp, Bov)
+    out += 2.0 * contract("Pie,Pea->ia", W7, Bvv)
+    W7b = contract("iepg,Peg->Pip", Vp, Bvv)
+    out -= contract("Pip,Ppa->ia", W7b, Bov)
+    # (8) -t1[pf] tmp1[e,p,a,m], tmp1 = <ep|am> - t2[mqge] <qp|ga>
+    #     <ep|am> = (ea|pm):
+    lt = contract("imef,pf->imep", l2, t1)
+    W8 = contract("imep,Ppm->Pie", lt, Boo)
+    out -= contract("Pie,Pea->ia", W8, Bvv)
+    #     + t2[mqge] <pq|ga>, <pq|ga> = (pg|qa): pair p with g, q with a
+    K8 = contract("imef,mqge->ifqg", l2, t2)
+    C8 = contract("pf,Ppg->Pfg", t1, Bov)
+    M8 = contract("ifqg,Pfg->Piq", K8, C8)
+    out += contract("Piq,Pqa->ia", M8, Bov)
+    # (9) -t1[pe] tmp2[f,p,m,a],
+    #     tmp2 = <fp|ma> - t2[mngf] <pn|ga> + t2[nmgf] L[pnga]
+    #     <fp|ma> = (fm|pa):  ZT[P,i,p] = t1[pe] Z[P,i,e]   (Z from (1))
+    ZT = contract("pe,Pie->Pip", t1, Z)
+    out -= contract("Pip,Ppa->ia", ZT, Bov)
+    #     + t2[mngf] <pn|ga>, <pn|ga> = (pa|ng): pair n with g, p with a
+    l2t1 = contract("imef,pe->imfp", l2, t1)
+    X9 = contract("imfp,mngf->ipng", l2t1, t2)
+    W9 = contract("ipng,Png->Pip", X9, Bov)
+    out += contract("Pip,Ppa->ia", W9, Bov)
+    #     - t2[nmgf] L[pnag], L[pnag] = 2(pa|ng) - (pg|na):
+    X9b = contract("imfp,nmgf->ipng", l2t1, t2)
+    W9b = contract("ipng,Png->Pip", X9b, Bov)
+    out -= 2.0 * contract("Pip,Ppa->ia", W9b, Bov)
+    W9c = contract("ipng,Ppg->Pin", X9b, Bov)
+    out += contract("Pin,Pna->ia", W9c, Bov)
+    return out
+
+
+def s2_c1_hvvvo(dfh, t1, t2, C1, Hov, nblocks=None):
+    """'ie,abej->ijab' over the FULL CCSD Hvvvo (cceom.py:69-71) without
+    the o v^3 block; o^2 v^2 output.  Same nine dense terms
+    (cchbar.py:138-150), contracted over e with C1 first."""
+    df = dfh.df
+    Bov, Boo, Bvv = df.Bov, df.Boo, df.Bvv
+    tau = _tau(t1, t2)
+    Eia = contract("ie,Pae->Pia", C1, Bvv)          # C1-dressed vv factor
+    CB = contract("ie,Pme->Pim", C1, Bov)
+
+    # (1) (ae|bj)
+    out = contract("Pia,Pjb->ijab", Eia, Bov)
+    # (2) -C1[ie] Hov[me] t2[mjab]
+    out -= contract("im,mjab->ijab", contract("ie,me->im", C1, Hov), t2)
+    # (3) +C1[ie] t1[jf] Hvvvv[abef]: rank-1 ladder + t2 residue
+    #     Hvvvv[abef] = Bd[P,a,e] Bd[P,b,f] + t2[mnab] <mn|ef>
+    x2 = contract("ie,jf->ijef", C1, t1)
+    EiaD = contract("ie,Pae->Pia", C1, dfh.Bd_ae)
+    TjbD = contract("jf,Pbf->Pjb", t1, dfh.Bd_ae)
+    out += contract("Pia,Pjb->ijab", EiaD, TjbD)
+    X = contract("ijef,mnef->ijmn", x2, _eri_oovv(df))
+    out += contract("ijmn,mnab->ijab", X, t2)
+    # (4) +C1[ie] tau[mnab] <mn|ej> = (me|nj)
+    G4 = contract("Pim,Pnj->ijmn", CB, Boo)
+    out += contract("ijmn,mnab->ijab", G4, tau)
+    # (5) -C1[ie] t2[jmfa] <bm|fe> = (bf|me)
+    D5 = contract("Pim,Pbf->imbf", CB, Bvv)
+    out -= contract("jmfa,imbf->ijab", t2, D5)
+    # (6) -C1[ie] t2[jmfb] <am|ef> = (ae|mf)
+    D6 = contract("Pia,Pmf->iamf", Eia, Bov)
+    out -= contract("jmfb,iamf->ijab", t2, D6)
+    # (7) +C1[ie] t2[mjfb] L[amef],  L[amef] = 2(ae|mf) - (af|me)
+    D7 = contract("Pim,Paf->imaf", CB, Bvv)
+    out += contract("mjfb,iamf->ijab", t2, 2.0 * D6)
+    out -= contract("mjfb,imaf->ijab", t2, D7)
+    # (8) -t1[mb] (C1[ie]<am|ej> - C1[ie] t2[jnfa] <mn|fe>)
+    #     <am|ej> = (ae|mj); <mn|fe> = (mf|ne): pair m-f, n-e
+    G8 = contract("Pia,Pmj->iamj", Eia, Boo)
+    CB2 = contract("ie,Pne->Pin", C1, Bov)
+    K8b = contract("Pin,Pmf->imnf", CB2, Bov)    # C1[ie] <mn|fe>
+    T8 = G8 - contract("jnfa,imnf->iamj", t2, K8b)
+    out -= contract("mb,iamj->ijab", t1, T8)
+    K8 = contract("Pim,Pnf->imnf", CB, Bov)      # C1[ie] <mn|ef>
+
+    # (9) -t1[ma] (C1[ie]<bm|je> - C1[ie] t2[jnfb] <mn|ef>
+    #              + C1[ie] t2[njfb] L[mnef])
+    #     <bm|je> = (bj|me); <mn|ef> = (me|nf); L[mnef] = 2(me|nf)-(mf|ne)
+    G9 = contract("Pim,Pjb->imjb", CB, Bov)
+    T9 = G9 - contract("jnfb,imnf->imjb", t2, K8)
+    # L part: C1[ie] L[mnef] = 2 C1[ie]<mn|ef> - C1[ie]<mn|fe>
+    #   = 2 K8 - K8b
+    T9 = T9 + contract("njfb,imnf->imjb", t2, 2.0 * K8 - K8b)
+    out -= contract("ma,imjb->ijab", t1, T9)
+    return out

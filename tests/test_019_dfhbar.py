@@ -1,0 +1,105 @@
+"""DF-HBAR (models/dfhbar.py): explicit blocks and implicit-big-block
+consumers equal the dense HBAR path when built from exact Cholesky factors.
+
+Both sides see the SAME integrals (the factor reconstruction), so
+equalities hold to float64 contraction noise (~1e-11), independent of the
+Cholesky truncation error.  Dense side: cchbar.build_hbar — the rebuild of
+/root/reference/pycc/cchbar.py; the reference itself has no factorized
+HBAR (its post-convergence stack exists only as far as the dense tensors
+reach, /root/reference/pycc/cchbar.py:170-327).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pycc_tpu.cchbar import build_hbar
+from pycc_tpu.hamiltonian import build_hamiltonian
+from pycc_tpu.models import dfhbar as dfq
+from pycc_tpu.models.dfccsd import df_blocks
+from pycc_tpu.ops.cholesky import cholesky_factor_eri
+from pycc_tpu.scf import run_rhf
+
+from .common import H2O as H2O_GEOM
+
+
+@pytest.fixture(scope="module")
+def setup():
+    wfn = run_rhf(H2O_GEOM, "sto-3g", freeze_core=True)
+    H = build_hamiltonian(wfn, host=True)
+    ERI = np.asarray(H.ERI)
+    no = H.no
+    nv = ERI.shape[0] - no
+    B = cholesky_factor_eri(ERI, tol=1e-14)
+    rec = np.einsum("Ppr,Pqs->pqrs", B, B)
+    L = 2.0 * rec - rec.swapaxes(2, 3)
+    rng = np.random.default_rng(11)
+    t1 = jnp.asarray(0.05 * rng.standard_normal((no, nv)))
+    # deliberately NOT pair-symmetrized: the factor derivations must hold
+    # term-by-term for arbitrary t2, catching transposition errors that the
+    # physical symmetry t2[ijab]=t2[jiba] would mask
+    t2 = jnp.asarray(0.05 * rng.standard_normal((no, no, nv, nv)))
+    F = jnp.asarray(H.F)
+    df = df_blocks(jnp.asarray(B), no)
+    dense = build_hbar("CCSD", F, jnp.asarray(rec), jnp.asarray(L),
+                       t1, t2, no)
+    dfh = dfq.build_hbar_df(F, df, t1, t2, no)
+    return dense, dfh, t1, t2, no, nv, rng
+
+
+def _close(a, b, tol=1e-11):
+    return np.abs(np.asarray(a) - np.asarray(b)).max() < tol
+
+
+def test_explicit_blocks(setup):
+    dense, dfh, *_ = setup
+    for name in ("Hov", "Hvv", "Hoo", "Hoooo", "Hooov", "Hovvo",
+                 "Hovov", "Hovoo"):
+        assert _close(getattr(dense, name), getattr(dfh, name)), name
+
+
+def test_hvovv_consumers(setup):
+    dense, dfh, t1, t2, no, nv, rng = setup
+    C1 = jnp.asarray(rng.standard_normal((no, nv)))
+    C2 = jnp.asarray(rng.standard_normal((no, no, nv, nv)))
+    l1 = jnp.asarray(rng.standard_normal((no, nv)))
+    Gvv = jnp.asarray(rng.standard_normal((nv, nv)))
+    Hvovv = dense.Hvovv
+
+    ref = (2.0 * np.einsum("amef,mf->ae", Hvovv, C1)
+           - np.einsum("amfe,mf->ae", Hvovv, C1))
+    assert _close(ref, dfq.zvv_c1_hvovv(dfh, C1))
+
+    ref = (2.0 * np.einsum("imef,amef->ia", C2, Hvovv)
+           - np.einsum("imef,amfe->ia", C2, Hvovv))
+    assert _close(ref, dfq.r1_c2_hvovv(dfh, C2))
+
+    ref = (-2.0 * np.einsum("ef,eifa->ia", Gvv, Hvovv)
+           + np.einsum("ef,eiaf->ia", Gvv, Hvovv))
+    assert _close(ref, dfq.r1_gvv_hvovv(dfh, Gvv))
+
+    ref = (2.0 * np.einsum("ie,ejab->ijab", l1, Hvovv)
+           - np.einsum("ie,ejba->ijab", l1, Hvovv))
+    assert _close(ref, dfq.r2_l1_hvovv(dfh, l1))
+
+
+def test_hvvvv_ladder(setup):
+    dense, dfh, t1, t2, no, nv, rng = setup
+    x2 = jnp.asarray(rng.standard_normal((no, no, nv, nv)))
+    ref = 0.5 * np.einsum("ijef,efab->ijab", x2, dense.Hvvvv)
+    assert _close(ref, dfq.hvvvv_x2_df(dfh, t2, x2))
+    # blocked path == single-shot path
+    assert _close(dfq.hvvvv_x2_df(dfh, t2, x2, nblocks=2),
+                  dfq.hvvvv_x2_df(dfh, t2, x2, nblocks=1))
+
+
+def test_hvvvo_consumers(setup):
+    dense, dfh, t1, t2, no, nv, rng = setup
+    l2 = jnp.asarray(rng.standard_normal((no, no, nv, nv)))
+    C1 = jnp.asarray(rng.standard_normal((no, nv)))
+
+    ref = np.einsum("imef,efam->ia", l2, dense.Hvvvo)
+    assert _close(ref, dfq.r1_l2_hvvvo(dfh, t1, t2, l2, dfh.Hov))
+
+    ref = np.einsum("ie,abej->ijab", C1, dense.Hvvvo)
+    assert _close(ref, dfq.s2_c1_hvvvo(dfh, t1, t2, C1, dfh.Hov))

@@ -405,3 +405,109 @@ def s2_c1_hvvvo(dfh, t1, t2, C1, Hov, nblocks=None):
     T9 = T9 + contract("njfb,imnf->imjb", t2, 2.0 * K8 - K8b)
     out -= contract("ma,imjb->ijab", t1, T9)
     return out
+
+
+def hvvvv_x2_abef_df(dfh, t2, x2, nblocks=None, cc2=False):
+    """0.5 * sum_ef x2[ijef] Hvvvv[abef] — the DF form of
+    0.5 * models/ccsd.vvvv_contract(x2, Hvvvv) (EOM sigma2, cceom.py:81).
+    Hvvvv[abef] = sum_P Bd_ae[P,a,e] Bd_ae[P,b,f] + t2[mnab] <mn|ef>."""
+    out = 0.5 * ladder_apply(dfh.Bd_ae, dfh.Bd_ae, x2, nblocks=nblocks)
+    if not cc2:
+        X = contract("ijef,mnef->ijmn", x2, _eri_oovv(dfh.df))
+        out = out + 0.5 * contract("ijmn,mnab->ijab", X, t2)
+    return out
+
+
+def loovv_df(df):
+    """L[o,o,v,v] = 2<mn|ef> - <mn|fe> assembled from factors."""
+    e = _eri_oovv(df)
+    return 2.0 * e - e.swapaxes(2, 3)
+
+
+# ---------------------------------------------------------------------------
+# Lambda residuals over the DF-HBAR (cclambda.lambda_residuals, CCSD branch)
+# ---------------------------------------------------------------------------
+
+def lambda_residuals_df(dfh, t1, t2, l1, l2, no, S1=None, S2=None,
+                        nblocks=None):
+    """r_L1, r_L2 over factors: every big-block contraction of the dense
+    CCSD branch (cclambda.py:41-95) replaced by its factor-implicit form;
+    equal to the dense path given exact factors (test_019)."""
+    Goo = contract("mjab,ijab->mi", t2, l2)
+    Gvv = -1.0 * contract("ijeb,ijab->ae", t2, l2)
+    Loovv = loovv_df(dfh.df)
+    Hovvo_s = 2.0 * dfh.Hovvo - dfh.Hovov.swapaxes(2, 3)
+
+    r1 = 2.0 * dfh.Hov
+    if S1 is not None:
+        r1 = r1 + S1
+    r1 += contract("ie,ea->ia", l1, dfh.Hvv)
+    r1 -= contract("ma,im->ia", l1, dfh.Hoo)
+    r1 += r1_l2_hvvvo(dfh, t1, t2, l2, dfh.Hov)
+    r1 -= contract("mnae,iemn->ia", l2, dfh.Hovoo)
+    r1 += contract("me,ieam->ia", l1, Hovvo_s)
+    r1 += r1_gvv_hvovv(dfh, Gvv)
+    r1 -= 2.0 * contract("mn,mina->ia", Goo, dfh.Hooov)
+    r1 += contract("mn,imna->ia", Goo, dfh.Hooov)
+
+    r2 = Loovv
+    if S2 is not None:
+        r2 = r2 + 0.5 * S2
+    r2 = r2 + 2.0 * contract("ia,jb->ijab", l1, dfh.Hov)
+    r2 -= contract("ja,ib->ijab", l1, dfh.Hov)
+    r2 += r2_l1_hvovv(dfh, l1)
+    r2 -= 2.0 * contract("mb,jima->ijab", l1, dfh.Hooov)
+    r2 += contract("mb,ijma->ijab", l1, dfh.Hooov)
+    r2 += contract("ijeb,ea->ijab", l2, dfh.Hvv)
+    r2 -= contract("mjab,im->ijab", l2, dfh.Hoo)
+    r2 += 0.5 * contract("mnab,ijmn->ijab", l2, dfh.Hoooo)
+    r2 += hvvvv_x2_df(dfh, t2, l2, nblocks=nblocks)
+    r2 += contract("mjeb,ieam->ijab", l2, Hovvo_s)
+    r2 -= contract("mibe,jema->ijab", l2, dfh.Hovov)
+    r2 -= contract("mieb,jeam->ijab", l2, dfh.Hovvo)
+    r2 += contract("ae,ijeb->ijab", Gvv, Loovv)
+    r2 -= contract("mi,mjab->ijab", Goo, Loovv)
+    r2 = r2 + r2.transpose(1, 0, 3, 2)
+    return r1, r2
+
+
+# ---------------------------------------------------------------------------
+# EOM sigmas over the DF-HBAR (cceom.sigma1/sigma2)
+# ---------------------------------------------------------------------------
+
+def sigma1_df(dfh, C1, C2, Loovv, no):
+    """cceom.sigma1 with the Hvovv terms factor-implicit."""
+    s1 = contract("ie,ae->ia", C1, dfh.Hvv)
+    s1 -= contract("mi,ma->ia", dfh.Hoo, C1)
+    s1 += 2.0 * contract("maei,me->ia", dfh.Hovvo, C1)
+    s1 -= contract("maie,me->ia", dfh.Hovov, C1)
+    s1 += 2.0 * contract("miea,me->ia", C2, dfh.Hov)
+    s1 -= contract("imea,me->ia", C2, dfh.Hov)
+    s1 += r1_c2_hvovv(dfh, C2)
+    s1 -= 2.0 * contract("mnie,mnae->ia", dfh.Hooov, C2)
+    s1 += contract("nmie,mnae->ia", dfh.Hooov, C2)
+    return s1
+
+
+def sigma2_df(dfh, C1, C2, Loovv, t1, t2, no, nblocks=None):
+    """cceom.sigma2 with Hvovv/Hvvvo/Hvvvv factor-implicit."""
+    Zvv = zvv_c1_hvovv(dfh, C1)
+    Zvv -= contract("nmaf,nmef->ae", C2, Loovv)
+
+    Zoo = -2.0 * contract("mnie,ne->mi", dfh.Hooov, C1)
+    Zoo += contract("nmie,ne->mi", dfh.Hooov, C1)
+    Zoo -= contract("mnef,inef->mi", Loovv, C2)
+
+    s2 = s2_c1_hvvvo(dfh, t1, t2, C1, dfh.Hov)
+    s2 -= contract("mbij,ma->ijab", dfh.Hovoo, C1)
+    s2 += contract("ijeb,ae->ijab", t2, Zvv)
+    s2 += contract("mi,mjab->ijab", Zoo, t2)
+    s2 += contract("ijeb,ae->ijab", C2, dfh.Hvv)
+    s2 -= contract("mi,mjab->ijab", dfh.Hoo, C2)
+    s2 += 0.5 * contract("mnij,mnab->ijab", dfh.Hoooo, C2)
+    s2 += hvvvv_x2_abef_df(dfh, t2, C2, nblocks=nblocks)
+    s2 -= contract("imeb,maje->ijab", C2, dfh.Hovov)
+    s2 -= contract("imea,mbej->ijab", C2, dfh.Hovvo)
+    s2 += 2.0 * contract("miea,mbej->ijab", C2, dfh.Hovvo)
+    s2 -= contract("miea,mbje->ijab", C2, dfh.Hovov)
+    return s2 + s2.transpose(1, 0, 3, 2)

@@ -103,3 +103,48 @@ def test_hvvvo_consumers(setup):
 
     ref = np.einsum("ie,abej->ijab", C1, dense.Hvvvo)
     assert _close(ref, dfq.s2_c1_hvvvo(dfh, t1, t2, C1, dfh.Hov))
+
+
+def test_lambda_residuals_df(setup):
+    from pycc_tpu.cclambda import lambda_residuals
+
+    dense, dfh, t1, t2, no, nv, rng = setup
+    l1 = jnp.asarray(rng.standard_normal((no, nv)))
+    l2r = rng.standard_normal((no, no, nv, nv))
+    l2 = jnp.asarray(l2r + l2r.transpose(1, 0, 3, 2))
+    rec = np.einsum("Ppr,Pqs->pqrs",
+                    np.asarray(jnp.concatenate(
+                        [jnp.concatenate([dfh.df.Boo, dfh.df.Bov], axis=2),
+                         jnp.concatenate([dfh.df.Bov.transpose(0, 2, 1),
+                                          dfh.df.Bvv], axis=2)], axis=1)),
+                    np.asarray(jnp.concatenate(
+                        [jnp.concatenate([dfh.df.Boo, dfh.df.Bov], axis=2),
+                         jnp.concatenate([dfh.df.Bov.transpose(0, 2, 1),
+                                          dfh.df.Bvv], axis=2)], axis=1)))
+    L = 2.0 * rec - rec.swapaxes(2, 3)
+    nact = no + nv
+    F = jnp.zeros((nact, nact))  # F only enters dense r-L via hb; unused
+    r1_ref, r2_ref = lambda_residuals("CCSD", dense, F, jnp.asarray(rec),
+                                      jnp.asarray(L), t1, t2, l1, l2, no)
+    r1, r2 = dfq.lambda_residuals_df(dfh, t1, t2, l1, l2, no)
+    assert _close(r1_ref, r1)
+    assert _close(r2_ref, r2)
+
+
+def test_eom_sigmas_df(setup):
+    from pycc_tpu.cceom import sigma1, sigma2
+    from pycc_tpu.models.ccsd import slices
+
+    dense, dfh, t1, t2, no, nv, rng = setup
+    C1 = jnp.asarray(rng.standard_normal((no, nv)))
+    C2 = jnp.asarray(rng.standard_normal((no, no, nv, nv)))
+    Loovv = dfq.loovv_df(dfh.df)
+
+    class _L:
+        def __getitem__(self, key):
+            return Loovv
+
+    s1_ref = sigma1(dense, C1, C2, _L(), no)
+    s2_ref = sigma2(dense, C1, C2, _L(), t2, no)
+    assert _close(s1_ref, dfq.sigma1_df(dfh, C1, C2, Loovv, no))
+    assert _close(s2_ref, dfq.sigma2_df(dfh, C1, C2, Loovv, t1, t2, no))

@@ -106,6 +106,13 @@ class cceom:
         hb = cchbar.hbar
         no = cc.no
         nv = cc.nv
+        from .models.dfhbar import DFHBar
+        if isinstance(hb, DFHBar):
+            # factor-implicit sigmas: Hvovv/Hvvvo/Hvvvv never materialize
+            # (models/dfhbar.py) — the dense pre-laid aux machinery below
+            # is the at-scale fallback for full/blocked storage only
+            self._init_df_sigma(hb, cc, no, nv)
+            return
         o_, v_ = slices(no)
         # only the oovv block of L is needed by the sigmas; slice it on the
         # host (cheap even when blocked storage keeps L host-side) and pass
@@ -236,6 +243,48 @@ class cceom:
             else:
                 C = jnp.asarray(C)
             return _sig_v(hb, aux, cc.t2, C)[:M]
+
+        self._sigma = sigma
+
+    # ------------------------------------------------------------------
+    def _init_df_sigma(self, hb, cc, no, nv):
+        """Sigma closure over the DF-HBAR (storage='df'): per-vector
+        factor contractions, vmapped small-system path and host-sequenced
+        per-vector big-system path (same dispatch rules as the dense
+        sequential sigma — one vector per device program at scale)."""
+        from .models.dfhbar import loovv_df, sigma1_df, sigma2_df
+
+        Loovv = jax.jit(loovv_df)(hb.df)
+
+        def sig(dfh, Lo, t1, t2, cvec):
+            C1 = cvec[:no * nv].reshape(no, nv)
+            C2 = cvec[no * nv:].reshape(no, no, nv, nv)
+            s1 = sigma1_df(dfh, C1, C2, Lo, no)
+            s2 = sigma2_df(dfh, C1, C2, Lo, t1, t2, no)
+            return jnp.concatenate([s1.ravel(), s2.ravel()])
+
+        _sig_v = jax.jit(jax.vmap(sig, in_axes=(None, None, None, None, 0)))
+        _sig_one = jax.jit(sig)
+        self.sigma_sequential = no * nv ** 3 > 2e7
+
+        def sigma(C):
+          with timers.time("eom.sigma"):
+            M = C.shape[0]
+            C = jnp.asarray(C)
+            if self.sigma_sequential:
+                rows = []
+                for k in range(M):
+                    r = _sig_one(hb, Loovv, cc.t1, cc.t2, C[k])
+                    jax.block_until_ready(r)
+                    rows.append(r)
+                return jnp.stack(rows)
+            Mp = 1
+            while Mp < M:
+                Mp *= 2
+            if Mp != M:
+                C = jnp.concatenate(
+                    [C, jnp.zeros((Mp - M, C.shape[1]), C.dtype)])
+            return _sig_v(hb, Loovv, cc.t1, cc.t2, C)[:M]
 
         self._sigma = sigma
 

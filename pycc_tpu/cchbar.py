@@ -175,6 +175,28 @@ class cchbar:
         self._timer = timers.time("hbar.build")
         self._timer.__enter__()
         self.ccwfn = ccwfn
+        if getattr(ccwfn, "storage", "full") == "df":
+            # factor-implicit HBAR: blocks > o^3 v never exist (the dense
+            # reference stops here — /root/reference/pycc/cchbar.py:170-327
+            # requires the v^4 / o v^3 tensors); Lambda/EOM consume the
+            # dressed factors instead (models/dfhbar.py)
+            from .models.dfhbar import build_hbar_df
+
+            if ccwfn.model not in ("CCSD", "CCSD(T)"):
+                raise Exception("storage='df' HBAR supports CCSD/CCSD(T) "
+                                "only (got %s)" % ccwfn.model)
+            hbar = jax.jit(build_hbar_df, static_argnums=(4,))(
+                jnp.asarray(ccwfn.H.F), ccwfn.dfb, ccwfn.t1, ccwfn.t2,
+                ccwfn.no)
+            self.hbar = hbar
+            for name in ("Hov", "Hvv", "Hoo", "Hoooo", "Hooov", "Hovvo",
+                         "Hovov", "Hovoo"):
+                setattr(self, name, getattr(hbar, name))
+            self._timer.__exit__(None, None, None)
+            del self._timer
+            print("\nHBAR (DF) constructed in %.3f seconds.\n"
+                  % (time.time() - t0))
+            return
         if getattr(ccwfn, "storage", "full") == "blocked":
             # build from the six Dirac blocks: the full ERI + L pair would
             # not even fit beside the HBAR blocks at production sizes

@@ -168,8 +168,12 @@ class cclambda:
                 host_extras = cc3_lambda_extra_rows
 
         blocked = getattr(cc, "storage", "full") == "blocked"
+        dfmode = getattr(cc, "storage", "full") == "df"
         if blocked:
             from .models.blocked import blocked_views
+        if dfmode:
+            from .models.dfccsd import _eri_oovv as df_eri_oovv
+            from .models.dfhbar import lambda_residuals_df
 
         # everything big enters as a jit ARGUMENT (closure constants are
         # serialized into the remote compile request on TPU)
@@ -177,9 +181,12 @@ class cclambda:
         def step(hb, F, ERIa, La, t1, t2, S1, S2, l1, l2, state, do_extrap):
             if blocked:
                 ERIa, La = blocked_views(ERIa, no)
-            r1, r2 = lambda_residuals("CCSD" if is_cc3 else model,
-                                      hb, F, ERIa, La,
-                                      t1, t2, l1, l2, no, S1, S2)
+            if dfmode:
+                r1, r2 = lambda_residuals_df(hb, t1, t2, l1, l2, no, S1, S2)
+            else:
+                r1, r2 = lambda_residuals("CCSD" if is_cc3 else model,
+                                          hb, F, ERIa, La,
+                                          t1, t2, l1, l2, no, S1, S2)
             if is_cc3:
                 Y1, Y2 = cc3_extra_fn(F, ERIa, La, t1, t2, l1, l2,
                                       no, real_time=False)
@@ -194,7 +201,10 @@ class cclambda:
             l2n = l2 + inc2
             rms = jnp.sqrt(jnp.sum(jnp.abs(inc1) ** 2)
                            + jnp.sum(jnp.abs(inc2) ** 2))
-            lecc = pseudoenergy(ERIa, l2n, no)
+            if dfmode:
+                lecc = 0.5 * jnp.sum(df_eri_oovv(hb.df) * l2n)
+            else:
+                lecc = pseudoenergy(ERIa, l2n, no)
             state = diis.push(state, (l1n, l2n), (l1, l2))
             l1e, l2e = jax.lax.cond(
                 do_extrap,
@@ -207,11 +217,18 @@ class cclambda:
             ERI0 = cc.blocks
             La0 = None
             bE0, _ = blocked_views(cc.blocks, no)
+        elif dfmode:
+            ERI0, La0, bE0 = None, None, None
         else:
             ERI0, La0, bE0 = H.ERI, H.L, H.ERI
         Fj = jnp.asarray(H.F)
         l1, l2 = self.l1, self.l2
-        lecc = float(jnp.real(pseudoenergy(bE0, l2, no)))
+        if dfmode:
+            hbar_df = hb
+            lecc = float(jnp.real(
+                0.5 * jnp.sum(df_eri_oovv(hbar_df.df) * l2)))
+        else:
+            lecc = float(jnp.real(pseudoenergy(bE0, l2, no)))
         print("\nLCC Iter %3d: LCC PseudoE = %.15f  dE = % .5E" % (0, lecc, -lecc))
         state = diis.init()
         for niter in range(1, maxiter + 1):

@@ -148,3 +148,43 @@ def test_eom_sigmas_df(setup):
     s2_ref = sigma2(dense, C1, C2, _L(), t2, no)
     assert _close(s1_ref, dfq.sigma1_df(dfh, C1, C2, Loovv, no))
     assert _close(s2_ref, dfq.sigma2_df(dfh, C1, C2, Loovv, t1, t2, no))
+
+
+def test_df_lambda_eom_end_to_end():
+    """The full post-convergence stack under storage='df': solve_cc ->
+    DF-HBAR -> Lambda -> EOM, no tensor larger than o^2 v^2 anywhere.
+    Oracles: the frozen Psi4 pseudoenergy (tests/test_005) and the dense
+    storage='full' EOM roots computed side by side."""
+    import contextlib
+    import io
+
+    import pycc_tpu
+
+    wfn = run_rhf(H2O_GEOM, "sto-3g", freeze_core=True)
+    with contextlib.redirect_stdout(io.StringIO()):
+        cc = pycc_tpu.ccwfn(wfn, storage="df", df_tol=1e-13)
+        ecc = cc.solve_cc(e_conv=1e-12, r_conv=1e-12)
+        hbar = pycc_tpu.cchbar(cc)
+        lam = pycc_tpu.cclambda(cc, hbar)
+        lecc = lam.solve_lambda(e_conv=1e-12, r_conv=1e-12)
+    assert abs(ecc - -0.070616830152761) < 1e-9
+    assert lam.converged
+    assert abs(lecc - -0.068826452648939) < 1e-9
+
+    with contextlib.redirect_stdout(io.StringIO()):
+        eom = pycc_tpu.cceom(hbar)
+        E, C = eom.solve_eom(N=3, e_conv=1e-8, r_conv=1e-7)
+
+        ccd_full = pycc_tpu.ccwfn(wfn)
+        ccd_full.solve_cc(e_conv=1e-12, r_conv=1e-12)
+        hbar_full = pycc_tpu.cchbar(ccd_full)
+        eom_full = pycc_tpu.cceom(hbar_full)
+        E_ref, _ = eom_full.solve_eom(N=3, e_conv=1e-8, r_conv=1e-7)
+    assert eom.converged and eom_full.converged
+    assert np.allclose(E, E_ref, atol=1e-7), (E, E_ref)
+
+    # the big-system host-sequenced per-vector sigma gives the same roots
+    eom.sigma_sequential = True
+    with contextlib.redirect_stdout(io.StringIO()):
+        E_seq, _ = eom.solve_eom(N=3, e_conv=1e-8, r_conv=1e-7)
+    assert np.allclose(E_seq, E_ref, atol=1e-7), (E_seq, E_ref)

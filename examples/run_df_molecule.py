@@ -1,0 +1,84 @@
+"""Solve DF-CCSD on the TPU from prepared factors (device half of the
+prepare-on-host / solve-on-TPU pipeline; see prepare_df_molecule.py).
+
+Loads the .npz (B factors, MO Fock, no, escf), constructs the solver via
+ccwfn.from_df_factors, and iterates to convergence on the chip.  With
+--post it then builds the DF-HBAR and solves Lambda (and optionally a few
+EOM roots) — the post-convergence stack the dense reference cannot reach
+at this size (/root/reference/pycc/hamiltonian.py:36-39).
+
+Usage:
+    python examples/run_df_molecule.py df_cache/w7aug.npz \
+        --precision SP --nblocks 16 --e-conv 1e-7 --r-conv 1e-6 --post
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("npz")
+    ap.add_argument("--precision", default="SP")
+    ap.add_argument("--nblocks", type=int, default=None)
+    ap.add_argument("--e-conv", type=float, default=1e-7)
+    ap.add_argument("--r-conv", type=float, default=1e-6)
+    ap.add_argument("--maxiter", type=int, default=60)
+    ap.add_argument("--post", action="store_true",
+                    help="DF-HBAR + Lambda after convergence")
+    ap.add_argument("--eom", type=int, default=0,
+                    help="number of EOM-CCSD roots (0 = skip)")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import pycc_tpu
+
+    d = np.load(args.npz, allow_pickle=True)
+    B, F, no = d["B"], d["F"], int(d["no"])
+    print("loaded %s: naux=%d nact=%d no=%d nv=%d nbf=%d escf=%.10f"
+          % (args.npz, B.shape[0], B.shape[1], no, B.shape[1] - no,
+             int(d["nbf"]), float(d["escf"])))
+    sys.stdout.flush()
+
+    cc = pycc_tpu.ccwfn.from_df_factors(
+        B, F, no, escf=float(d["escf"]), precision=args.precision,
+        df_nblocks=args.nblocks)
+    t0 = time.time()
+    ecc = cc.solve_cc(e_conv=args.e_conv, r_conv=args.r_conv,
+                      maxiter=args.maxiter)
+    t_solve = time.time() - t0
+    print(json.dumps({
+        "molecule": str(d["molname"]), "basis": str(d["basis"]),
+        "nbf": int(d["nbf"]), "no": no, "nv": B.shape[1] - no,
+        "naux": int(B.shape[0]), "precision": args.precision,
+        "e_corr": float(ecc), "e_total": float(d["escf"]) + float(ecc),
+        "converged": bool(cc.converged), "t_solve_s": round(t_solve, 2)}))
+    sys.stdout.flush()
+
+    if args.post:
+        t0 = time.time()
+        hbar = pycc_tpu.cchbar(cc)
+        lam = pycc_tpu.cclambda(cc, hbar)
+        lecc = lam.solve_lambda(e_conv=args.e_conv, r_conv=args.r_conv,
+                                maxiter=args.maxiter)
+        print(json.dumps({"lambda_pseudo_e": float(lecc),
+                          "lambda_converged": bool(lam.converged),
+                          "t_post_s": round(time.time() - t0, 2)}))
+        sys.stdout.flush()
+        if args.eom:
+            t0 = time.time()
+            eom = pycc_tpu.cceom(hbar)
+            E, _ = eom.solve_eom(N=args.eom, e_conv=1e-6, r_conv=1e-5)
+            print(json.dumps({"eom_roots_eh": [float(x) for x in E],
+                              "eom_converged": bool(eom.converged),
+                              "t_eom_s": round(time.time() - t0, 2)}))
+
+
+if __name__ == "__main__":
+    main()

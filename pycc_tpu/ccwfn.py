@@ -251,6 +251,77 @@ class ccwfn:
         self.naux = B.shape[0]
         self.dfb = dfq.df_blocks(jnp.asarray(B, dtype=dtype), self.no)
 
+    @classmethod
+    def from_df_factors(cls, B, F, no, escf=0.0, model="CCSD",
+                        precision="DP", df_nblocks=None):
+        """Construct a storage='df' solver directly from precomputed
+        MO-basis Cholesky/DF factors B (naux, nact, nact) and the active-
+        space MO Fock matrix (frozen core already dropped) — the device
+        half of the prepare-on-host / solve-on-TPU pipeline
+        (examples/prepare_df_molecule.py writes the .npz this reads).
+
+        The reference cannot represent this state: its Hamiltonian
+        requires the dense MO ERI (/root/reference/pycc/hamiltonian.py:36-39)."""
+        from .models import dfccsd as dfq
+
+        model = model.upper()
+        if model not in ("CCD", "CC2", "CCSD", "CCSD(T)"):
+            raise Exception("from_df_factors supports canonical "
+                            "CCD/CC2/CCSD/CCSD(T) only (got %s)." % model)
+        precision = precision.upper()
+        if precision not in ("SP", "DP"):
+            raise Exception("%s is not an allowed precision arithmetic."
+                            % precision)
+        dtype = jnp.float64 if precision == "DP" else jnp.float32
+
+        self = cls.__new__(cls)
+        self.model = model
+        self.storage = "df"
+        self.df_direct = True
+        self.df_tol = None
+        self._df_nblocks = df_nblocks
+        self.precision = precision
+        self.real_time = False
+        self.local = None
+        self.filter = False
+        self.make_t3_density = False
+        self.t3_scan = None
+        self.ref = None
+        self.eref = float(escf)
+        self.nfzc = 0
+        B = jnp.asarray(B, dtype=dtype)
+        F = jnp.asarray(F, dtype=dtype)
+        self.no = int(no)
+        self.nact = F.shape[0]
+        self.nmo = self.nact
+        self.nv = self.nact - self.no
+        self.naux = B.shape[0]
+        self.H = Hamiltonian(F=F, ERI=None, L=None, mu=None, m=None,
+                             p=None, Q=None, no=self.no)
+        self.o = slice(0, self.no)
+        self.v = slice(self.no, self.nact)
+        eps = jnp.diag(F)
+        o, v = self.o, self.v
+        self.Dia = (eps[o, None] - eps[None, v]).astype(dtype)
+        self.Dijab = (eps[o, None, None, None] + eps[None, o, None, None]
+                      - eps[None, None, v, None]
+                      - eps[None, None, None, v]).astype(dtype)
+        self.dfb = dfq.df_blocks(B, self.no)
+        self.t1 = jnp.zeros((self.no, self.nv), dtype=dtype)
+        self.t2 = (dfq._eri_oovv(self.dfb).astype(dtype) / self.Dijab)
+        self._residual_fn = _RESIDUALS.get(self.model)
+        self._energy_fn = _ENERGY[self.model]
+        self._host_residual_fn = None
+        _df_map = {"CCD": dfq.residuals_ccd_df,
+                   "CC2": dfq.residuals_cc2_df,
+                   "CCSD": dfq.residuals_ccsd_df,
+                   "CCSD(T)": dfq.residuals_ccsd_df}
+        self._df_residual_fn = partial(_df_map[self.model],
+                                       nblocks=df_nblocks)
+        print("DF/Cholesky factors: naux = %d (precomputed, %s)"
+              % (self.naux, precision))
+        return self
+
     def _solver_H(self):
         """(ERI-arg, L-arg) for the jitted solve step: the full tensors,
         the ERIBlocks pytree (+ None) under storage='blocked', or the

@@ -166,3 +166,25 @@ def test_df_direct_explicit_no_scf_factors(h2o_sto3g):
     assert abs(e - -0.070616830152761) < 1e-9
     with pytest.raises(Exception):
         ccwfn(h2o_sto3g, storage="df", df_direct=True, model="CCSD(T)")
+
+
+def test_from_df_factors_round_trip(h2o_sto3g):
+    """ccwfn.from_df_factors (the prepare-on-host / solve-on-device entry,
+    examples/prepare_df_molecule.py + run_df_molecule.py) reproduces the
+    in-process DF solve exactly from the reassembled factor matrix."""
+    import contextlib
+    import io
+
+    with contextlib.redirect_stdout(io.StringIO()):
+        cc = ccwfn(h2o_sto3g, storage="df", df_tol=1e-11)
+        e1 = cc.solve_cc(e_conv=1e-11, r_conv=1e-11)
+        B = np.concatenate([
+            np.concatenate([np.asarray(cc.dfb.Boo),
+                            np.asarray(cc.dfb.Bov)], axis=2),
+            np.concatenate([np.asarray(cc.dfb.Bov).transpose(0, 2, 1),
+                            np.asarray(cc.dfb.Bvv)], axis=2)], axis=1)
+        cc2 = ccwfn.from_df_factors(B, np.asarray(cc.H.F), cc.no,
+                                    escf=h2o_sto3g.energy())
+        e2 = cc2.solve_cc(e_conv=1e-11, r_conv=1e-11)
+    assert abs(float(e1) - float(e2)) < 1e-12
+    assert abs(float(e1) - -0.070616830152761) < 1e-9

@@ -131,7 +131,7 @@ class cclambda:
                                        t1, t2, l1, l2, cc.no)
 
     def solve_lambda(self, e_conv=1e-7, r_conv=1e-7, maxiter=100, max_diis=8,
-                     start_diis=1):
+                     start_diis=1, stall_limit=10):
         tstart = time.time()
         cc = self.ccwfn
         no = cc.no
@@ -231,6 +231,8 @@ class cclambda:
             lecc = float(jnp.real(pseudoenergy(bE0, l2, no)))
         print("\nLCC Iter %3d: LCC PseudoE = %.15f  dE = % .5E" % (0, lecc, -lecc))
         state = diis.init()
+        best_rms = float("inf")
+        stalled = 0
         for niter in range(1, maxiter + 1):
           with timers.time("lambda.iteration"):
             lecc_last = lecc
@@ -256,6 +258,21 @@ class cclambda:
             ediff = lecc - lecc_last
             print("LCC Iter %3d: LCC PseudoE = %.15f  dE = % .5E  rms = % .5E"
                   % (niter, lecc, ediff, rms))
+            # working-precision noise floor (see ccwfn.solve_cc): stop
+            # when the rms has not improved for stall_limit iterations
+            if rms < 0.98 * best_rms:
+                best_rms = rms
+                stalled = 0
+            else:
+                stalled += 1
+                if stall_limit and stalled >= stall_limit and rms >= r_conv:
+                    self.l1, self.l2 = l1n, l2n
+                    self.converged = abs(ediff) < e_conv
+                    print("\nLambda-CC hit the working-precision noise "
+                          "floor (rms %.3E > r_conv %.1E, no improvement "
+                          "in %d iterations); stopping with dE = %.3E.\n"
+                          % (rms, r_conv, stall_limit, ediff))
+                    return lecc
             if abs(ediff) < e_conv and rms < r_conv:
                 self.l1, self.l2 = l1n, l2n
                 self.converged = True

@@ -362,7 +362,7 @@ class ccwfn:
 
     # ------------------------------------------------------------------
     def solve_cc(self, e_conv=1e-7, r_conv=1e-7, maxiter=100, max_diis=8,
-                 start_diis=1, bf16_until=0.0):
+                 start_diis=1, bf16_until=0.0, stall_limit=10):
         """Iterate the CC amplitude equations to the requested tolerances.
 
         bf16_until > 0 (requires storage='blocked', canonical CCD/CC2/CCSD)
@@ -482,6 +482,8 @@ class ccwfn:
         state = diis.init()
         rms = float("inf")
         bf16_active = use_bf16
+        best_rms = float("inf")
+        stalled = 0
         for niter in range(1, maxiter + 1):
           with timers.time("ccwfn.iteration"):
             ecc_last = ecc
@@ -524,6 +526,31 @@ class ccwfn:
             ediff = ecc - ecc_last
             print("CC Iter %3d: CC Ecorr = %.15f  dE = % .5E  rms = % .5E"
                   % (niter, ecc, ediff, rms))
+            # working-precision noise floor: when the residual rms stops
+            # improving for `stall_limit` straight iterations (common for
+            # SP runs on big systems, where the unnormalized rms over
+            # ~1e8 elements bottoms out near 1e-3 even though the energy
+            # is converged to its float32 limit), stop instead of
+            # DIIS-wobbling to maxiter.  self.converged reports whether
+            # the ENERGY change met e_conv at the floor.
+            if rms < 0.98 * best_rms:
+                best_rms = rms
+                stalled = 0
+            elif not bf16_active:
+                stalled += 1
+                if stall_limit and stalled >= stall_limit and rms >= r_conv:
+                    self.t1, self.t2 = t1n, t2n
+                    self.ecc = ecc
+                    self.converged = abs(ediff) < e_conv
+                    print("\nCCWFN hit the working-precision noise floor "
+                          "(rms %.3E > r_conv %.1E, no improvement in %d "
+                          "iterations); stopping with dE = %.3E.\n"
+                          % (rms, r_conv, stall_limit, ediff))
+                    print("E(REF)  = %20.15f" % self.eref)
+                    print("E(%s) = %20.15f" % (self.model, ecc))
+                    print("E(TOT)  = %20.15f" % (ecc + self.eref))
+                    timers.report()
+                    return ecc
             if abs(ediff) < e_conv and rms < r_conv:
                 # converged amplitudes = pre-extrapolation update
                 self.t1, self.t2 = t1n, t2n

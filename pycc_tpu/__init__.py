@@ -24,8 +24,9 @@ from .ccdensity import ccdensity
 from .cceom import cceom
 from .ccresponse import ccresponse, pertbar
 from .rt.rtcc import rtcc
+from .utils.log import set_verbosity
 
 __all__ = ["scf", "Hamiltonian", "ccwfn", "cchbar", "cclambda", "ccdensity",
-           "cceom", "ccresponse", "pertbar", "rtcc"]
+           "cceom", "ccresponse", "pertbar", "rtcc", "set_verbosity"]
 
 __version__ = "0.1.0"

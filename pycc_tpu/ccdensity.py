@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from .cclambda import build_Goo, build_Gvv
 from .models.ccsd import build_tau, slices
 from .ops.contract import contract
+from .utils.log import logger as log
 
 
 def build_Doo(model, t1, t2, l1, l2, extra=None):
@@ -269,7 +270,7 @@ class ccdensity:
             self.Dvvvo = build_Dvvvo(model, t1, t2, l1, l2, Gvvvo)
             self.Dovov = build_Dovov(model, t1, t2, l1, l2)
             self.Doovv = build_Doovv(model, t1, t2, l1, l2, Goovv)
-        print("\nCCDENSITY constructed in %.3f seconds.\n" % (time.time() - t0))
+        log.info("\nCCDENSITY constructed in %.3f seconds.\n" % (time.time() - t0))
 
     def compute_energy(self):
         cc = self.ccwfn
@@ -294,9 +295,9 @@ class ccdensity:
         self.eone = float(jnp.real(eone))
         self.etwo = float(jnp.real(etwo))
         self.ecc = self.eone + self.etwo
-        print("One-electron CC energy = %20.15f" % self.eone)
-        print("Two-electron CC energy = %20.15f" % self.etwo)
-        print("CC Correlation Energy  = %20.15f" % self.ecc)
+        log.info("One-electron CC energy = %20.15f" % self.eone)
+        log.info("Two-electron CC energy = %20.15f" % self.etwo)
+        log.info("CC Correlation Energy  = %20.15f" % self.ecc)
         return self.ecc
 
     def compute_onepdm(self, t1, t2, l1, l2, real_time=False):

@@ -18,6 +18,7 @@ import numpy as np
 from .models.ccsd import slices, vvvv_contract, vvvv_contract_efab
 from .ops.contract import contract
 from .utils.timing import timers
+from .utils.log import logger as log
 
 HARTREE2EV = 27.211386245988
 
@@ -415,10 +416,10 @@ class cceom:
 
         self.converged = converged
         if converged:
-            print("\nCCEOM converged in %.3f seconds." % (time.time() - t_init))
-            print("\nState     E_h           eV")
+            log.info("\nCCEOM converged in %.3f seconds." % (time.time() - t_init))
+            log.info("\nState     E_h           eV")
             for state in range(N):
-                print("  %3d  %12.10f  %12.10f"
+                log.info("  %3d  %12.10f  %12.10f"
                       % (state, E[state], E[state] * HARTREE2EV))
         else:
             warnings.warn("CCEOM did NOT converge in %d iterations "

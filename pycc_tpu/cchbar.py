@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from .models.ccsd import build_tau, slices
 from .ops.contract import contract
+from .utils.log import logger as log
 
 
 @jax.tree_util.register_pytree_node_class
@@ -194,7 +195,7 @@ class cchbar:
                 setattr(self, name, getattr(hbar, name))
             self._timer.__exit__(None, None, None)
             del self._timer
-            print("\nHBAR (DF) constructed in %.3f seconds.\n"
+            log.info("\nHBAR (DF) constructed in %.3f seconds.\n"
                   % (time.time() - t0))
             return
         if getattr(ccwfn, "storage", "full") == "blocked":
@@ -218,4 +219,4 @@ class cchbar:
             setattr(self, name, getattr(hbar, name))
         self._timer.__exit__(None, None, None)
         del self._timer
-        print("\nHBAR constructed in %.3f seconds.\n" % (time.time() - t0))
+        log.info("\nHBAR constructed in %.3f seconds.\n" % (time.time() - t0))

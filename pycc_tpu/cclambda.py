@@ -18,6 +18,7 @@ from .models.ccsd import build_tau, slices, vvvv_contract_efab
 from .ops.contract import contract
 from .ops.diis import DIIS
 from .utils.timing import timers
+from .utils.log import logger as log
 
 
 def build_Goo(t2, l2):
@@ -229,7 +230,7 @@ class cclambda:
                 0.5 * jnp.sum(df_eri_oovv(hbar_df.df) * l2)))
         else:
             lecc = float(jnp.real(pseudoenergy(bE0, l2, no)))
-        print("\nLCC Iter %3d: LCC PseudoE = %.15f  dE = % .5E" % (0, lecc, -lecc))
+        log.info("\nLCC Iter %3d: LCC PseudoE = %.15f  dE = % .5E" % (0, lecc, -lecc))
         state = diis.init()
         best_rms = float("inf")
         stalled = 0
@@ -256,7 +257,7 @@ class cclambda:
             lecc = float(jnp.real(lecc_j))
             rms = float(rms)
             ediff = lecc - lecc_last
-            print("LCC Iter %3d: LCC PseudoE = %.15f  dE = % .5E  rms = % .5E"
+            log.info("LCC Iter %3d: LCC PseudoE = %.15f  dE = % .5E  rms = % .5E"
                   % (niter, lecc, ediff, rms))
             # working-precision noise floor (see ccwfn.solve_cc): stop
             # when the rms has not improved for stall_limit iterations
@@ -268,7 +269,7 @@ class cclambda:
                 if stall_limit and stalled >= stall_limit and rms >= r_conv:
                     self.l1, self.l2 = l1n, l2n
                     self.converged = abs(ediff) < e_conv
-                    print("\nLambda-CC hit the working-precision noise "
+                    log.info("\nLambda-CC hit the working-precision noise "
                           "floor (rms %.3E > r_conv %.1E, no improvement "
                           "in %d iterations); stopping with dE = %.3E.\n"
                           % (rms, r_conv, stall_limit, ediff))
@@ -276,7 +277,7 @@ class cclambda:
             if abs(ediff) < e_conv and rms < r_conv:
                 self.l1, self.l2 = l1n, l2n
                 self.converged = True
-                print("\nLambda-CC has converged in %.3f seconds.\n"
+                log.info("\nLambda-CC has converged in %.3f seconds.\n"
                       % (time.time() - tstart))
                 return lecc
         self.l1, self.l2 = l1, l2

@@ -19,6 +19,7 @@ from .models.ccsd import slices, vvvv_contract, vvvv_contract_efab
 from .ops.contract import contract
 from .ops.diis import DIIS
 from .utils.timing import timers
+from .utils.log import logger as log
 
 CART = ["X", "Y", "Z"]
 
@@ -368,7 +369,7 @@ class ccresponse:
             pseudo = complex(self.pseudoresponse(A, X1n, X2n))
             rms = float(rms)
             if abs(pseudo - pseudo_last) < e_conv and rms < r_conv:
-                print("\nPerturbed wave function converged in %.3f seconds.\n"
+                log.info("\nPerturbed wave function converged in %.3f seconds.\n"
                       % (time.time() - t0))
                 self.X1, self.X2 = X1n, X2n
                 self.converged = True
@@ -428,7 +429,7 @@ class ccresponse:
             pseudo = complex(self.pseudoresponse(A, Y1n, Y2n))
             rms = float(rms)
             if abs(pseudo - pseudo_last) < e_conv and rms < r_conv:
-                print("\nPerturbed wave function converged in %.3f seconds.\n"
+                log.info("\nPerturbed wave function converged in %.3f seconds.\n"
                       % (time.time() - t0))
                 self.Y1, self.Y2 = Y1n, Y2n
                 self.converged = True

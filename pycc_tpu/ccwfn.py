@@ -23,6 +23,7 @@ from .hamiltonian import Hamiltonian, build_hamiltonian
 from .models import ccsd as eqs
 from .ops.diis import DIIS
 from .utils.timing import timers
+from .utils.log import logger as log
 
 _VALID_MODELS = ["CCD", "CC2", "CCSD", "CCSD(T)", "CC3"]
 
@@ -220,11 +221,11 @@ class ccwfn:
                        "CCSD(T)": dfq.residuals_ccsd_df}
             self._df_residual_fn = partial(_df_map[self.model],
                                            nblocks=self._df_nblocks)
-            print("DF/Cholesky factors: naux = %d (tol %.1e%s)"
+            log.info("DF/Cholesky factors: naux = %d (tol %.1e%s)"
                   % (self.naux, self.df_tol,
                      ", integral-direct" if self.df_direct else ""))
 
-        print("CCWFN object initialized in %.3f seconds." % (time.time() - time_init))
+        log.info("CCWFN object initialized in %.3f seconds." % (time.time() - time_init))
 
     def _setup_df_factors(self, scf_wfn, dtype):
         """Integral-direct DF setup: AO Cholesky factors (reused from
@@ -318,7 +319,7 @@ class ccwfn:
                    "CCSD(T)": dfq.residuals_ccsd_df}
         self._df_residual_fn = partial(_df_map[self.model],
                                        nblocks=df_nblocks)
-        print("DF/Cholesky factors: naux = %d (precomputed, %s)"
+        log.info("DF/Cholesky factors: naux = %d (precomputed, %s)"
               % (self.naux, precision))
         return self
 
@@ -478,7 +479,7 @@ class ccwfn:
 
         t1, t2 = self.t1, self.t2
         ecc = float(jnp.real(self.cc_energy(t1, t2)))
-        print("CC Iter %3d: CC Ecorr = %.15f  dE = % .5E  MP2" % (0, ecc, -ecc))
+        log.info("CC Iter %3d: CC Ecorr = %.15f  dE = % .5E  MP2" % (0, ecc, -ecc))
         state = diis.init()
         rms = float("inf")
         bf16_active = use_bf16
@@ -501,7 +502,7 @@ class ccwfn:
                 # and can diverge — roll back one step and hand over to
                 # full precision permanently
                 if not np.isfinite(rms) or rms >= prev[0]:
-                    print("CC Iter %3d: bf16 stage hit its noise floor "
+                    log.info("CC Iter %3d: bf16 stage hit its noise floor "
                           "(rms % .3E); switching to full precision"
                           % (niter, rms))
                     bf16_active = False
@@ -524,7 +525,7 @@ class ccwfn:
             ecc = float(jnp.real(ecc_j))
             rms = float(rms)
             ediff = ecc - ecc_last
-            print("CC Iter %3d: CC Ecorr = %.15f  dE = % .5E  rms = % .5E"
+            log.info("CC Iter %3d: CC Ecorr = %.15f  dE = % .5E  rms = % .5E"
                   % (niter, ecc, ediff, rms))
             # working-precision noise floor: when the residual rms stops
             # improving for `stall_limit` straight iterations (common for
@@ -542,34 +543,34 @@ class ccwfn:
                     self.t1, self.t2 = t1n, t2n
                     self.ecc = ecc
                     self.converged = abs(ediff) < e_conv
-                    print("\nCCWFN hit the working-precision noise floor "
+                    log.info("\nCCWFN hit the working-precision noise floor "
                           "(rms %.3E > r_conv %.1E, no improvement in %d "
                           "iterations); stopping with dE = %.3E.\n"
                           % (rms, r_conv, stall_limit, ediff))
-                    print("E(REF)  = %20.15f" % self.eref)
-                    print("E(%s) = %20.15f" % (self.model, ecc))
-                    print("E(TOT)  = %20.15f" % (ecc + self.eref))
+                    log.info("E(REF)  = %20.15f" % self.eref)
+                    log.info("E(%s) = %20.15f" % (self.model, ecc))
+                    log.info("E(TOT)  = %20.15f" % (ecc + self.eref))
                     timers.report()
                     return ecc
             if abs(ediff) < e_conv and rms < r_conv:
                 # converged amplitudes = pre-extrapolation update
                 self.t1, self.t2 = t1n, t2n
                 self.converged = True
-                print("\nCCWFN converged in %.3f seconds.\n" % (time.time() - tstart))
-                print("E(REF)  = %20.15f" % self.eref)
+                log.info("\nCCWFN converged in %.3f seconds.\n" % (time.time() - tstart))
+                log.info("E(REF)  = %20.15f" % self.eref)
                 if self.model == "CCSD(T)":
                     from .triples import t_tjl
-                    print("E(CCSD) = %20.15f" % ecc)
+                    log.info("E(CCSD) = %20.15f" % ecc)
                     if self.make_t3_density:
                         et = float(self.t3_density())
                     else:
                         et = float(t_tjl(self))
-                    print("E(T)    = %20.15f" % et)
+                    log.info("E(T)    = %20.15f" % et)
                     ecc = ecc + et
                 else:
-                    print("E(%s) = %20.15f" % (self.model, ecc))
+                    log.info("E(%s) = %20.15f" % (self.model, ecc))
                 self.ecc = ecc
-                print("E(TOT)  = %20.15f" % (ecc + self.eref))
+                log.info("E(TOT)  = %20.15f" % (ecc + self.eref))
                 timers.report()
                 return ecc
         self.t1, self.t2 = t1, t2
@@ -684,11 +685,11 @@ class ccwfn:
                                                     ERIa, La)
         self.t1, self.t2 = t1, t2
         self.ecc = float(ecc)
-        print("CCWFN (fused) converged=%s in %d iterations: E(%s) = %.15f"
+        log.info("CCWFN (fused) converged=%s in %d iterations: E(%s) = %.15f"
               % (bool(done), int(niter), self.model, self.ecc))
         if self.model == "CCSD(T)":
             from .triples import t_tjl
             et = float(t_tjl(self))
             self.ecc += et
-            print("E(T) = %.15f  E(total corr) = %.15f" % (et, self.ecc))
+            log.info("E(T) = %.15f  E(total corr) = %.15f" % (et, self.ecc))
         return self.ecc

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from .models import ccsd as eqs
 from .models.ccsd import slices
+from .utils.log import logger as log
 
 
 class lccwfn:
@@ -172,7 +173,7 @@ class lccwfn:
         t2r = self.t2.reshape(no, no, D2, D2)
         t1r = self.t1
         elcc = float(self._energy_local(t1r, t2r))
-        print("CC Iter %3d: lCC Ecorr = %.15f dE = % .5E MP2" % (0, elcc, -elcc))
+        log.info("CC Iter %3d: lCC Ecorr = %.15f dE = % .5E MP2" % (0, elcc, -elcc))
         state = self._diis_local.init()
         for niter in range(1, maxiter + 1):
             elcc_last = elcc
@@ -182,16 +183,16 @@ class lccwfn:
             elcc = float(jnp.real(ecc_j))
             rms = float(rms)
             ediff = elcc - elcc_last
-            print("lCC Iter %3d: lCC Ecorr = %.15f  dE = % .5E  rms = % .5E"
+            log.info("lCC Iter %3d: lCC Ecorr = %.15f  dE = % .5E  rms = % .5E"
                   % (niter, elcc, ediff, rms))
             if abs(ediff) < e_conv and rms < r_conv:
                 self.t1 = t1r
                 self.t2 = t2r.reshape(no * no, D2, D2)
-                print("\nlCC has converged in %.3f seconds.\n"
+                log.info("\nlCC has converged in %.3f seconds.\n"
                       % (time.time() - tstart))
-                print("E(REF)  = %20.15f" % self.eref)
-                print("E(%s) = %20.15f" % (self.local + "-" + self.model, elcc))
-                print("E(TOT)  = %20.15f" % (elcc + self.eref))
+                log.info("E(REF)  = %20.15f" % self.eref)
+                log.info("E(%s) = %20.15f" % (self.local + "-" + self.model, elcc))
+                log.info("E(TOT)  = %20.15f" % (elcc + self.eref))
                 self.elcc = elcc
                 return elcc
         self.t1 = t1r
@@ -204,7 +205,7 @@ class lccwfn:
         tstart = time.time()
         H = self.H
         elcc = float(self._energy(self.H.F, self.H.L, self.t1, self.t2))
-        print("CC Iter %3d: lCC Ecorr = %.15f dE = % .5E MP2" % (0, elcc, -elcc))
+        log.info("CC Iter %3d: lCC Ecorr = %.15f dE = % .5E MP2" % (0, elcc, -elcc))
         state = self._diis.init()
         for niter in range(1, maxiter + 1):
             elcc_last = elcc
@@ -215,14 +216,14 @@ class lccwfn:
             elcc = float(jnp.real(ecc_j))
             rms = float(rms)
             ediff = elcc - elcc_last
-            print("lCC Iter %3d: lCC Ecorr = %.15f  dE = % .5E  rms = % .5E"
+            log.info("lCC Iter %3d: lCC Ecorr = %.15f  dE = % .5E  rms = % .5E"
                   % (niter, elcc, ediff, rms))
             if abs(ediff) < e_conv and rms < r_conv:
-                print("\nlCC has converged in %.3f seconds.\n"
+                log.info("\nlCC has converged in %.3f seconds.\n"
                       % (time.time() - tstart))
-                print("E(REF)  = %20.15f" % self.eref)
-                print("E(%s) = %20.15f" % (self.local + "-" + self.model, elcc))
-                print("E(TOT)  = %20.15f" % (elcc + self.eref))
+                log.info("E(REF)  = %20.15f" % self.eref)
+                log.info("E(%s) = %20.15f" % (self.local + "-" + self.model, elcc))
+                log.info("E(TOT)  = %20.15f" % (elcc + self.eref))
                 self.elcc = elcc
                 return elcc
         self.elcc = elcc

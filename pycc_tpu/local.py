@@ -14,6 +14,7 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+from .utils.log import logger as log
 
 _EPS_PAD = 1.0e8
 
@@ -129,7 +130,7 @@ class Local:
             ev, evec = np.linalg.eigh(Floc)
             eps.append(ev)
             L.append(evec)
-        print("Average %s dimension: %2.3f" % (self.local, np.average(dim)))
+        log.info("Average %s dimension: %2.3f" % (self.local, np.average(dim)))
         return Q, L, eps, dim
 
     def _match_phases(self):
@@ -250,7 +251,7 @@ class Local:
             W = Xt @ evecs
             eps.append(evals)
             L.append(W)
-        print("Average PAO dimension: %.2f" % np.average(dim))
+        log.info("Average PAO dimension: %.2f" % np.average(dim))
         self.Q, self.L, self.eps, self.dim = Q, L, eps, dim
 
     # ------------------------------------------------------------------

@@ -13,6 +13,7 @@ when `f` is a jitted RT step the whole integrator body stays on device.
 """
 
 import numpy as np
+from ..utils.log import logger as log
 
 
 class _ExplicitRK:
@@ -132,7 +133,7 @@ class _EmbeddedRK:
                 return y1, h, h_new
             h_new = 0.84 * h * (self.yconv / err) ** (1.0 / self.order)
             h = h_new
-        print("y did not converge within %d iterations \n" % self.maxiter)
+        log.info("y did not converge within %d iterations \n" % self.maxiter)
         return y1, h, h_new
 
 
@@ -230,7 +231,7 @@ class _GaussLegendre:
                 F = [f(t + self.C[m] * h, y + Z[m]) for m in range(s)]
                 break
         else:
-            print("Z has not converged in %d iterations." % self.maxiter)
+            log.info("Z has not converged in %d iterations." % self.maxiter)
         out = y
         for m in range(s):
             out = out + h * self.B[m] * F[m]

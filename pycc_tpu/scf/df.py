@@ -24,6 +24,7 @@ native batch loop.
 """
 
 import numpy as np
+from ..utils.log import logger as log
 
 
 def _shell_maps(basis):
@@ -151,10 +152,10 @@ def cholesky_factor_ao(basis, tol=1e-8, max_naux=None, span=1e-2,
             cols -= np.outer(row, row[qidx])
             dq = d.reshape(-1)[qidx]
         if verbose:
-            print("chol: batch %3d pair (%d,%d)  naux=%4d  dmax=%.3e"
+            log.debug("chol: batch %3d pair (%d,%d)  naux=%4d  dmax=%.3e"
                   % (nbatch, pi, pj, k, float(d.max())))
     if verbose:
-        print("chol: naux=%d (%d batches, tol %.1e)" % (k, nbatch, tol))
+        log.info("chol: naux=%d (%d batches, tol %.1e)" % (k, nbatch, tol))
     return rows[:k].reshape(k, nbf, nbf)
 
 

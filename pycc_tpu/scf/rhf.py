@@ -12,6 +12,7 @@ import numpy as np
 from . import integrals
 from .basis import BasisSet
 from .mol import Molecule
+from ..utils.log import logger as log
 
 # Frozen-core orbital counts per element (noble-gas core), Psi4 convention
 _CORE = {"H": 0, "He": 0, "Li": 1, "Be": 1, "B": 1, "C": 1, "N": 1, "O": 1,
@@ -99,7 +100,7 @@ def run_rhf(geometry, basis_name, freeze_core=False, e_conv=1e-12,
         from .df import cholesky_factor_ao, fock_from_factors
         B_ao = cholesky_factor_ao(basis, tol=df_tol, verbose=verbose)
         if verbose:
-            print("SCF DF factors: naux = %d (tol %.1e)"
+            log.info("SCF DF factors: naux = %d (tol %.1e)"
                   % (B_ao.shape[0], df_tol))
 
         def build_fock(D, Cocc=None):
@@ -141,7 +142,7 @@ def run_rhf(geometry, basis_name, freeze_core=False, e_conv=1e-12,
             diis_e.pop(0)
         drms = np.sqrt(np.mean(err * err))
         if verbose:
-            print("SCF iter %3d: E = %.14f dE = %.3e drms = %.3e"
+            log.info("SCF iter %3d: E = %.14f dE = %.3e drms = %.3e"
                   % (it, E, E - E_old, drms))
         if abs(E - E_old) < e_conv and drms < d_conv:
             break

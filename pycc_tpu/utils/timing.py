@@ -9,6 +9,7 @@ on-device and inspected with TensorBoard/xprof.
 import contextlib
 import time
 from collections import defaultdict
+from .log import logger as log
 
 
 class Timers:
@@ -34,7 +35,7 @@ class Timers:
             lines.append("%-30s %10.3f %8d"
                          % (name, self.total[name], self.count[name]))
         out = "\n".join(lines)
-        print(out)
+        log.info(out)
         return out
 
 

@@ -189,6 +189,9 @@ class cchbar:
             hbar = jax.jit(build_hbar_df, static_argnums=(4,))(
                 jnp.asarray(ccwfn.H.F), ccwfn.dfb, ccwfn.t1, ccwfn.t2,
                 ccwfn.no)
+            if getattr(ccwfn, "mesh", None) is not None:
+                from .parallel import shard_hbar
+                hbar = shard_hbar(hbar, ccwfn.mesh)
             self.hbar = hbar
             for name in ("Hov", "Hvv", "Hoo", "Hoooo", "Hooov", "Hovvo",
                          "Hovov", "Hovoo"):
@@ -213,6 +216,9 @@ class cchbar:
             hbar = jax.jit(build_hbar, static_argnums=(0, 6))(
                 ccwfn.model, ccwfn.H.F, ccwfn.H.ERI, ccwfn.H.L,
                 ccwfn.t1, ccwfn.t2, ccwfn.no)
+        if getattr(ccwfn, "mesh", None) is not None:
+            from .parallel import shard_hbar
+            hbar = shard_hbar(hbar, ccwfn.mesh)
         self.hbar = hbar
         for name in ("Hov", "Hvv", "Hoo", "Hoooo", "Hvvvv", "Hvovv",
                      "Hooov", "Hovvo", "Hovov", "Hvvvo", "Hovoo"):

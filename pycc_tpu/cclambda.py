@@ -124,6 +124,9 @@ class cclambda:
         self.hbar = hbar
         self.l1 = 2.0 * ccwfn.t1
         self.l2 = 2.0 * (2.0 * ccwfn.t2 - ccwfn.t2.swapaxes(2, 3))
+        if getattr(ccwfn, "mesh", None) is not None:
+            from .parallel import shard_amps
+            self.l1, self.l2 = shard_amps(self.l1, self.l2, ccwfn.mesh)
 
     def residuals(self, F, t1, t2, l1, l2):
         """Standalone residuals rebuilding HBAR from F (for RT-CC)."""

@@ -82,6 +82,10 @@ class ccwfn:
         else:
             self.df_direct = False
         self.real_time = kwargs.pop("real_time", False)
+        # mesh: a jax.sharding.Mesh with ('va','vb') axes (parallel.make_mesh)
+        # — shards the storage tensors and amplitudes so every jitted solver
+        # step runs SPMD with XLA-inserted ICI collectives (SURVEY §7.11)
+        self.mesh = kwargs.pop("mesh", None)
 
         valid_local = [None, "PNO", "PAO", "CPNO++", "PNO++"]
         local = kwargs.pop("local", None)
@@ -225,7 +229,35 @@ class ccwfn:
                   % (self.naux, self.df_tol,
                      ", integral-direct" if self.df_direct else ""))
 
+        if self.mesh is not None:
+            if self.local is not None:
+                raise Exception("mesh sharding supports canonical models "
+                                "only (local pair-space sharding is a "
+                                "separate configuration).")
+            self._apply_mesh(self.mesh)
+
         log.info("CCWFN object initialized in %.3f seconds." % (time.time() - time_init))
+
+    def _apply_mesh(self, mesh):
+        """Distribute the solver state over the device mesh: amplitudes
+        and denominators on the t2 sharding, the storage representation
+        (full tensors / Dirac blocks / DF factors) on its own layout
+        (parallel/mesh.py).  Every subsequent jitted step — solve_cc,
+        solve_cc_fused, HBAR, Lambda, EOM sigmas — then compiles SPMD."""
+        from jax.sharding import PartitionSpec as P
+
+        from .parallel import shard_amps, shard_blocks, shard_df
+        from .parallel.mesh import _put, shard_hamiltonian
+
+        self.t1, self.t2 = shard_amps(self.t1, self.t2, mesh)
+        self.Dia = _put(self.Dia, mesh, P())
+        self.Dijab = _put(self.Dijab, mesh, P(None, None, "va", "vb"))
+        if self.storage == "blocked":
+            self.blocks = shard_blocks(self.blocks, mesh)
+        elif self.storage == "df":
+            self.dfb = shard_df(self.dfb, mesh)
+        elif self.H.ERI is not None:
+            self.H = shard_hamiltonian(self.H, mesh)
 
     def _setup_df_factors(self, scf_wfn, dtype):
         """Integral-direct DF setup: AO Cholesky factors (reused from
@@ -254,7 +286,7 @@ class ccwfn:
 
     @classmethod
     def from_df_factors(cls, B, F, no, escf=0.0, model="CCSD",
-                        precision="DP", df_nblocks=None):
+                        precision="DP", df_nblocks=None, mesh=None):
         """Construct a storage='df' solver directly from precomputed
         MO-basis Cholesky/DF factors B (naux, nact, nact) and the active-
         space MO Fock matrix (frozen core already dropped) — the device
@@ -319,6 +351,9 @@ class ccwfn:
                    "CCSD(T)": dfq.residuals_ccsd_df}
         self._df_residual_fn = partial(_df_map[self.model],
                                        nblocks=df_nblocks)
+        self.mesh = mesh
+        if mesh is not None:
+            self._apply_mesh(mesh)
         log.info("DF/Cholesky factors: naux = %d (precomputed, %s)"
               % (self.naux, precision))
         return self

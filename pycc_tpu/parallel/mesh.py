@@ -37,7 +37,15 @@ def make_mesh(n_devices=None, devices=None, shape=None):
 
 
 def _put(x, mesh, spec):
-    return jax.device_put(x, NamedSharding(mesh, spec))
+    """device_put with the spec, dropping any mesh axis that does not
+    divide its array dimension (device_put refuses uneven shards; tile-
+    aligned production sizes always divide — odd test sizes degrade to
+    partial sharding on the divisible axes only)."""
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    parts = list(spec) + [None] * (x.ndim - len(spec))
+    fixed = tuple(p if (p is None or x.shape[i] % sizes[p] == 0) else None
+                  for i, p in enumerate(parts[:x.ndim]))
+    return jax.device_put(x, NamedSharding(mesh, P(*fixed)))
 
 
 def shard_hamiltonian(H, mesh):
@@ -45,14 +53,13 @@ def shard_hamiltonian(H, mesh):
     last two axes, everything else replicated."""
     spec4 = P(None, None, "va", "vb")
     rep = P()
+    tup = lambda ms: (None if ms is None
+                      else tuple(_put(m, mesh, rep) for m in ms))
     return Hamiltonian(
         F=_put(H.F, mesh, rep),
         ERI=_put(H.ERI, mesh, spec4),
         L=_put(H.L, mesh, spec4),
-        mu=tuple(_put(m, mesh, rep) for m in H.mu),
-        m=tuple(_put(m, mesh, rep) for m in H.m),
-        p=tuple(_put(m, mesh, rep) for m in H.p),
-        Q=tuple(_put(m, mesh, rep) for m in H.Q),
+        mu=tup(H.mu), m=tup(H.m), p=tup(H.p), Q=tup(H.Q),
         no=H.no)
 
 
@@ -75,6 +82,35 @@ def shard_df(dfb, mesh):
         Bov=_put(dfb.Bov, mesh, P(None, None, "vb")),
         Bvv=_put(dfb.Bvv, mesh, P(None, "va", "vb")),
     )
+
+
+def shard_hbar(hbar, mesh):
+    """Distribute a built HBAR over the mesh.
+
+    Dense HBar: every >=2-dim block sharded over its trailing two axes
+    (the layout the dryrun's sharded sigma validated).  DFHBar: factors on
+    the DF layout, the dressed vv factor like Bvv, explicit 4-index blocks
+    on their trailing two axes."""
+    from ..models.dfhbar import DFHBar
+
+    if isinstance(hbar, DFHBar):
+        return DFHBar(
+            Hov=_put(hbar.Hov, mesh, P()),
+            Hvv=_put(hbar.Hvv, mesh, P()),
+            Hoo=_put(hbar.Hoo, mesh, P()),
+            Hoooo=_put(hbar.Hoooo, mesh, P()),
+            Hooov=_put(hbar.Hooov, mesh, P()),
+            Hovvo=_put(hbar.Hovvo, mesh, P(None, None, "va", None)),
+            Hovov=_put(hbar.Hovov, mesh, P(None, None, None, "vb")),
+            Hovoo=_put(hbar.Hovoo, mesh, P()),
+            df=shard_df(hbar.df, mesh),
+            Bd_ae=_put(hbar.Bd_ae, mesh, P(None, "va", "vb")),
+            Bd_mi=_put(hbar.Bd_mi, mesh, P()))
+    return jax.tree_util.tree_map(
+        lambda x: _put(x, mesh,
+                       P(*([None] * (x.ndim - 2) + ["va", "vb"]))
+                       if x.ndim >= 2 else P()),
+        hbar)
 
 
 def shard_blocks(blocks, mesh):

@@ -110,3 +110,64 @@ def test_triples_pallas_kernel_interpret():
                                        t1, t2, no, cblk=cblk,
                                        interpret=True))
         assert abs(e_ref - e_pal) < 1e-9, (cblk, e_ref, e_pal)
+
+
+def test_mesh_integrated_solve_matches_single_device():
+    """ccwfn(..., mesh=...): the FULL iteration loop (solve_cc with DIIS),
+    HBAR, Lambda, and an EOM Davidson solve run SPMD over an 8-device mesh
+    and agree with the single-device path (SURVEY §7.11 integration; the
+    reference's only multi-device mechanism is a host<->GPU offload,
+    /root/reference/pycc/ccwfn.py:205-229)."""
+    import contextlib
+    import io
+
+    from .common import scf
+    from pycc_tpu.parallel import make_mesh
+
+    wfn = scf("H2O", "cc-pvdz", freeze_core=True)
+    with contextlib.redirect_stdout(io.StringIO()):
+        cc0 = pycc_tpu.ccwfn(wfn)
+        e0 = cc0.solve_cc(e_conv=1e-11, r_conv=1e-11)
+
+        mesh = make_mesh(n_devices=8)
+        cc1 = pycc_tpu.ccwfn(wfn, mesh=mesh)
+        e1 = cc1.solve_cc(e_conv=1e-11, r_conv=1e-11)
+    assert abs(float(e0) - float(e1)) < 1e-11
+    assert abs(float(e1) - -0.222029814166783) < 1e-10
+
+    with contextlib.redirect_stdout(io.StringIO()):
+        hb0 = pycc_tpu.cchbar(cc0)
+        lam0 = pycc_tpu.cclambda(cc0, hb0)
+        l0 = lam0.solve_lambda(e_conv=1e-10, r_conv=1e-10)
+        hb1 = pycc_tpu.cchbar(cc1)
+        lam1 = pycc_tpu.cclambda(cc1, hb1)
+        l1 = lam1.solve_lambda(e_conv=1e-10, r_conv=1e-10)
+    assert abs(float(l0) - float(l1)) < 1e-10
+
+    # sharded EOM Davidson: same roots from the sharded HBAR
+    with contextlib.redirect_stdout(io.StringIO()):
+        eom1 = pycc_tpu.cceom(hb1)
+        E1, _ = eom1.solve_eom(N=2, e_conv=1e-8, r_conv=1e-6)
+        eom0 = pycc_tpu.cceom(hb0)
+        E0, _ = eom0.solve_eom(N=2, e_conv=1e-8, r_conv=1e-6)
+    assert eom1.converged
+    assert np.allclose(E1, E0, atol=1e-7)
+
+
+def test_mesh_df_solve_matches():
+    """storage='df' + mesh: the sharded-factor iteration equals the
+    single-device DF solve bit-for-bit targets (1e-12)."""
+    import contextlib
+    import io
+
+    from .common import scf
+    from pycc_tpu.parallel import make_mesh
+
+    wfn = scf("H2O", "sto-3g", freeze_core=True)
+    with contextlib.redirect_stdout(io.StringIO()):
+        cc0 = pycc_tpu.ccwfn(wfn, storage="df", df_tol=1e-11)
+        e0 = cc0.solve_cc(e_conv=1e-11, r_conv=1e-11)
+        cc1 = pycc_tpu.ccwfn(wfn, storage="df", df_tol=1e-11,
+                             mesh=make_mesh(n_devices=8))
+        e1 = cc1.solve_cc(e_conv=1e-11, r_conv=1e-11)
+    assert abs(float(e0) - float(e1)) < 1e-12

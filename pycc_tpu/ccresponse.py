@@ -64,21 +64,36 @@ def _oovv(x, no):
     return _OovvOnly(jnp.asarray(np.asarray(x)[o, o, v, v]))
 
 
-def r_X(hb, L, t2, A, omega, X1, X2, no):
+def build_response_aux(hb):
+    """Pre-laid spin-adapted combinations of the HBAR blocks, built ONCE
+    per response object and passed into the jitted steps as arguments.
+
+    The r_X/r_Y/in_Y equations repeatedly need 2*H - H^swap of the same
+    three blocks; materializing those ov^3 combinations INSIDE the jitted
+    step replicates the layout copy per iteration — the same pattern that
+    compile-OOM'd the batched EOM sigma at (32,128) before its pre-laid
+    aux forms (cceom.py).  Hoisting them also consolidates the term pairs
+    the dense equations spell out one swap at a time."""
+    return dict(
+        Hvovv_s=2.0 * hb.Hvovv - hb.Hvovv.swapaxes(2, 3),
+        Hooov_s=2.0 * hb.Hooov - hb.Hooov.swapaxes(0, 1),
+        Hovvo_s=2.0 * hb.Hovvo - hb.Hovov.swapaxes(2, 3),
+    )
+
+
+def r_X(hb, L, t2, A, omega, X1, X2, no, aux):
     o, v = slices(no)
     r1 = A["Avo"].T - omega * X1
     r1 += contract("ie,ae->ia", X1, hb.Hvv)
     r1 -= contract("ma,mi->ia", X1, hb.Hoo)
-    r1 += 2.0 * contract("me,maei->ia", X1, hb.Hovvo)
-    r1 -= contract("me,maie->ia", X1, hb.Hovov)
+    r1 += contract("me,maei->ia", X1, aux["Hovvo_s"])
     r1 += contract("me,miea->ia", hb.Hov, 2.0 * X2 - X2.swapaxes(0, 1))
-    r1 += contract("imef,amef->ia", X2, 2.0 * hb.Hvovv - hb.Hvovv.swapaxes(2, 3))
-    r1 -= contract("mnae,mnie->ia", X2, 2.0 * hb.Hooov - hb.Hooov.swapaxes(0, 1))
+    r1 += contract("imef,amef->ia", X2, aux["Hvovv_s"])
+    r1 -= contract("mnae,mnie->ia", X2, aux["Hooov_s"])
 
-    Zvv = contract("amef,mf->ae", 2.0 * hb.Hvovv - hb.Hvovv.swapaxes(2, 3), X1)
+    Zvv = contract("amef,mf->ae", aux["Hvovv_s"], X1)
     Zvv -= contract("mnef,mnaf->ae", L[o, o, v, v], X2)
-    Zoo = -1.0 * contract("mnie,ne->mi",
-                          2.0 * hb.Hooov - hb.Hooov.swapaxes(0, 1), X1)
+    Zoo = -1.0 * contract("mnie,ne->mi", aux["Hooov_s"], X1)
     Zoo -= contract("mnef,inef->mi", L[o, o, v, v], X2)
 
     r2 = A["Avvoo"] - 0.5 * omega * X2
@@ -98,7 +113,7 @@ def r_X(hb, L, t2, A, omega, X1, X2, no):
     return r1, r2
 
 
-def in_Y1(hb, L, t2, l1, l2, A, X1, X2, no):
+def in_Y1(hb, L, t2, l1, l2, A, X1, X2, no, aux):
     o, v = slices(no)
     r = 2.0 * A["Aov"]
     r -= contract("im,ma->ia", A["Aoo"], l1)
@@ -111,14 +126,10 @@ def in_Y1(hb, L, t2, l1, l2, A, X1, X2, no):
 
     tmp = -1.0 * contract("ma,ie->miae", hb.Hov, l1)
     tmp -= contract("ma,ie->miae", l1, hb.Hov)
-    tmp -= 2.0 * contract("mina,ne->miae", hb.Hooov, l1)
-    tmp += contract("imna,ne->miae", hb.Hooov, l1)
-    tmp -= 2.0 * contract("imne,na->miae", hb.Hooov, l1)
-    tmp += contract("mine,na->miae", hb.Hooov, l1)
-    tmp += 2.0 * contract("fmae,if->miae", hb.Hvovv, l1)
-    tmp -= contract("fmea,if->miae", hb.Hvovv, l1)
-    tmp += 2.0 * contract("fiea,mf->miae", hb.Hvovv, l1)
-    tmp -= contract("fiae,mf->miae", hb.Hvovv, l1)
+    tmp -= contract("mina,ne->miae", aux["Hooov_s"], l1)
+    tmp -= contract("imne,na->miae", aux["Hooov_s"], l1)
+    tmp += contract("fmae,if->miae", aux["Hvovv_s"], l1)
+    tmp += contract("fiea,mf->miae", aux["Hvovv_s"], l1)
     r += contract("miae,me->ia", tmp, X1)
 
     tmp = 2.0 * contract("mnef,nf->me", X2, l1)
@@ -156,12 +167,10 @@ def in_Y1(hb, L, t2, l1, l2, A, X1, X2, no):
     r -= contract("igne,gnae->ia", tmp, hb.Hvovv)
     tmp = contract("mnga,mnef->gaef", l2, X2)
     r -= contract("gief,gaef->ia", hb.Hvovv, tmp)
-    tmp = 2.0 * contract("gmae,mnef->ganf", hb.Hvovv, X2)
-    tmp -= contract("gmea,mnef->ganf", hb.Hvovv, X2)
+    tmp = contract("gmae,mnef->ganf", aux["Hvovv_s"], X2)
     r += contract("nifg,ganf->ia", l2, tmp)
     Gvv_X2l2 = build_Gvv(X2, l2)
-    r -= 2.0 * contract("giea,ge->ia", hb.Hvovv, Gvv_X2l2)
-    r += contract("giae,ge->ia", hb.Hvovv, Gvv_X2l2)
+    r -= contract("giea,ge->ia", aux["Hvovv_s"], Gvv_X2l2)
     tmp = contract("oief,mnef->oimn", l2, X2)
     r += contract("oimn,mnoa->ia", tmp, hb.Hooov)
     tmp = contract("mofa,mnef->oane", l2, X2)
@@ -169,15 +178,13 @@ def in_Y1(hb, L, t2, l1, l2, A, X1, X2, no):
     tmp = contract("onea,mnef->oamf", l2, X2)
     r += contract("miof,oamf->ia", hb.Hooov, tmp)
     Goo_X2l2 = build_Goo(X2, l2)
-    r -= 2.0 * contract("mioa,mo->ia", hb.Hooov, Goo_X2l2)
-    r += contract("imoa,mo->ia", hb.Hooov, Goo_X2l2)
-    tmp = -2.0 * contract("imoe,mnef->ionf", hb.Hooov, X2)
-    tmp += contract("mioe,mnef->ionf", hb.Hooov, X2)
+    r -= contract("mioa,mo->ia", aux["Hooov_s"], Goo_X2l2)
+    tmp = -1.0 * contract("imoe,mnef->ionf", aux["Hooov_s"], X2)
     r += contract("ionf,nofa->ia", tmp, l2)
     return r
 
 
-def in_Y2(hb, L, ERI, t2, l1, l2, A, X1, X2, no):
+def in_Y2(hb, L, ERI, t2, l1, l2, A, X1, X2, no, aux):
     o, v = slices(no)
     r = 2.0 * contract("ia,jb->ijab", l1, A["Aov"])
     r -= contract("ja,ib->ijab", l1, A["Aov"])
@@ -203,11 +210,9 @@ def in_Y2(hb, L, ERI, t2, l1, l2, A, X1, X2, no):
     r -= contract("eibf,fjea->ijab", tmp, hb.Hvovv)
     tmp = contract("me,jmfa->ejfa", X1, l2)
     r -= contract("fibe,ejfa->ijab", hb.Hvovv, tmp)
-    tmp = 2.0 * contract("me,fmae->fa", X1, hb.Hvovv)
-    tmp -= contract("me,fmea->fa", X1, hb.Hvovv)
+    tmp = contract("me,fmae->fa", X1, aux["Hvovv_s"])
     r += contract("ijfb,fa->ijab", l2, tmp)
-    tmp = 2.0 * contract("me,fiea->mfia", X1, hb.Hvovv)
-    tmp -= contract("me,fiae->mfia", X1, hb.Hvovv)
+    tmp = contract("me,fiea->mfia", X1, aux["Hvovv_s"])
     r += contract("mfia,jmbf->ijab", tmp, l2)
     tmp = contract("me,jmna->ejna", X1, hb.Hooov)
     r += contract("ineb,ejna->ijab", l2, tmp)
@@ -215,11 +220,9 @@ def in_Y2(hb, L, ERI, t2, l1, l2, A, X1, X2, no):
     r += contract("nieb,ejna->ijab", l2, tmp)
     tmp = contract("me,nmba->enba", X1, l2)
     r += contract("jine,enba->ijab", hb.Hooov, tmp)
-    tmp = 2.0 * contract("me,mina->eina", X1, hb.Hooov)
-    tmp -= contract("me,imna->eina", X1, hb.Hooov)
+    tmp = contract("me,mina->eina", X1, aux["Hooov_s"])
     r -= contract("eina,njeb->ijab", tmp, l2)
-    tmp = 2.0 * contract("me,imne->in", X1, hb.Hooov)
-    tmp -= contract("me,mine->in", X1, hb.Hooov)
+    tmp = contract("me,imne->in", X1, aux["Hooov_s"])
     r -= contract("in,jnba->ijab", tmp, l2)
 
     tmp = 0.5 * contract("ijef,mnef->ijmn", l2, X2)
@@ -243,21 +246,18 @@ def in_Y2(hb, L, ERI, t2, l1, l2, A, X1, X2, no):
     return r
 
 
-def r_Y(hb, L, t2, imY1, imY2, omega, Y1, Y2, no):
+def r_Y(hb, L, t2, imY1, imY2, omega, Y1, Y2, no, aux):
     o, v = slices(no)
     r1 = imY1 + omega * Y1
     r1 += contract("ie,ea->ia", Y1, hb.Hvv)
     r1 -= contract("im,ma->ia", hb.Hoo, Y1)
-    r1 += 2.0 * contract("ieam,me->ia", hb.Hovvo, Y1)
-    r1 -= contract("iema,me->ia", hb.Hovov, Y1)
+    r1 += contract("ieam,me->ia", aux["Hovvo_s"], Y1)
     r1 += contract("imef,efam->ia", Y2, hb.Hvvvo)
     r1 -= contract("iemn,mnae->ia", hb.Hovoo, Y2)
     Gvv_t2Y2 = build_Gvv(t2, Y2)
-    r1 -= 2.0 * contract("eifa,ef->ia", hb.Hvovv, Gvv_t2Y2)
-    r1 += contract("eiaf,ef->ia", hb.Hvovv, Gvv_t2Y2)
+    r1 -= contract("eifa,ef->ia", aux["Hvovv_s"], Gvv_t2Y2)
     Goo_t2Y2 = build_Goo(t2, Y2)
-    r1 -= 2.0 * contract("mina,mn->ia", hb.Hooov, Goo_t2Y2)
-    r1 += contract("imna,mn->ia", hb.Hooov, Goo_t2Y2)
+    r1 -= contract("mina,mn->ia", aux["Hooov_s"], Goo_t2Y2)
 
     r2 = imY2 + 0.5 * omega * Y2
     r2 += 2.0 * contract("ia,jb->ijab", Y1, hb.Hov)
@@ -266,16 +266,13 @@ def r_Y(hb, L, t2, imY1, imY2, omega, Y1, Y2, no):
     r2 -= contract("im,mjab->ijab", hb.Hoo, Y2)
     r2 += 0.5 * contract("ijmn,mnab->ijab", hb.Hoooo, Y2)
     r2 += 0.5 * vvvv_contract_efab(Y2, hb.Hvvvv)
-    r2 += 2.0 * contract("ie,ejab->ijab", Y1, hb.Hvovv)
-    r2 -= contract("ie,ejba->ijab", Y1, hb.Hvovv)
-    r2 -= 2.0 * contract("mb,jima->ijab", Y1, hb.Hooov)
-    r2 += contract("mb,ijma->ijab", Y1, hb.Hooov)
-    r2 += 2.0 * contract("ieam,mjeb->ijab", hb.Hovvo, Y2)
-    r2 -= contract("iema,mjeb->ijab", hb.Hovov, Y2)
+    r2 += contract("ie,ejab->ijab", Y1, aux["Hvovv_s"])
+    r2 -= contract("mb,jima->ijab", Y1, aux["Hooov_s"])
+    r2 += contract("ieam,mjeb->ijab", aux["Hovvo_s"], Y2)
     r2 -= contract("mibe,jema->ijab", Y2, hb.Hovov)
     r2 -= contract("mieb,jeam->ijab", Y2, hb.Hovvo)
-    r2 += contract("ijeb,ae->ijab", L[o, o, v, v], build_Gvv(t2, Y2))
-    r2 -= contract("mi,mjab->ijab", build_Goo(t2, Y2), L[o, o, v, v])
+    r2 += contract("ijeb,ae->ijab", L[o, o, v, v], Gvv_t2Y2)
+    r2 -= contract("mi,mjab->ijab", Goo_t2Y2, L[o, o, v, v])
     r2 = r2 + r2.transpose(1, 0, 3, 2)
     return r1, r2
 
@@ -312,6 +309,10 @@ class ccresponse:
                 ij += 1
 
         hbar_obj = self.hbar
+        hb = hbar_obj.hbar if hasattr(hbar_obj, "hbar") else hbar_obj
+        # the pre-laid spin-adapted combinations, built once (see
+        # build_response_aux); passed into every jitted step as arguments
+        self._aux = jax.jit(build_response_aux)(hb)
         eps_occ = jnp.diag(hbar_obj.Hoo)
         eps_vir = jnp.diag(hbar_obj.Hvv)
         self.Dia = eps_occ[:, None] - eps_vir[None, :]
@@ -345,8 +346,9 @@ class ccresponse:
         diis = DIIS((X1, X2), max_diis=max(max_diis, 1))
 
         @jax.jit
-        def step(hb, Loovv, t2, X1, X2, state, do_extrap):
-            r1, r2 = r_X(hb, _OovvOnly(Loovv), t2, Ad, omega, X1, X2, no)
+        def step(hb, aux, Loovv, t2, X1, X2, state, do_extrap):
+            r1, r2 = r_X(hb, _OovvOnly(Loovv), t2, Ad, omega, X1, X2, no,
+                         aux)
             inc1 = r1 / Dia
             inc2 = r2 / Dijab
             X1n, X2n = X1 + inc1, X2 + inc2
@@ -364,8 +366,9 @@ class ccresponse:
           with timers.time("response.right_iteration"):
             pseudo_last = pseudo
             do_ext = (max_diis > 0) and (niter >= start_diis)
-            X1n, X2n, X1, X2, state, rms = step(hb, L.block, t2, X1, X2,
-                                                state, jnp.asarray(do_ext))
+            X1n, X2n, X1, X2, state, rms = step(hb, self._aux, L.block, t2,
+                                                X1, X2, state,
+                                                jnp.asarray(do_ext))
             pseudo = complex(self.pseudoresponse(A, X1n, X2n))
             rms = float(rms)
             if abs(pseudo - pseudo_last) < e_conv and rms < r_conv:
@@ -397,15 +400,16 @@ class ccresponse:
         Y1 = 2.0 * X1g
         Y2 = 4.0 * X2g - 2.0 * X2g.swapaxes(2, 3)
 
-        imY1 = in_Y1(hb, L, t2, l1, l2, Ad, self.X1, self.X2, no)
-        imY2 = in_Y2(hb, L, ERI, t2, l1, l2, Ad, self.X1, self.X2, no)
+        imY1 = in_Y1(hb, L, t2, l1, l2, Ad, self.X1, self.X2, no, self._aux)
+        imY2 = in_Y2(hb, L, ERI, t2, l1, l2, Ad, self.X1, self.X2, no,
+                     self._aux)
 
         diis = DIIS((Y1, Y2), max_diis=max(max_diis, 1))
 
         @jax.jit
-        def step(hb, Loovv, t2, imY1, imY2, Y1, Y2, state, do_extrap):
+        def step(hb, aux, Loovv, t2, imY1, imY2, Y1, Y2, state, do_extrap):
             r1, r2 = r_Y(hb, _OovvOnly(Loovv), t2, imY1, imY2, omega,
-                         Y1, Y2, no)
+                         Y1, Y2, no, aux)
             inc1 = r1 / Dia
             inc2 = r2 / Dijab
             Y1n, Y2n = Y1 + inc1, Y2 + inc2
@@ -423,8 +427,8 @@ class ccresponse:
           with timers.time("response.left_iteration"):
             pseudo_last = pseudo
             do_ext = (max_diis > 0) and (niter >= start_diis)
-            Y1n, Y2n, Y1, Y2, state, rms = step(hb, L.block, t2, imY1,
-                                                imY2, Y1, Y2, state,
+            Y1n, Y2n, Y1, Y2, state, rms = step(hb, self._aux, L.block, t2,
+                                                imY1, imY2, Y1, Y2, state,
                                                 jnp.asarray(do_ext))
             pseudo = complex(self.pseudoresponse(A, Y1n, Y2n))
             rms = float(rms)

@@ -93,9 +93,18 @@ class ccwfn:
             raise Exception("%s is not an allowed local-CC model." % local)
         self.local = local
         self.local_cutoff = kwargs.pop("local_cutoff", 1e-5)
+        # pair_cutoff (local CCD only): strong-pair screening threshold on
+        # the local-MP2 pair energies; weak pairs are frozen at MP2 and the
+        # pair-pair stacks compact to the strong list (lccwfn_screened.py)
+        self.pair_cutoff = kwargs.pop("pair_cutoff", None)
         self.local_mos = kwargs.pop("local_mos", "PIPEK_MEZEY")
         self.it2_opt = kwargs.pop("it2_opt", True)
         self.filter = kwargs.pop("filter", False)
+        if self.pair_cutoff is not None and (local is None
+                                             or model != "CCD"
+                                             or self.filter):
+            raise Exception("pair_cutoff requires a native local CCD run "
+                            "(local=..., model='CCD', filter=False).")
 
         precision = kwargs.pop("precision", "DP").upper()
         if precision not in ("SP", "DP"):
@@ -177,7 +186,8 @@ class ccwfn:
                 self.Local.overlaps()
                 self.lccwfn = _lccwfn(self.o, self.v, self.no, self.nv,
                                       self.H, self.local, self.model,
-                                      self.eref, self.Local)
+                                      self.eref, self.Local,
+                                      pair_cutoff=self.pair_cutoff)
 
         self._residual_fn = _RESIDUALS.get(self.model)
         self._energy_fn = _ENERGY[self.model]

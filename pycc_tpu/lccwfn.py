@@ -24,7 +24,8 @@ from .utils.log import logger as log
 
 
 class lccwfn:
-    def __init__(self, o, v, no, nv, H, local, model, eref, Local):
+    def __init__(self, o, v, no, nv, H, local, model, eref, Local,
+                 pair_cutoff=None):
         self.o, self.v = o, v
         self.no, self.nv = no, nv
         self.H = H
@@ -32,6 +33,7 @@ class lccwfn:
         self.model = model
         self.eref = eref
         self.Local = Local
+        self.pair_cutoff = pair_cutoff
 
         # initial local amplitudes: t2[ij] = -ERIoovv_loc[ij](i,j)/denom
         # (lccwfn.py:63-78)
@@ -69,7 +71,20 @@ class lccwfn:
         if self._use_local_eqs:
             from . import lccwfn_local as leq
             D2 = Local.D2
-            if model == "CCD":
+            if model == "CCD" and pair_cutoff is not None:
+                # pair-screened compact stacks: P^2 D^2 memory instead of
+                # no^4 D^2; weak pairs frozen at local MP2
+                from . import lccwfn_screened as seq
+                self._pre = seq.precompute_ccd_screened(
+                    H, Local, no, nv, pair_cutoff)
+                log.info("pair screening: %d of %d pairs strong "
+                         "(cutoff %.1e)" % (self._pre["P"], no * no,
+                                            pair_cutoff))
+                res_fn = lambda pre, t1r, t2r: (
+                    None, seq.residuals_ccd_screened(pre, t2r))
+                en_fn = lambda pre, t1r, t2r: seq.energy_ccd_screened(
+                    pre, t2r)
+            elif model == "CCD":
                 self._pre = leq.precompute_ccd(H, Local, no, nv)
                 res_fn = lambda pre, t1r, t2r: (None,
                                                 leq.residuals_ccd_local(pre, t2r))

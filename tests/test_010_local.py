@@ -124,3 +124,65 @@ def test_native_local_cc2_matches_dense_backend():
         cc_d.lccwfn._use_local_eqs = False
         e_d = cc_d.lccwfn.solve_lcc(1e-10, 1e-10)
     assert abs(e_n - e_d) < 1e-12
+
+
+def test_pair_screened_ccd_exact_at_zero_cutoff():
+    """pair_cutoff=0 keeps every pair strong: the compact screened stacks
+    (lccwfn_screened.py) must reproduce the unscreened padded-batch solver
+    bit-for-bit through convergence."""
+    wfn = scf("H2O", "cc-pvdz", freeze_core=False)
+    with contextlib.redirect_stdout(io.StringIO()):
+        cc0 = pycc_tpu.ccwfn(wfn, model="CCD", local="PNO",
+                             local_cutoff=1e-5, it2_opt=False)
+        e0 = cc0.lccwfn.solve_lcc(1e-12, 1e-12, maxiter=100)
+        cc1 = pycc_tpu.ccwfn(wfn, model="CCD", local="PNO",
+                             local_cutoff=1e-5, it2_opt=False,
+                             pair_cutoff=0.0)
+        e1 = cc1.lccwfn.solve_lcc(1e-12, 1e-12, maxiter=100)
+    assert cc1.lccwfn._pre["P"] == cc1.lccwfn.no ** 2
+    assert abs(e1 - e0) < 1e-14
+
+
+def test_pair_screened_ccd_weak_pairs_frozen_at_mp2():
+    """A real cutoff drops weak pairs (frozen at local MP2): the strong
+    list shrinks, the energy moves by O(cutoff), and the weak-pair t2 rows
+    are exactly their MP2 values after the solve."""
+    import numpy as np
+
+    wfn = scf("H2O", "cc-pvdz", freeze_core=False)
+    with contextlib.redirect_stdout(io.StringIO()):
+        cc0 = pycc_tpu.ccwfn(wfn, model="CCD", local="PNO",
+                             local_cutoff=1e-5, it2_opt=False)
+        e0 = cc0.lccwfn.solve_lcc(1e-12, 1e-12, maxiter=100)
+        cc = pycc_tpu.ccwfn(wfn, model="CCD", local="PNO",
+                            local_cutoff=1e-5, it2_opt=False,
+                            pair_cutoff=1e-3)
+        e = cc.lccwfn.solve_lcc(1e-12, 1e-12, maxiter=100)
+    lw = cc.lccwfn
+    P, no = lw._pre["P"], lw.no
+    assert P < no ** 2
+    # screening error is bounded by (a small multiple of) the dropped
+    # pair-energy sum
+    assert 0 < abs(e - e0) < 2e-2
+    # weak rows never moved off their MP2 start
+    pidx = np.asarray(lw._pre["pidx"]).reshape(-1)
+    t2_mp2 = np.asarray(-lw.H.ERI[lw.o, lw.o, lw.v, lw.v]
+                        .reshape(no * no, lw.nv, lw.nv))
+    QLp = np.asarray(lw.Local.QLp)
+    t2_mp2 = np.einsum("pva,pvw,pwb->pab", QLp, t2_mp2, QLp) \
+        / np.asarray(lw._Dloc)
+    t2_fin = np.asarray(lw.t2)
+    weak = pidx < 0
+    assert weak.any()
+    assert np.max(np.abs(t2_fin[weak] - t2_mp2[weak])) < 1e-13
+
+
+def test_pair_screened_rejects_unsupported_combinations():
+    import pytest
+
+    wfn = scf("H2O", "cc-pvdz", freeze_core=False)
+    with pytest.raises(Exception, match="pair_cutoff"):
+        pycc_tpu.ccwfn(wfn, model="CCSD", local="PNO", local_cutoff=1e-5,
+                       pair_cutoff=1e-4)
+    with pytest.raises(Exception, match="pair_cutoff"):
+        pycc_tpu.ccwfn(wfn, model="CCD", pair_cutoff=1e-4)

@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--e-conv", type=float, default=1e-7)
     ap.add_argument("--r-conv", type=float, default=1e-6)
     ap.add_argument("--maxiter", type=int, default=60)
+    ap.add_argument("--max-diis", type=int, default=8,
+                    help="DIIS depth (the on-device ring holds 2*max_diis "
+                         "t2-sized buffers; shrink at nact >= 400)")
     ap.add_argument("--post", action="store_true",
                     help="DF-HBAR + Lambda after convergence")
     ap.add_argument("--eom", type=int, default=0,
@@ -51,7 +54,7 @@ def main():
         df_nblocks=args.nblocks)
     t0 = time.time()
     ecc = cc.solve_cc(e_conv=args.e_conv, r_conv=args.r_conv,
-                      maxiter=args.maxiter)
+                      maxiter=args.maxiter, max_diis=args.max_diis)
     t_solve = time.time() - t0
     print(json.dumps({
         "molecule": str(d["molname"]), "basis": str(d["basis"]),

@@ -491,7 +491,12 @@ class ccwfn:
         df_mode = self.storage == "df"
         df_residual_fn = self._df_residual_fn
 
-        @jax.jit
+        # Donate the amplitude/DIIS buffers: the new t1/t2/state outputs
+        # alias the old ones in-place.  Without this the step's outputs
+        # share 0 bytes with its arguments and the DIIS ring is held
+        # TWICE — at (no,nv)=(40,360) f32 with max_diis=4 that is 7.8 GB
+        # of avoidable HBM (observed 17.8 G > the 15.75 G v5e budget).
+        @partial(jax.jit, donate_argnums=(5, 6, 7))
         def step(F, ERI, L, Dia, Dijab, t1, t2, state, do_extrap):
             if blocked:
                 from .models.blocked import blocked_views
@@ -522,7 +527,10 @@ class ccwfn:
                 state)
             return t1n, t2n, t1e, t2e, state, ecc, rms
 
-        t1, t2 = self.t1, self.t2
+        # copies, not self.t1/self.t2 themselves: the first donated step
+        # call invalidates its t1/t2 argument buffers, and self.t1 must
+        # survive a failed/interrupted solve.
+        t1, t2 = jnp.array(self.t1), jnp.array(self.t2)
         ecc = float(jnp.real(self.cc_energy(t1, t2)))
         log.info("CC Iter %3d: CC Ecorr = %.15f  dE = % .5E  MP2" % (0, ecc, -ecc))
         state = diis.init()

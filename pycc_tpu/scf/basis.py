@@ -50,6 +50,14 @@ _STO3G = {
     ],
 }
 
+# Li/Be/S/Cl minimal-basis rows are DERIVED, not transcribed (scf/sto.py):
+# in-repo universal STO-3G fits scaled by the Pople zeta factors.  The
+# identical construction regenerates every H/He/C/N/O entry above to its
+# last published digit (tests/test_019_sto_derived.py).
+from .sto import sto3g_tables as _sto3g_tables  # noqa: E402
+
+_STO3G.update(_sto3g_tables(["Li", "Be", "S", "Cl"]))
+
 _CCPVDZ = {
     "H": [
         ("S", [(13.0100000, 0.0196850), (1.9620000, 0.1379770), (0.4446000, 0.4781480)]),

@@ -43,6 +43,16 @@ _ENERGY = {
 }
 
 
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _mp2_guess_fused(dfb, F, no, eri_oovv, dtype):
+    """MP2 t2 guess from DF factors with the denominator broadcast fused
+    into the divide — the t2-sized Dijab buffer never exists on device."""
+    eps = jnp.diagonal(F).astype(dtype)
+    d = (eps[:no, None, None, None] + eps[None, :no, None, None]
+         - eps[None, None, no:, None] - eps[None, None, None, no:])
+    return eri_oovv(dfb).astype(dtype) / d
+
+
 class ccwfn:
     """An RHF-CC wave function and energy object (TPU-native)."""
 
@@ -158,19 +168,23 @@ class ccwfn:
         self.v = slice(self.no, self.nact)
 
         o, v = self.o, self.v
-        eps = jnp.diag(jnp.asarray(self.H.F))
-        self.Dia = (eps[o, None] - eps[None, v]).astype(dtype)
-        self.Dijab = (eps[o, None, None, None] + eps[None, o, None, None]
-                      - eps[None, None, v, None] - eps[None, None, None, v]).astype(dtype)
-
         self.t1 = jnp.zeros((self.no, self.nv), dtype=dtype)
         if self.df_direct:
             # factors first (the only ERI representation in this mode),
-            # then the MP2 guess from the factor-assembled oovv block
+            # then the MP2 guess from the factor-assembled oovv block.
+            # Dia/Dijab are NOT materialized in this mode — the t2-sized
+            # denominator is a significant device buffer at scale, and
+            # every in-solve use fuses a diag(F) broadcast instead; the
+            # post-convergence consumers get it lazily via __getattr__.
             self._setup_df_factors(scf_wfn, dtype)
             from .models.dfccsd import _eri_oovv
-            self.t2 = (_eri_oovv(self.dfb).astype(dtype) / self.Dijab)
+            self.t2 = _mp2_guess_fused(self.dfb, jnp.asarray(self.H.F),
+                                       self.no, _eri_oovv, dtype)
         else:
+            eps = jnp.diag(jnp.asarray(self.H.F))
+            self.Dia = (eps[o, None] - eps[None, v]).astype(dtype)
+            self.Dijab = (eps[o, None, None, None] + eps[None, o, None, None]
+                          - eps[None, None, v, None] - eps[None, None, None, v]).astype(dtype)
             self.t2 = (self.H.ERI[o, o, v, v] / self.Dijab).astype(dtype)
 
         if local is not None:
@@ -343,15 +357,11 @@ class ccwfn:
                              p=None, Q=None, no=self.no)
         self.o = slice(0, self.no)
         self.v = slice(self.no, self.nact)
-        eps = jnp.diag(F)
-        o, v = self.o, self.v
-        self.Dia = (eps[o, None] - eps[None, v]).astype(dtype)
-        self.Dijab = (eps[o, None, None, None] + eps[None, o, None, None]
-                      - eps[None, None, v, None]
-                      - eps[None, None, None, v]).astype(dtype)
+        # no resident Dia/Dijab in DF mode (see __init__/__getattr__)
         self.dfb = dfq.df_blocks(B, self.no)
         self.t1 = jnp.zeros((self.no, self.nv), dtype=dtype)
-        self.t2 = (dfq._eri_oovv(self.dfb).astype(dtype) / self.Dijab)
+        self.t2 = _mp2_guess_fused(self.dfb, F, self.no, dfq._eri_oovv,
+                                   dtype)
         self._residual_fn = _RESIDUALS.get(self.model)
         self._energy_fn = _ENERGY[self.model]
         self._host_residual_fn = None
@@ -367,6 +377,27 @@ class ccwfn:
         log.info("DF/Cholesky factors: naux = %d (precomputed, %s)"
               % (self.naux, precision))
         return self
+
+    def __getattr__(self, name):
+        # storage='df' keeps no resident Dia/Dijab (an o^2v^2 buffer is
+        # ~0.8 GB at (40,360) and the solve step fuses its denominators
+        # from diag(F) instead).  Post-convergence consumers (Lambda,
+        # response, the fused/mixed solvers) materialize them on first
+        # touch; cached thereafter.
+        if name in ("Dia", "Dijab") and "H" in self.__dict__:
+            o, v = self.o, self.v
+            dt = self.t1.dtype
+            eps = jnp.diag(jnp.asarray(self.H.F))
+            if name == "Dia":
+                val = (eps[o, None] - eps[None, v]).astype(dt)
+            else:
+                val = (eps[o, None, None, None] + eps[None, o, None, None]
+                       - eps[None, None, v, None]
+                       - eps[None, None, None, v]).astype(dt)
+            setattr(self, name, val)
+            return val
+        raise AttributeError(
+            "'%s' object has no attribute '%s'" % (type(self).__name__, name))
 
     def _solver_H(self):
         """(ERI-arg, L-arg) for the jitted solve step: the full tensors,
@@ -422,7 +453,11 @@ class ccwfn:
         tstart = time.time()
         no = self.no
         H = self.H
-        Dia, Dijab = self.Dia, self.Dijab
+        # Dia/Dijab are only needed by the host-residual (CC3 rows) and
+        # bf16 paths; the main device step rebuilds denominators from
+        # diag(F) in-fusion.  Touching self.Dijab here would materialize
+        # a t2-sized device buffer that storage='df' keeps lazy at scale.
+        Dia = Dijab = None
         residual_fn = self._residual_fn
         energy_fn = self._energy_fn
         use_filter = self.local is not None
@@ -433,6 +468,7 @@ class ccwfn:
         blocked = self.storage == "blocked"
         host_res = None if use_filter else self._host_residual_fn
         if host_res is not None:
+            Dia, Dijab = self.Dia, self.Dijab
             from .models.blocked import LoovvOnly
             o_, v_ = self.o, self.v
             Loovv_f = jnp.asarray(np.asarray(self.H.L)[o_, o_, v_, v_])
@@ -460,6 +496,7 @@ class ccwfn:
             raise Exception("bf16_until requires storage='blocked' and a "
                             "canonical (non-local, non-CC3) model.")
         if use_bf16:
+            Dia, Dijab = self.Dia, self.Dijab
             from .models.blocked import LoovvOnly, blocked_views
             if not hasattr(self, "_blocks16"):
                 self._blocks16 = jax.tree_util.tree_map(
@@ -496,8 +533,11 @@ class ccwfn:
         # share 0 bytes with its arguments and the DIIS ring is held
         # TWICE — at (no,nv)=(40,360) f32 with max_diis=4 that is 7.8 GB
         # of avoidable HBM (observed 17.8 G > the 15.75 G v5e budget).
-        @partial(jax.jit, donate_argnums=(5, 6, 7))
-        def step(F, ERI, L, Dia, Dijab, t1, t2, state, do_extrap):
+        # The t2-sized denominator is NOT an argument: it is rebuilt from
+        # diag(F) in-step, where the broadcast fuses into the elementwise
+        # divide (another o^2v^2 buffer that never exists on device).
+        @partial(jax.jit, donate_argnums=(3, 4, 5))
+        def step(F, ERI, L, t1, t2, state, do_extrap):
             if blocked:
                 from .models.blocked import blocked_views
                 ERI, L = blocked_views(ERI, no)
@@ -510,8 +550,12 @@ class ccwfn:
             if use_filter:
                 inc1, inc2 = filter_fn(r1, r2)
             else:
-                inc1 = r1 / Dia
-                inc2 = r2 / Dijab
+                eps = jnp.diagonal(F).astype(t1.dtype)
+                inc1 = r1 / (eps[:no, None] - eps[None, no:])
+                inc2 = r2 / (eps[:no, None, None, None]
+                             + eps[None, :no, None, None]
+                             - eps[None, None, no:, None]
+                             - eps[None, None, None, no:])
             t1n = t1 + inc1
             t2n = t2 + inc2
             rms = jnp.sqrt(jnp.sum(jnp.abs(inc1) ** 2)
@@ -527,10 +571,11 @@ class ccwfn:
                 state)
             return t1n, t2n, t1e, t2e, state, ecc, rms
 
-        # copies, not self.t1/self.t2 themselves: the first donated step
-        # call invalidates its t1/t2 argument buffers, and self.t1 must
-        # survive a failed/interrupted solve.
-        t1, t2 = jnp.array(self.t1), jnp.array(self.t2)
+        # The first donated step call consumes the self.t1/self.t2 buffers
+        # themselves (a defensive copy would be another t2-sized buffer at
+        # scale); the attributes are rebound to the fresh outputs every
+        # iteration below, so they stay valid across stalls and re-solves.
+        t1, t2 = self.t1, self.t2
         ecc = float(jnp.real(self.cc_energy(t1, t2)))
         log.info("CC Iter %3d: CC Ecorr = %.15f  dE = % .5E  MP2" % (0, ecc, -ecc))
         state = diis.init()
@@ -573,10 +618,10 @@ class ccwfn:
             elif not bf16_active:
                 ERIa, La = self._solver_H()
                 t1n, t2n, t1, t2, state, ecc_j, rms = step(
-                    H.F, ERIa, La, Dia, Dijab, t1, t2, state,
-                    jnp.asarray(do_ext))
+                    H.F, ERIa, La, t1, t2, state, jnp.asarray(do_ext))
             ecc = float(jnp.real(ecc_j))
             rms = float(rms)
+            self.t1, self.t2 = t1n, t2n
             ediff = ecc - ecc_last
             log.info("CC Iter %3d: CC Ecorr = %.15f  dE = % .5E  rms = % .5E"
                   % (niter, ecc, ediff, rms))

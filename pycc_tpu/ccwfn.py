@@ -442,8 +442,9 @@ class ccwfn:
                  start_diis=1, bf16_until=0.0, stall_limit=10):
         """Iterate the CC amplitude equations to the requested tolerances.
 
-        bf16_until > 0 (requires storage='blocked', canonical CCD/CC2/CCSD)
-        runs the residual contractions from bfloat16 integral blocks while
+        bf16_until > 0 (requires storage='blocked' or 'df', canonical
+        CCD/CC2/CCSD) runs the residual contractions from bfloat16
+        integral blocks (or bfloat16 Cholesky factors) while
         the amplitude update, DIIS, and energy stay in the working
         precision, switching to full-precision residuals once the residual
         rms drops below the threshold.  ~1.25x faster TPU iterations during
@@ -490,33 +491,60 @@ class ccwfn:
                     lambda s: (t1n, t2n),
                     state)
                 return t1n, t2n, t1e, t2e, state, ecc, rms
-        use_bf16 = (bf16_until > 0 and blocked and not use_filter
-                    and self.model != "CC3")
+        df_mode = self.storage == "df"
+        df_residual_fn = self._df_residual_fn
+        use_bf16 = (bf16_until > 0 and (blocked or df_mode)
+                    and not use_filter and self.model != "CC3")
         if bf16_until > 0 and not use_bf16:
-            raise Exception("bf16_until requires storage='blocked' and a "
-                            "canonical (non-local, non-CC3) model.")
+            raise Exception("bf16_until requires storage='blocked' or "
+                            "'df' and a canonical (non-local, non-CC3) "
+                            "model.")
         if use_bf16:
-            Dia, Dijab = self.Dia, self.Dijab
             from .models.blocked import LoovvOnly, blocked_views
-            if not hasattr(self, "_blocks16"):
-                self._blocks16 = jax.tree_util.tree_map(
-                    lambda x: x.astype(jnp.bfloat16), self.blocks)
-            Loovv32 = self.H.L[self.o, self.o, self.v, self.v]
+            if df_mode:
+                # bf16 Cholesky factors: half the factor footprint, and
+                # the residual/energy assemble everything from them
+                if not hasattr(self, "_dfb16"):
+                    self._dfb16 = jax.tree_util.tree_map(
+                        lambda x: x.astype(jnp.bfloat16), self.dfb)
+                H16 = self._dfb16
+            else:
+                if not hasattr(self, "_blocks16"):
+                    self._blocks16 = jax.tree_util.tree_map(
+                        lambda x: x.astype(jnp.bfloat16), self.blocks)
+                H16 = self._blocks16
 
+            Loovv32 = (None if df_mode
+                       else self.H.L[self.o, self.o, self.v, self.v])
+
+            # NOT donated: the noise-floor rollback below needs the
+            # pre-step t1/t2/state buffers alive after the call.
             @jax.jit
-            def step16(F, blocks16, Loovv, Dia, Dijab, t1, t2, state,
-                       do_extrap):
-                bE, bL = blocked_views(blocks16, no)
-                r1, r2 = residual_fn(F.astype(jnp.bfloat16), bE, bL,
-                                     t1.astype(jnp.bfloat16),
-                                     t2.astype(jnp.bfloat16), no)
-                inc1 = r1.astype(t1.dtype) / Dia
-                inc2 = r2.astype(t2.dtype) / Dijab
+            def step16(F, H16, Loovv, t1, t2, state, do_extrap):
+                if df_mode:
+                    F16 = F.astype(jnp.bfloat16)
+                    r1, r2 = df_residual_fn(F16, H16,
+                                            t1.astype(jnp.bfloat16),
+                                            t2.astype(jnp.bfloat16), no)
+                    L = LoovvOnly(self._df_Loovv(H16).astype(t2.dtype), no)
+                else:
+                    bE, bL = blocked_views(H16, no)
+                    r1, r2 = residual_fn(F.astype(jnp.bfloat16), bE, bL,
+                                         t1.astype(jnp.bfloat16),
+                                         t2.astype(jnp.bfloat16), no)
+                    L = LoovvOnly(Loovv, no)
+                eps = jnp.diagonal(F).astype(t1.dtype)
+                inc1 = r1.astype(t1.dtype) / (eps[:no, None]
+                                              - eps[None, no:])
+                inc2 = r2.astype(t2.dtype) / (eps[:no, None, None, None]
+                                              + eps[None, :no, None, None]
+                                              - eps[None, None, no:, None]
+                                              - eps[None, None, None, no:])
                 t1n = t1 + inc1
                 t2n = t2 + inc2
                 rms = jnp.sqrt(jnp.sum(jnp.abs(inc1) ** 2)
                                + jnp.sum(jnp.abs(inc2) ** 2))
-                ecc = energy_fn(F, LoovvOnly(Loovv, no), t1n, t2n, no)
+                ecc = energy_fn(F, L, t1n, t2n, no)
                 state = diis.push(state, (t1n, t2n), (t1, t2))
                 t1e, t2e = jax.lax.cond(
                     do_extrap,
@@ -524,9 +552,6 @@ class ccwfn:
                     lambda s: (t1n, t2n),
                     state)
                 return t1n, t2n, t1e, t2e, state, ecc, rms
-
-        df_mode = self.storage == "df"
-        df_residual_fn = self._df_residual_fn
 
         # Donate the amplitude/DIIS buffers: the new t1/t2/state outputs
         # alias the old ones in-place.  Without this the step's outputs
@@ -592,8 +617,7 @@ class ccwfn:
             if bf16_active:
                 prev = (rms, t1, t2, state)
                 t1n, t2n, t1, t2, state, ecc_j, rms = step16(
-                    H.F, self._blocks16, Loovv32, Dia, Dijab, t1, t2,
-                    state, jnp.asarray(do_ext))
+                    H.F, H16, Loovv32, t1, t2, state, jnp.asarray(do_ext))
                 rms = float(rms)
                 # bf16 noise floor: once the residual stops improving (or
                 # goes non-finite), DIIS would be extrapolating on noise

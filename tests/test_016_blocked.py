@@ -161,3 +161,14 @@ def test_sharded_blocked_ri_split_rt_rhs():
     sharded = rhs(H.F, shard_blocks(blocks, mesh), t1, t2, l1, l2)
     for a, b in zip(single, sharded):
         assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-12
+
+
+def test_bf16_gated_solve_df():
+    """bf16 gating extends to storage='df': early residuals contract from
+    bfloat16 Cholesky factors (half the factor footprint), full precision
+    after the gate; the fixed point equals the frozen oracle."""
+    wfn = scf("H2O", "sto-3g", freeze_core=True)
+    with contextlib.redirect_stdout(io.StringIO()):
+        cc = pycc_tpu.ccwfn(wfn, storage="df")
+        ecc = cc.solve_cc(1e-12, 1e-12, bf16_until=1e-3)
+    assert abs(ecc - -0.070616830152761) < 1e-10

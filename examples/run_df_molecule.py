@@ -69,7 +69,8 @@ def main():
         hbar = pycc_tpu.cchbar(cc)
         lam = pycc_tpu.cclambda(cc, hbar)
         lecc = lam.solve_lambda(e_conv=args.e_conv, r_conv=args.r_conv,
-                                maxiter=args.maxiter)
+                                maxiter=args.maxiter,
+                                max_diis=args.max_diis)
         print(json.dumps({"lambda_pseudo_e": float(lecc),
                           "lambda_converged": bool(lam.converged),
                           "t_post_s": round(time.time() - t0, 2)}))

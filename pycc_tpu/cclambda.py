@@ -9,6 +9,7 @@ field-dressed) Fock matrix for the real-time module.
 
 import time
 import warnings
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -141,7 +142,6 @@ class cclambda:
         no = cc.no
         H = cc.H
         hb = self.hbar.hbar if hasattr(self.hbar, "hbar") else self.hbar
-        Dia, Dijab = cc.Dia, cc.Dijab
         model = cc.model
         t1, t2 = cc.t1, cc.t2
         use_filter = cc.local is not None
@@ -180,8 +180,12 @@ class cclambda:
             from .models.dfhbar import lambda_residuals_df
 
         # everything big enters as a jit ARGUMENT (closure constants are
-        # serialized into the remote compile request on TPU)
-        @jax.jit
+        # serialized into the remote compile request on TPU); l1/l2 and
+        # the DIIS ring are donated (outputs alias them in-place), and the
+        # denominators are rebuilt from diag(F) in-fusion — the Lambda
+        # stage at (40,360) otherwise holds a second ring + a t2-sized
+        # Dijab CONSTANT baked into the graph
+        @partial(jax.jit, donate_argnums=(8, 9, 10))
         def step(hb, F, ERIa, La, t1, t2, S1, S2, l1, l2, state, do_extrap):
             if blocked:
                 ERIa, La = blocked_views(ERIa, no)
@@ -199,8 +203,12 @@ class cclambda:
             if use_filter:
                 inc1, inc2 = filter_fn(r1, r2)
             else:
-                inc1 = r1 / Dia
-                inc2 = r2 / Dijab
+                eps = jnp.diagonal(F).astype(l1.dtype)
+                inc1 = r1 / (eps[:no, None] - eps[None, no:])
+                inc2 = r2 / (eps[:no, None, None, None]
+                             + eps[None, :no, None, None]
+                             - eps[None, None, no:, None]
+                             - eps[None, None, None, no:])
             l1n = l1 + inc1
             l2n = l2 + inc2
             rms = jnp.sqrt(jnp.sum(jnp.abs(inc1) ** 2)
@@ -259,6 +267,9 @@ class cclambda:
                 jnp.asarray(do_ext))
             lecc = float(jnp.real(lecc_j))
             rms = float(rms)
+            # rebind to the fresh outputs: the donated step consumed the
+            # previous buffers (incl. self.l1/self.l2 on iteration 1)
+            self.l1, self.l2 = l1n, l2n
             ediff = lecc - lecc_last
             log.info("LCC Iter %3d: LCC PseudoE = %.15f  dE = % .5E  rms = % .5E"
                   % (niter, lecc, ediff, rms))

@@ -35,6 +35,10 @@ def main():
                     help="DF-HBAR + Lambda after convergence")
     ap.add_argument("--eom", type=int, default=0,
                     help="number of EOM-CCSD roots (0 = skip)")
+    ap.add_argument("--eom-e-conv", type=float, default=1e-6)
+    ap.add_argument("--eom-r-conv", type=float, default=1e-5,
+                    help="root/residual tolerances (SP at scale bottoms "
+                         "out near 1e-3 residual norms; loosen there)")
     args = ap.parse_args()
 
     import jax
@@ -78,7 +82,8 @@ def main():
         if args.eom:
             t0 = time.time()
             eom = pycc_tpu.cceom(hbar)
-            E, _ = eom.solve_eom(N=args.eom, e_conv=1e-6, r_conv=1e-5)
+            E, _ = eom.solve_eom(N=args.eom, e_conv=args.eom_e_conv,
+                                 r_conv=args.eom_r_conv)
             print(json.dumps({"eom_roots_eh": [float(x) for x in E],
                               "eom_converged": bool(eom.converged),
                               "t_eom_s": round(time.time() - t0, 2)}))

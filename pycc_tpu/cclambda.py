@@ -178,6 +178,11 @@ class cclambda:
         if dfmode:
             from .models.dfccsd import _eri_oovv as df_eri_oovv
             from .models.dfhbar import lambda_residuals_df
+        # at (no, nv) where the fused DF residual's ~14 live o^2v^2 temps
+        # exceed HBM, evaluate it as two host-sequenced device programs
+        # (models/dfhbar.py lambda_r2_seed_df/lambda_r1_r2_finish_df)
+        split_df = dfmode and (no * cc.nv ** 3 > 2e8
+                               or getattr(cc, "_force_split_lambda", False))
 
         # everything big enters as a jit ARGUMENT (closure constants are
         # serialized into the remote compile request on TPU); l1/l2 and
@@ -225,6 +230,40 @@ class cclambda:
                 state)
             return l1n, l2n, l1e, l2e, state, lecc, rms
 
+        if split_df:
+            from .models.dfhbar import (lambda_r1_r2_finish_df,
+                                        lambda_r2_seed_df)
+
+            @jax.jit
+            def step_seed(hb_, t1, t2, l1, l2, S2):
+                return lambda_r2_seed_df(hb_, t1, t2, l1, l2, no, S2)
+
+            @partial(jax.jit, donate_argnums=(5,))
+            def step_finish(hb_, t1, t2, l1, l2, r2s, S1):
+                return lambda_r1_r2_finish_df(hb_, t1, t2, l1, l2, r2s,
+                                              no, S1)
+
+            @partial(jax.jit, donate_argnums=(2, 3, 4, 5, 6))
+            def step_update(hb_, F, r1, r2, l1, l2, state, do_extrap):
+                eps = jnp.diagonal(F).astype(l1.dtype)
+                inc1 = r1 / (eps[:no, None] - eps[None, no:])
+                inc2 = r2 / (eps[:no, None, None, None]
+                             + eps[None, :no, None, None]
+                             - eps[None, None, no:, None]
+                             - eps[None, None, None, no:])
+                l1n = l1 + inc1
+                l2n = l2 + inc2
+                rms = jnp.sqrt(jnp.sum(jnp.abs(inc1) ** 2)
+                               + jnp.sum(jnp.abs(inc2) ** 2))
+                lecc = 0.5 * jnp.sum(df_eri_oovv(hb_.df) * l2n)
+                state = diis.push(state, (l1n, l2n), (l1, l2))
+                l1e, l2e = jax.lax.cond(
+                    do_extrap,
+                    lambda s: diis.extrapolate(s, (l1n, l2n)),
+                    lambda s: (l1n, l2n),
+                    state)
+                return l1n, l2n, l1e, l2e, state, lecc, rms
+
         if blocked:
             ERI0 = cc.blocks
             La0 = None
@@ -262,9 +301,20 @@ class cclambda:
                 S2x = Y2 if S2 is None else S2 + Y2
             else:
                 S1x, S2x = S1, S2
-            l1n, l2n, l1, l2, state, lecc_j, rms = step(
-                hb, Fj, ERI0, La0, t1, t2, S1x, S2x, l1, l2, state,
-                jnp.asarray(do_ext))
+            if split_df:
+                # two host-sequenced residual programs + an update
+                # program: each fits HBM where the fused graph's ~14
+                # live o^2v^2 temps do not (PERF.md, (40,360))
+                r2s = step_seed(hb, t1, t2, l1, l2, S2x)
+                jax.block_until_ready(r2s)
+                r1x, r2x = step_finish(hb, t1, t2, l1, l2, r2s, S1x)
+                jax.block_until_ready(r2x)
+                l1n, l2n, l1, l2, state, lecc_j, rms = step_update(
+                    hb, Fj, r1x, r2x, l1, l2, state, jnp.asarray(do_ext))
+            else:
+                l1n, l2n, l1, l2, state, lecc_j, rms = step(
+                    hb, Fj, ERI0, La0, t1, t2, S1x, S2x, l1, l2, state,
+                    jnp.asarray(do_ext))
             lecc = float(jnp.real(lecc_j))
             rms = float(rms)
             # rebind to the fresh outputs: the donated step consumed the

@@ -201,7 +201,8 @@ class ccwfn:
                 self.lccwfn = _lccwfn(self.o, self.v, self.no, self.nv,
                                       self.H, self.local, self.model,
                                       self.eref, self.Local,
-                                      pair_cutoff=self.pair_cutoff)
+                                      pair_cutoff=self.pair_cutoff,
+                                      mesh=self.mesh)
 
         self._residual_fn = _RESIDUALS.get(self.model)
         self._energy_fn = _ENERGY[self.model]
@@ -255,10 +256,15 @@ class ccwfn:
 
         if self.mesh is not None:
             if self.local is not None:
-                raise Exception("mesh sharding supports canonical models "
-                                "only (local pair-space sharding is a "
-                                "separate configuration).")
-            self._apply_mesh(self.mesh)
+                if self.filter or not hasattr(self, "lccwfn"):
+                    raise Exception("mesh sharding with local models "
+                                    "requires the native pair-space "
+                                    "solver (filter=False); the filter-"
+                                    "simulation path is dense.")
+                # pair-space sharding was applied inside lccwfn
+                # (parallel.shard_pair_stacks, SURVEY §7.11)
+            else:
+                self._apply_mesh(self.mesh)
 
         log.info("CCWFN object initialized in %.3f seconds." % (time.time() - time_init))
 
@@ -274,8 +280,9 @@ class ccwfn:
         from .parallel.mesh import _put, shard_hamiltonian
 
         self.t1, self.t2 = shard_amps(self.t1, self.t2, mesh)
-        self.Dia = _put(self.Dia, mesh, P())
-        self.Dijab = _put(self.Dijab, mesh, P(None, None, "va", "vb"))
+        if "Dia" in self.__dict__:   # storage='df' keeps these lazy
+            self.Dia = _put(self.Dia, mesh, P())
+            self.Dijab = _put(self.Dijab, mesh, P(None, None, "va", "vb"))
         if self.storage == "blocked":
             self.blocks = shard_blocks(self.blocks, mesh)
         elif self.storage == "df":

@@ -14,6 +14,7 @@ test_032/test_033).
 """
 
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +26,7 @@ from .utils.log import logger as log
 
 class lccwfn:
     def __init__(self, o, v, no, nv, H, local, model, eref, Local,
-                 pair_cutoff=None):
+                 pair_cutoff=None, mesh=None):
         self.o, self.v = o, v
         self.no, self.nv = no, nv
         self.H = H
@@ -34,6 +35,7 @@ class lccwfn:
         self.eref = eref
         self.Local = Local
         self.pair_cutoff = pair_cutoff
+        self.mesh = mesh
 
         # initial local amplitudes: t2[ij] = -ERIoovv_loc[ij](i,j)/denom
         # (lccwfn.py:63-78)
@@ -101,10 +103,21 @@ class lccwfn:
             t2r0 = self.t2.reshape(no, no, D2, D2)
             diis_l = _DIIS((self.t1, t2r0), max_diis=8)
             self._diis_local = diis_l
+            if mesh is not None:
+                # pair-space sharding (SURVEY §7.11): the work-list stacks
+                # carry the pair indices in their leading dims — shard
+                # them over the mesh and let GSPMD gather the cross-pair
+                # couplings (Sr-stitched m,n contractions).  The compact
+                # screened stacks (leading P) shard over 'va' only.
+                from .parallel import shard_pair_stacks
+                self._pre = shard_pair_stacks(self._pre, mesh, no)
+                Dloc_r = shard_pair_stacks({"d": Dloc_r}, mesh, no)["d"]
             pre = self._pre
 
+            # pre enters as a jit ARGUMENT (keeps shardings first-class
+            # and big closure constants out of remote-compile requests)
             @jax.jit
-            def step_local(t1r, t2r, state, do_extrap):
+            def step_local(pre, t1r, t2r, state, do_extrap):
                 r1, r2 = res_fn(pre, t1r, t2r)
                 t1n = t1r if r1 is None else t1r + r1 / (fo[:, None] - eps_ii)
                 t2n = t2r - r2 / Dloc_r
@@ -117,7 +130,7 @@ class lccwfn:
                     lambda s: (t1n, t2n), state)
                 return t1e, t2e, state, ecc, rms
 
-            self._step_local = step_local
+            self._step_local = partial(step_local, pre)
 
             @jax.jit
             def energy_local(t1r, t2r):
@@ -187,6 +200,9 @@ class lccwfn:
         no, D2 = self.no, self.Local.D2
         t2r = self.t2.reshape(no, no, D2, D2)
         t1r = self.t1
+        if self.mesh is not None:
+            from .parallel import shard_pair_stacks
+            t2r = shard_pair_stacks({"t": t2r}, self.mesh, no)["t"]
         elcc = float(self._energy_local(t1r, t2r))
         log.info("CC Iter %3d: lCC Ecorr = %.15f dE = % .5E MP2" % (0, elcc, -elcc))
         state = self._diis_local.init()

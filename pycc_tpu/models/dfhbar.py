@@ -471,6 +471,63 @@ def lambda_residuals_df(dfh, t1, t2, l1, l2, no, S1=None, S2=None,
     return r1, r2
 
 
+def lambda_r2_seed_df(dfh, t1, t2, l1, l2, no, S2=None, nblocks=None):
+    """First half of lambda_residuals_df's r2 (l1-driven terms, the
+    one-index Hvv/Hoo/Hoooo contractions, and the vvvv ladder).
+
+    The fused residual holds ~14 simultaneous o^2 v^2 temps — 12.4 GB
+    at (no,nv)=(40,360), over the 15.75 GB v5e budget on its own.  The
+    at-scale Lambda step therefore runs as TWO host-sequenced device
+    programs (the cceom.py per-vector pattern): this seed, then
+    lambda_r1_r2_finish_df, each with roughly half the live temps.
+    Equality with the fused form is tested (test_019_dfhbar)."""
+    Loovv = loovv_df(dfh.df)
+    r2 = Loovv
+    if S2 is not None:
+        r2 = r2 + 0.5 * S2
+    r2 = r2 + 2.0 * contract("ia,jb->ijab", l1, dfh.Hov)
+    r2 -= contract("ja,ib->ijab", l1, dfh.Hov)
+    r2 += r2_l1_hvovv(dfh, l1)
+    r2 -= 2.0 * contract("mb,jima->ijab", l1, dfh.Hooov)
+    r2 += contract("mb,ijma->ijab", l1, dfh.Hooov)
+    r2 += contract("ijeb,ea->ijab", l2, dfh.Hvv)
+    r2 -= contract("mjab,im->ijab", l2, dfh.Hoo)
+    r2 += 0.5 * contract("mnab,ijmn->ijab", l2, dfh.Hoooo)
+    r2 += hvvvv_x2_df(dfh, t2, l2, nblocks=nblocks)
+    return r2
+
+
+def lambda_r1_r2_finish_df(dfh, t1, t2, l1, l2, r2_seed, no, S1=None,
+                           nblocks=None):
+    """Second half: the ovvo/ovov rings, the G-intermediate terms, the
+    pair symmetrization, and the full r1 (see lambda_r2_seed_df)."""
+    Goo = contract("mjab,ijab->mi", t2, l2)
+    Gvv = -1.0 * contract("ijeb,ijab->ae", t2, l2)
+    Loovv = loovv_df(dfh.df)
+    Hovvo_s = 2.0 * dfh.Hovvo - dfh.Hovov.swapaxes(2, 3)
+
+    r1 = 2.0 * dfh.Hov
+    if S1 is not None:
+        r1 = r1 + S1
+    r1 += contract("ie,ea->ia", l1, dfh.Hvv)
+    r1 -= contract("ma,im->ia", l1, dfh.Hoo)
+    r1 += r1_l2_hvvvo(dfh, t1, t2, l2, dfh.Hov)
+    r1 -= contract("mnae,iemn->ia", l2, dfh.Hovoo)
+    r1 += contract("me,ieam->ia", l1, Hovvo_s)
+    r1 += r1_gvv_hvovv(dfh, Gvv)
+    r1 -= 2.0 * contract("mn,mina->ia", Goo, dfh.Hooov)
+    r1 += contract("mn,imna->ia", Goo, dfh.Hooov)
+
+    r2 = r2_seed
+    r2 += contract("mjeb,ieam->ijab", l2, Hovvo_s)
+    r2 -= contract("mibe,jema->ijab", l2, dfh.Hovov)
+    r2 -= contract("mieb,jeam->ijab", l2, dfh.Hovvo)
+    r2 += contract("ae,ijeb->ijab", Gvv, Loovv)
+    r2 -= contract("mi,mjab->ijab", Goo, Loovv)
+    r2 = r2 + r2.transpose(1, 0, 3, 2)
+    return r1, r2
+
+
 # ---------------------------------------------------------------------------
 # EOM sigmas over the DF-HBAR (cceom.sigma1/sigma2)
 # ---------------------------------------------------------------------------

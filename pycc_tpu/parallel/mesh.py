@@ -84,6 +84,35 @@ def shard_df(dfb, mesh):
     )
 
 
+def shard_pair_stacks(pre, mesh, no):
+    """Distribute the local pair work-list stacks (SURVEY §7.11).
+
+    The pair dimension is the natural parallel axis of local correlation:
+    stacks whose leading dims are (no, no) — pair row/column — shard over
+    ('va', 'vb'); compact screened stacks (leading dim = the strong-pair
+    count P) shard over 'va'; everything else replicates.  The jitted
+    pair-space residuals then run SPMD, with GSPMD gathering the
+    cross-pair (Sr-stitched m,n) couplings over ICI."""
+    out = {}
+    for k, x in pre.items():
+        if not hasattr(x, "ndim"):
+            out[k] = x
+        elif (x.ndim >= 3 and x.shape[0] == no and x.shape[1] == no
+              and any(d != no for d in x.shape[2:])):
+            # pair-leading stack with local-virtual payload.  All-occupied
+            # tensors (F_oo, ERI_oooo) stay REPLICATED: they are tiny, and
+            # sharding the equal-sized oooo dims trips an XLA SPMD
+            # partitioner miscompilation (observed: jitted residual off
+            # by 4.5e-2 with ERI_oooo sharded, exact with it replicated —
+            # eager mode is exact either way).
+            out[k] = _put(x, mesh, P("va", "vb"))
+        elif x.ndim >= 1 and x.shape[0] > no:
+            out[k] = _put(x, mesh, P("va"))
+        else:
+            out[k] = _put(x, mesh, P())
+    return out
+
+
 def shard_hbar(hbar, mesh):
     """Distribute a built HBAR over the mesh.
 

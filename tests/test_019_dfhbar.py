@@ -188,3 +188,24 @@ def test_df_lambda_eom_end_to_end():
     with contextlib.redirect_stdout(io.StringIO()):
         E_seq, _ = eom.solve_eom(N=3, e_conv=1e-8, r_conv=1e-7)
     assert np.allclose(E_seq, E_ref, atol=1e-7), (E_seq, E_ref)
+
+
+def test_split_lambda_equals_fused():
+    """The at-scale two-program DF Lambda residual (lambda_r2_seed_df +
+    lambda_r1_r2_finish_df, auto-selected at no*nv^3 > 2e8) equals the
+    fused lambda_residuals_df path exactly."""
+    import io
+    import contextlib
+    import pycc_tpu
+    from .common import scf
+    wfn = scf("H2O", "sto-3g", freeze_core=True)
+    with contextlib.redirect_stdout(io.StringIO()):
+        cc = pycc_tpu.ccwfn(wfn, storage="df")
+        cc.solve_cc(e_conv=1e-12, r_conv=1e-12)
+        hbar = pycc_tpu.cchbar(cc)
+        lam = pycc_tpu.cclambda(cc, hbar)
+        p0 = lam.solve_lambda(e_conv=1e-11, r_conv=1e-10)
+        cc._force_split_lambda = True
+        lam2 = pycc_tpu.cclambda(cc, hbar)
+        p1 = lam2.solve_lambda(e_conv=1e-11, r_conv=1e-10)
+    assert abs(p1 - p0) < 1e-13, (p0, p1)

@@ -40,6 +40,7 @@ def main():
                     help="root/residual tolerances (SP at scale bottoms "
                          "out near 1e-3 residual norms; loosen there)")
     args = ap.parse_args()
+    print("args: %s" % vars(args))
 
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")

@@ -231,20 +231,36 @@ class cclambda:
             return l1n, l2n, l1e, l2e, state, lecc, rms
 
         if split_df:
-            from .models.dfhbar import (lambda_r1_r2_finish_df,
-                                        lambda_r2_seed_df)
+            from .models.dfhbar import (lambda_r1_df, lambda_r2_ladder_df,
+                                        lambda_r2_rings_df,
+                                        lambda_r2_small_a_df,
+                                        lambda_r2_small_b_df)
 
             @jax.jit
-            def step_seed(hb_, t1, t2, l1, l2, S2):
-                return lambda_r2_seed_df(hb_, t1, t2, l1, l2, no, S2)
+            def step_small_a(hb_, l1, l2, S2):
+                return lambda_r2_small_a_df(hb_, l1, l2, no, S2)
 
-            @partial(jax.jit, donate_argnums=(5,))
-            def step_finish(hb_, t1, t2, l1, l2, r2s, S1):
-                return lambda_r1_r2_finish_df(hb_, t1, t2, l1, l2, r2s,
-                                              no, S1)
+            @partial(jax.jit, donate_argnums=(3,))
+            def step_small_b(hb_, l1, l2, r2s):
+                return lambda_r2_small_b_df(hb_, l1, l2, r2s, no)
+
+            @partial(jax.jit, donate_argnums=(3,))
+            def step_ladder(hb_, t2, l2, r2s):
+                return lambda_r2_ladder_df(hb_, t2, l2, r2s, no)
+
+            @partial(jax.jit, donate_argnums=(3,))
+            def step_rings(hb_, t2, l2, r2s):
+                return lambda_r2_rings_df(hb_, t2, l2, r2s, no)
+
+            @jax.jit
+            def step_r1(hb_, t1, t2, l1, l2, S1):
+                return lambda_r1_df(hb_, t1, t2, l1, l2, no, S1)
 
             @partial(jax.jit, donate_argnums=(2, 3, 4, 5, 6))
             def step_update(hb_, F, r1, r2, l1, l2, state, do_extrap):
+                # returns ONLY the extrapolated iterate: keeping both the
+                # raw and extrapolated pairs doubles the resident l2
+                # footprint (0.83 GB at (40,360)) for no consumer
                 eps = jnp.diagonal(F).astype(l1.dtype)
                 inc1 = r1 / (eps[:no, None] - eps[None, no:])
                 inc2 = r2 / (eps[:no, None, None, None]
@@ -262,7 +278,7 @@ class cclambda:
                     lambda s: diis.extrapolate(s, (l1n, l2n)),
                     lambda s: (l1n, l2n),
                     state)
-                return l1n, l2n, l1e, l2e, state, lecc, rms
+                return l1e, l2e, state, lecc, rms
 
         if blocked:
             ERI0 = cc.blocks
@@ -302,15 +318,27 @@ class cclambda:
             else:
                 S1x, S2x = S1, S2
             if split_df:
-                # two host-sequenced residual programs + an update
+                # five host-sequenced residual programs + an update
                 # program: each fits HBM where the fused graph's ~14
-                # live o^2v^2 temps do not (PERF.md, (40,360))
-                r2s = step_seed(hb, t1, t2, l1, l2, S2x)
+                # live o^2v^2 temps do not.  The compiler's own HBM
+                # accounting (examples/probe_lambda_hbm.py, (40,360)
+                # naux=2592 SP) sized the coarser splits out: fused
+                # ~12.4 GB temps, two-program seed 7.4 GB, three-way
+                # small 5.8 GB — all OOM on top of the ~10 GB resident
+                # set; these five run at <= ~4.5 GB each
+                r2s = step_small_a(hb, l1, l2, S2x)
                 jax.block_until_ready(r2s)
-                r1x, r2x = step_finish(hb, t1, t2, l1, l2, r2s, S1x)
+                r2s = step_small_b(hb, l1, l2, r2s)
+                jax.block_until_ready(r2s)
+                r2s = step_ladder(hb, t2, l2, r2s)
+                jax.block_until_ready(r2s)
+                r2x = step_rings(hb, t2, l2, r2s)
                 jax.block_until_ready(r2x)
-                l1n, l2n, l1, l2, state, lecc_j, rms = step_update(
+                r1x = step_r1(hb, t1, t2, l1, l2, S1x)
+                jax.block_until_ready(r1x)
+                l1, l2, state, lecc_j, rms = step_update(
                     hb, Fj, r1x, r2x, l1, l2, state, jnp.asarray(do_ext))
+                l1n, l2n = l1, l2
             else:
                 l1n, l2n, l1, l2, state, lecc_j, rms = step(
                     hb, Fj, ERI0, La0, t1, t2, S1x, S2x, l1, l2, state,

@@ -471,41 +471,79 @@ def lambda_residuals_df(dfh, t1, t2, l1, l2, no, S1=None, S2=None,
     return r1, r2
 
 
-def lambda_r2_seed_df(dfh, t1, t2, l1, l2, no, S2=None, nblocks=None):
-    """First half of lambda_residuals_df's r2 (l1-driven terms, the
-    one-index Hvv/Hoo/Hoooo contractions, and the vvvv ladder).
+def lambda_r2_small_a_df(dfh, l1, l2, no, S2=None):
+    """First residual program at scale: Loovv seed plus the l1-driven
+    Hov/Hooov terms.
 
     The fused residual holds ~14 simultaneous o^2 v^2 temps — 12.4 GB
-    at (no,nv)=(40,360), over the 15.75 GB v5e budget on its own.  The
-    at-scale Lambda step therefore runs as TWO host-sequenced device
-    programs (the cceom.py per-vector pattern): this seed, then
-    lambda_r1_r2_finish_df, each with roughly half the live temps.
-    Equality with the fused form is tested (test_019_dfhbar)."""
+    at (no,nv)=(40,360), over the 15.75 GB v5e budget on its own; a
+    two-program split's seed still carried 7.4 GB and a three-way
+    'small' 5.8 GB (the compiler's memory_analysis;
+    examples/probe_lambda_hbm.py) on top of the ~10 GB resident set.
+    The at-scale Lambda step therefore runs as FIVE host-sequenced
+    device programs (the cceom.py per-vector pattern): small_a,
+    small_b, lambda_r2_ladder_df, lambda_r2_rings_df, and lambda_r1_df
+    — each <= ~4.5 GB of temps.  Equality with the fused form is
+    tested (test_019_dfhbar)."""
     Loovv = loovv_df(dfh.df)
     r2 = Loovv
     if S2 is not None:
         r2 = r2 + 0.5 * S2
     r2 = r2 + 2.0 * contract("ia,jb->ijab", l1, dfh.Hov)
     r2 -= contract("ja,ib->ijab", l1, dfh.Hov)
-    r2 += r2_l1_hvovv(dfh, l1)
     r2 -= 2.0 * contract("mb,jima->ijab", l1, dfh.Hooov)
     r2 += contract("mb,ijma->ijab", l1, dfh.Hooov)
-    r2 += contract("ijeb,ea->ijab", l2, dfh.Hvv)
-    r2 -= contract("mjab,im->ijab", l2, dfh.Hoo)
-    r2 += 0.5 * contract("mnab,ijmn->ijab", l2, dfh.Hoooo)
-    r2 += hvvvv_x2_df(dfh, t2, l2, nblocks=nblocks)
     return r2
 
 
-def lambda_r1_r2_finish_df(dfh, t1, t2, l1, l2, r2_seed, no, S1=None,
-                           nblocks=None):
-    """Second half: the ovvo/ovov rings, the G-intermediate terms, the
-    pair symmetrization, and the full r1 (see lambda_r2_seed_df)."""
+def lambda_r2_small_b_df(dfh, l1, l2, r2_seed, no):
+    """Second residual program at scale: the implicit-Hvovv l1 term and
+    the one-index Hvv/Hoo/Hoooo contractions, onto the donated seed."""
+    r2 = r2_seed + r2_l1_hvovv(dfh, l1)
+    r2 += contract("ijeb,ea->ijab", l2, dfh.Hvv)
+    r2 -= contract("mjab,im->ijab", l2, dfh.Hoo)
+    r2 += 0.5 * contract("mnab,ijmn->ijab", l2, dfh.Hoooo)
+    return r2
+
+
+def lambda_r2_ladder_df(dfh, t2, l2, r2_seed, no, nblocks=None):
+    """Third residual program at scale: the t1-dressed vvvv ladder on
+    l2, accumulated onto the (donated) seed."""
+    return r2_seed + hvvvv_x2_df(dfh, t2, l2, nblocks=nblocks)
+
+
+def lambda_r2_seed_df(dfh, t1, t2, l1, l2, no, S2=None, nblocks=None):
+    """small_a + small_b + ladder in one graph (the equality-test
+    target)."""
+    r2 = lambda_r2_small_a_df(dfh, l1, l2, no, S2)
+    r2 = lambda_r2_small_b_df(dfh, l1, l2, r2, no)
+    return lambda_r2_ladder_df(dfh, t2, l2, r2, no, nblocks=nblocks)
+
+
+def lambda_r2_rings_df(dfh, t2, l2, r2_seed, no):
+    """Second residual program at scale: the ovvo/ovov rings, the
+    G-intermediate terms, and the pair symmetrization — the r2 half of
+    the old finish program.  The spin-adapted 2*Hovvo - Hovov^T ring is
+    expanded into two dots so the o^2v^2 Hovvo_s temp never exists."""
     Goo = contract("mjab,ijab->mi", t2, l2)
     Gvv = -1.0 * contract("ijeb,ijab->ae", t2, l2)
     Loovv = loovv_df(dfh.df)
-    Hovvo_s = 2.0 * dfh.Hovvo - dfh.Hovov.swapaxes(2, 3)
+    r2 = r2_seed
+    r2 += 2.0 * contract("mjeb,ieam->ijab", l2, dfh.Hovvo)
+    r2 -= contract("mjeb,iema->ijab", l2, dfh.Hovov)
+    r2 -= contract("mibe,jema->ijab", l2, dfh.Hovov)
+    r2 -= contract("mieb,jeam->ijab", l2, dfh.Hovvo)
+    r2 += contract("ae,ijeb->ijab", Gvv, Loovv)
+    r2 -= contract("mi,mjab->ijab", Goo, Loovv)
+    return r2 + r2.transpose(1, 0, 3, 2)
 
+
+def lambda_r1_df(dfh, t1, t2, l1, l2, no, S1=None):
+    """Third residual program at scale: the full r1 (its r1_l2_hvvvo
+    chain holds several o^2v^2 temps of its own, so it gets a program
+    to itself at (40,360); see lambda_r2_seed_df)."""
+    Goo = contract("mjab,ijab->mi", t2, l2)
+    Gvv = -1.0 * contract("ijeb,ijab->ae", t2, l2)
     r1 = 2.0 * dfh.Hov
     if S1 is not None:
         r1 = r1 + S1
@@ -513,18 +551,20 @@ def lambda_r1_r2_finish_df(dfh, t1, t2, l1, l2, r2_seed, no, S1=None,
     r1 -= contract("ma,im->ia", l1, dfh.Hoo)
     r1 += r1_l2_hvvvo(dfh, t1, t2, l2, dfh.Hov)
     r1 -= contract("mnae,iemn->ia", l2, dfh.Hovoo)
-    r1 += contract("me,ieam->ia", l1, Hovvo_s)
+    r1 += 2.0 * contract("me,ieam->ia", l1, dfh.Hovvo)
+    r1 -= contract("me,iema->ia", l1, dfh.Hovov)
     r1 += r1_gvv_hvovv(dfh, Gvv)
     r1 -= 2.0 * contract("mn,mina->ia", Goo, dfh.Hooov)
     r1 += contract("mn,imna->ia", Goo, dfh.Hooov)
+    return r1
 
-    r2 = r2_seed
-    r2 += contract("mjeb,ieam->ijab", l2, Hovvo_s)
-    r2 -= contract("mibe,jema->ijab", l2, dfh.Hovov)
-    r2 -= contract("mieb,jeam->ijab", l2, dfh.Hovvo)
-    r2 += contract("ae,ijeb->ijab", Gvv, Loovv)
-    r2 -= contract("mi,mjab->ijab", Goo, Loovv)
-    r2 = r2 + r2.transpose(1, 0, 3, 2)
+
+def lambda_r1_r2_finish_df(dfh, t1, t2, l1, l2, r2_seed, no, S1=None,
+                           nblocks=None):
+    """Old two-program finish, kept as the equality-test target: the
+    rings/G/symmetrization r2 plus the full r1 in one graph."""
+    r2 = lambda_r2_rings_df(dfh, t2, l2, r2_seed, no)
+    r1 = lambda_r1_df(dfh, t1, t2, l1, l2, no, S1)
     return r1, r2
 
 

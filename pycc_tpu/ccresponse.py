@@ -25,12 +25,18 @@ CART = ["X", "Y", "Z"]
 
 
 class pertbar:
-    """Similarity-transformed one-electron perturbation blocks."""
+    """Similarity-transformed one-electron perturbation blocks.
+
+    In storage='df' mode the o v^3 Avvvo block is never materialized
+    (7.5 GB at (40,360)); its two consumers (in_Y1, linresp_asym)
+    reduce it to o^2 intermediates against the stored pert_ov
+    (models/dfresponse.py)."""
 
     def __init__(self, pert, ccwfn):
         o, v = ccwfn.o, ccwfn.v
         t1, t2 = ccwfn.t1, ccwfn.t2
         self.Aov = pert[o, v]
+        self.pert_ov = self.Aov
         self.Aoo = pert[o, o] + contract("ie,me->mi", t1, pert[o, v])
         self.Avv = pert[v, v] - contract("ma,me->ae", t1, pert[o, v])
         Avo = pert[v, o]
@@ -40,7 +46,8 @@ class pertbar:
         Avo -= contract("ie,ma,me->ai", t1, t1, pert[o, v])
         self.Avo = Avo
         self.Aovoo = contract("ijeb,me->mbij", t2, pert[o, v])
-        self.Avvvo = -1.0 * contract("miab,me->abei", t2, pert[o, v])
+        if getattr(ccwfn, "storage", "full") != "df":
+            self.Avvvo = -1.0 * contract("miab,me->abei", t2, pert[o, v])
         Avvoo = contract("ijeb,ae->ijab", t2, self.Avv)
         Avvoo -= contract("mjab,mi->ijab", t2, self.Aoo)
         self.Avvoo = 0.5 * (Avvoo + Avvoo.transpose(1, 0, 3, 2))
@@ -288,40 +295,71 @@ class ccresponse:
         self.cart = CART
 
         cc = self.ccwfn
+        self._df = getattr(cc, "storage", "full") == "df"
         self.pertbar = {}
-        for axis in range(3):
-            self.pertbar["MU_" + CART[axis]] = pertbar(self.H.mu[axis], cc)
-        for axis in range(3):
-            self.pertbar["M_" + CART[axis]] = pertbar(self.H.m[axis], cc)
-        for axis in range(3):
-            self.pertbar["M*_" + CART[axis]] = pertbar(jnp.conj(self.H.m[axis]), cc)
-        for axis in range(3):
-            self.pertbar["P_" + CART[axis]] = pertbar(self.H.p[axis], cc)
-        for axis in range(3):
-            self.pertbar["P*_" + CART[axis]] = pertbar(jnp.conj(self.H.p[axis]), cc)
+        if self.H.mu is not None:
+            for axis in range(3):
+                self.pertbar["MU_" + CART[axis]] = pertbar(self.H.mu[axis], cc)
+        if self.H.m is not None:
+            for axis in range(3):
+                self.pertbar["M_" + CART[axis]] = pertbar(self.H.m[axis], cc)
+            for axis in range(3):
+                self.pertbar["M*_" + CART[axis]] = pertbar(jnp.conj(self.H.m[axis]), cc)
+        if self.H.p is not None:
+            for axis in range(3):
+                self.pertbar["P_" + CART[axis]] = pertbar(self.H.p[axis], cc)
+            for axis in range(3):
+                self.pertbar["P*_" + CART[axis]] = pertbar(jnp.conj(self.H.p[axis]), cc)
         ij = 0
-        for a1 in range(3):
-            for a2 in range(a1, 3):
-                key = "Q_" + CART[a1] + CART[a2]
-                self.pertbar[key] = pertbar(self.H.Q[ij], cc)
-                if a1 != a2:
-                    self.pertbar["Q_" + CART[a2] + CART[a1]] = self.pertbar[key]
-                ij += 1
+        if self.H.Q is not None:
+            for a1 in range(3):
+                for a2 in range(a1, 3):
+                    key = "Q_" + CART[a1] + CART[a2]
+                    self.pertbar[key] = pertbar(self.H.Q[ij], cc)
+                    if a1 != a2:
+                        self.pertbar["Q_" + CART[a2] + CART[a1]] = self.pertbar[key]
+                    ij += 1
 
         hbar_obj = self.hbar
         hb = hbar_obj.hbar if hasattr(hbar_obj, "hbar") else hbar_obj
-        # the pre-laid spin-adapted combinations, built once (see
-        # build_response_aux); passed into every jitted step as arguments
-        self._aux = jax.jit(build_response_aux)(hb)
+        if self._df:
+            # factor-implicit response: no dense Hvovv/Hvvvo/Hvvvv exist,
+            # so no pre-laid combinations either; the jitted steps call
+            # the models/dfresponse.py residuals over the dressed factors
+            from .models.dfccsd import _eri_oovv as _df_eri_oovv
+            from .models.dfhbar import loovv_df as _df_loovv
+            self._aux = None
+            self._Loovv = jax.jit(_df_loovv)(hb.df)
+            self._Eoovv = jax.jit(_df_eri_oovv)(hb.df)
+        else:
+            # the pre-laid spin-adapted combinations, built once (see
+            # build_response_aux); passed into every jitted step as arguments
+            self._aux = jax.jit(build_response_aux)(hb)
         eps_occ = jnp.diag(hbar_obj.Hoo)
         eps_vir = jnp.diag(hbar_obj.Hvv)
+        self._eps_occ, self._eps_vir = eps_occ, eps_vir
         self.Dia = eps_occ[:, None] - eps_vir[None, :]
-        self.Dijab = (eps_occ[:, None, None, None] + eps_occ[None, :, None, None]
-                      - eps_vir[None, None, :, None] - eps_vir[None, None, None, :])
+        if not self._df:
+            self.Dijab = (eps_occ[:, None, None, None]
+                          + eps_occ[None, :, None, None]
+                          - eps_vir[None, None, :, None]
+                          - eps_vir[None, None, None, :])
+
+    def __getattr__(self, name):
+        # storage='df' keeps no resident Dijab (o^2v^2; the jitted steps
+        # fuse the denominators from the HBAR diagonal instead)
+        if name == "Dijab" and "_eps_occ" in self.__dict__:
+            eo, ev = self._eps_occ, self._eps_vir
+            return (eo[:, None, None, None] + eo[None, :, None, None]
+                    - ev[None, None, :, None] - ev[None, None, None, :])
+        raise AttributeError(name)
 
     def _Adict(self, A):
-        return {"Aov": A.Aov, "Aoo": A.Aoo, "Avv": A.Avv, "Avo": A.Avo,
-                "Aovoo": A.Aovoo, "Avvvo": A.Avvvo, "Avvoo": A.Avvoo}
+        d = {"Aov": A.Aov, "Aoo": A.Aoo, "Avv": A.Avv, "Avo": A.Avo,
+             "Aovoo": A.Aovoo, "Avvoo": A.Avvoo}
+        if hasattr(A, "Avvvo"):
+            d["Avvvo"] = A.Avvvo
+        return d
 
     def pseudoresponse(self, A, X1, X2):
         polar1 = 2.0 * contract("ai,ia->", jnp.conj(A.Avo), X1)
@@ -336,7 +374,8 @@ class ccresponse:
         cc = self.ccwfn
         no = cc.no
         hb = self.hbar.hbar if hasattr(self.hbar, "hbar") else self.hbar
-        L, t2 = _oovv(cc.H.L, no), cc.t2
+        t2 = cc.t2
+        L = None if self._df else _oovv(cc.H.L, no)
         Dia = self.Dia + omega
         Dijab = self.Dijab + omega
         Ad = self._Adict(A)
@@ -345,20 +384,45 @@ class ccresponse:
         X2 = A.Avvoo / Dijab
         diis = DIIS((X1, X2), max_diis=max(max_diis, 1))
 
-        @jax.jit
-        def step(hb, aux, Loovv, t2, X1, X2, state, do_extrap):
-            r1, r2 = r_X(hb, _OovvOnly(Loovv), t2, Ad, omega, X1, X2, no,
-                         aux)
-            inc1 = r1 / Dia
-            inc2 = r2 / Dijab
-            X1n, X2n = X1 + inc1, X2 + inc2
-            rms = jnp.sqrt(jnp.sum(jnp.abs(inc1) ** 2)
-                           + jnp.sum(jnp.abs(inc2) ** 2))
-            state = diis.push(state, (X1n, X2n), (X1, X2))
-            X1e, X2e = jax.lax.cond(
-                do_extrap, lambda s: diis.extrapolate(s, (X1n, X2n)),
-                lambda s: (X1n, X2n), state)
-            return X1n, X2n, X1e, X2e, state, rms
+        if self._df:
+            del Dijab   # transient in df mode; the step fuses its own
+            from .models.dfresponse import rX_df
+
+            # everything big (Ad holds an o^2v^2 Avvoo) enters as a jit
+            # ARGUMENT; the denominators fuse from the HBAR diagonal
+            @jax.jit
+            def step(hb, Loovv, t1, t2, Ad_, X1, X2, state, do_extrap):
+                r1, r2 = rX_df(hb, Loovv, t1, t2, Ad_, omega, X1, X2, no)
+                eo = jnp.diagonal(hb.Hoo) + omega
+                ev = jnp.diagonal(hb.Hvv)
+                inc1 = r1 / (eo[:, None] - ev[None, :])
+                inc2 = r2 / (eo[:, None, None, None]
+                             + jnp.diagonal(hb.Hoo)[None, :, None, None]
+                             - ev[None, None, :, None]
+                             - ev[None, None, None, :])
+                X1n, X2n = X1 + inc1, X2 + inc2
+                rms = jnp.sqrt(jnp.sum(jnp.abs(inc1) ** 2)
+                               + jnp.sum(jnp.abs(inc2) ** 2))
+                state = diis.push(state, (X1n, X2n), (X1, X2))
+                X1e, X2e = jax.lax.cond(
+                    do_extrap, lambda s: diis.extrapolate(s, (X1n, X2n)),
+                    lambda s: (X1n, X2n), state)
+                return X1n, X2n, X1e, X2e, state, rms
+        else:
+            @jax.jit
+            def step(hb, aux, Loovv, t2, X1, X2, state, do_extrap):
+                r1, r2 = r_X(hb, _OovvOnly(Loovv), t2, Ad, omega, X1, X2,
+                             no, aux)
+                inc1 = r1 / Dia
+                inc2 = r2 / Dijab
+                X1n, X2n = X1 + inc1, X2 + inc2
+                rms = jnp.sqrt(jnp.sum(jnp.abs(inc1) ** 2)
+                               + jnp.sum(jnp.abs(inc2) ** 2))
+                state = diis.push(state, (X1n, X2n), (X1, X2))
+                X1e, X2e = jax.lax.cond(
+                    do_extrap, lambda s: diis.extrapolate(s, (X1n, X2n)),
+                    lambda s: (X1n, X2n), state)
+                return X1n, X2n, X1e, X2e, state, rms
 
         pseudo = complex(self.pseudoresponse(A, X1, X2))
         state = diis.init()
@@ -366,9 +430,14 @@ class ccresponse:
           with timers.time("response.right_iteration"):
             pseudo_last = pseudo
             do_ext = (max_diis > 0) and (niter >= start_diis)
-            X1n, X2n, X1, X2, state, rms = step(hb, self._aux, L.block, t2,
-                                                X1, X2, state,
-                                                jnp.asarray(do_ext))
+            if self._df:
+                X1n, X2n, X1, X2, state, rms = step(
+                    hb, self._Loovv, cc.t1, t2, Ad, X1, X2, state,
+                    jnp.asarray(do_ext))
+            else:
+                X1n, X2n, X1, X2, state, rms = step(hb, self._aux, L.block,
+                                                    t2, X1, X2, state,
+                                                    jnp.asarray(do_ext))
             pseudo = complex(self.pseudoresponse(A, X1n, X2n))
             rms = float(rms)
             if abs(pseudo - pseudo_last) < e_conv and rms < r_conv:
@@ -389,7 +458,7 @@ class ccresponse:
         cc = self.ccwfn
         no = cc.no
         hb = self.hbar.hbar if hasattr(self.hbar, "hbar") else self.hbar
-        L, ERI, t2 = _oovv(cc.H.L, no), _oovv(cc.H.ERI, no), cc.t2
+        t2 = cc.t2
         l1, l2 = self.cclambda.l1, self.cclambda.l2
         Dia = self.Dia + omega
         Dijab = self.Dijab + omega
@@ -400,26 +469,68 @@ class ccresponse:
         Y1 = 2.0 * X1g
         Y2 = 4.0 * X2g - 2.0 * X2g.swapaxes(2, 3)
 
-        imY1 = in_Y1(hb, L, t2, l1, l2, Ad, self.X1, self.X2, no, self._aux)
-        imY2 = in_Y2(hb, L, ERI, t2, l1, l2, Ad, self.X1, self.X2, no,
-                     self._aux)
+        if self._df:
+            del Dijab
+            from .models.dfresponse import inY1_df, inY2_df, rY_df
+
+            # one-time inhomogeneous terms, all big operands as jit args
+            @jax.jit
+            def inhomo(hb, Loovv, Eoovv, t1, t2, l1, l2, Ad_, pert_ov,
+                       X1, X2):
+                i1 = inY1_df(hb, Loovv, Eoovv, t1, t2, l1, l2, Ad_,
+                             pert_ov, X1, X2, no)
+                i2 = inY2_df(hb, Loovv, Eoovv, t1, t2, l1, l2, Ad_,
+                             X1, X2, no)
+                return i1, i2
+
+            imY1, imY2 = inhomo(hb, self._Loovv, self._Eoovv, cc.t1, t2,
+                                l1, l2, Ad, A.pert_ov, self.X1, self.X2)
+        else:
+            L, ERI = _oovv(cc.H.L, no), _oovv(cc.H.ERI, no)
+            imY1 = in_Y1(hb, L, t2, l1, l2, Ad, self.X1, self.X2, no,
+                         self._aux)
+            imY2 = in_Y2(hb, L, ERI, t2, l1, l2, Ad, self.X1, self.X2, no,
+                         self._aux)
 
         diis = DIIS((Y1, Y2), max_diis=max(max_diis, 1))
 
-        @jax.jit
-        def step(hb, aux, Loovv, t2, imY1, imY2, Y1, Y2, state, do_extrap):
-            r1, r2 = r_Y(hb, _OovvOnly(Loovv), t2, imY1, imY2, omega,
-                         Y1, Y2, no, aux)
-            inc1 = r1 / Dia
-            inc2 = r2 / Dijab
-            Y1n, Y2n = Y1 + inc1, Y2 + inc2
-            rms = jnp.sqrt(jnp.sum(jnp.abs(inc1) ** 2)
-                           + jnp.sum(jnp.abs(inc2) ** 2))
-            state = diis.push(state, (Y1n, Y2n), (Y1, Y2))
-            Y1e, Y2e = jax.lax.cond(
-                do_extrap, lambda s: diis.extrapolate(s, (Y1n, Y2n)),
-                lambda s: (Y1n, Y2n), state)
-            return Y1n, Y2n, Y1e, Y2e, state, rms
+        if self._df:
+            @jax.jit
+            def step(hb, Loovv, t1, t2, imY1, imY2, Y1, Y2, state,
+                     do_extrap):
+                r1, r2 = rY_df(hb, Loovv, t1, t2, imY1, imY2, omega,
+                               Y1, Y2, no)
+                eo = jnp.diagonal(hb.Hoo) + omega
+                ev = jnp.diagonal(hb.Hvv)
+                inc1 = r1 / (eo[:, None] - ev[None, :])
+                inc2 = r2 / (eo[:, None, None, None]
+                             + jnp.diagonal(hb.Hoo)[None, :, None, None]
+                             - ev[None, None, :, None]
+                             - ev[None, None, None, :])
+                Y1n, Y2n = Y1 + inc1, Y2 + inc2
+                rms = jnp.sqrt(jnp.sum(jnp.abs(inc1) ** 2)
+                               + jnp.sum(jnp.abs(inc2) ** 2))
+                state = diis.push(state, (Y1n, Y2n), (Y1, Y2))
+                Y1e, Y2e = jax.lax.cond(
+                    do_extrap, lambda s: diis.extrapolate(s, (Y1n, Y2n)),
+                    lambda s: (Y1n, Y2n), state)
+                return Y1n, Y2n, Y1e, Y2e, state, rms
+        else:
+            @jax.jit
+            def step(hb, aux, Loovv, t2, imY1, imY2, Y1, Y2, state,
+                     do_extrap):
+                r1, r2 = r_Y(hb, _OovvOnly(Loovv), t2, imY1, imY2, omega,
+                             Y1, Y2, no, aux)
+                inc1 = r1 / Dia
+                inc2 = r2 / Dijab
+                Y1n, Y2n = Y1 + inc1, Y2 + inc2
+                rms = jnp.sqrt(jnp.sum(jnp.abs(inc1) ** 2)
+                               + jnp.sum(jnp.abs(inc2) ** 2))
+                state = diis.push(state, (Y1n, Y2n), (Y1, Y2))
+                Y1e, Y2e = jax.lax.cond(
+                    do_extrap, lambda s: diis.extrapolate(s, (Y1n, Y2n)),
+                    lambda s: (Y1n, Y2n), state)
+                return Y1n, Y2n, Y1e, Y2e, state, rms
 
         pseudo = complex(self.pseudoresponse(A, Y1, Y2))
         state = diis.init()
@@ -427,9 +538,15 @@ class ccresponse:
           with timers.time("response.left_iteration"):
             pseudo_last = pseudo
             do_ext = (max_diis > 0) and (niter >= start_diis)
-            Y1n, Y2n, Y1, Y2, state, rms = step(hb, self._aux, L.block, t2,
-                                                imY1, imY2, Y1, Y2, state,
-                                                jnp.asarray(do_ext))
+            if self._df:
+                Y1n, Y2n, Y1, Y2, state, rms = step(
+                    hb, self._Loovv, cc.t1, t2, imY1, imY2, Y1, Y2, state,
+                    jnp.asarray(do_ext))
+            else:
+                Y1n, Y2n, Y1, Y2, state, rms = step(hb, self._aux, L.block,
+                                                    t2, imY1, imY2, Y1, Y2,
+                                                    state,
+                                                    jnp.asarray(do_ext))
             pseudo = complex(self.pseudoresponse(A, Y1n, Y2n))
             rms = float(rms)
             if abs(pseudo - pseudo_last) < e_conv and rms < r_conv:
@@ -460,7 +577,13 @@ class ccresponse:
         tmp = contract("ia,jb->ijab", l1, A.Aov)
         polar2 += 2.0 * contract("ijab,ijab->", tmp, X2_B)
         polar2 -= contract("ijab,ijba->", tmp, X2_B)
-        tmp = contract("ijbc,bcaj->ia", l2, A.Avvvo)
+        if self._df:
+            # 'ijbc,bcaj->ia' over Avvvo[bcaj] = -t2[mjbc] pert[ma]:
+            # reduce through the o^2 intermediate (never form the o v^3)
+            G = contract("ijbc,mjbc->im", l2, self.ccwfn.t2)
+            tmp = -1.0 * contract("im,ma->ia", G, A.pert_ov)
+        else:
+            tmp = contract("ijbc,bcaj->ia", l2, A.Avvvo)
         polar2 += contract("ia,ia->", tmp, X1_B)
         tmp = contract("ijab,kbij->ak", l2, A.Aovoo)
         polar2 -= 0.5 * contract("ak,ka->", tmp, X1_B)

@@ -59,17 +59,22 @@ def main():
                  - eps[None, None, no:, None] - eps[None, None, None, no:])
         t2 = ERI[:no, :no, no:, no:] / Dijab
         t1 = 0.01 * jax.random.normal(k3, (no, nv), jnp.float32)
-        return F, ERI, L, t1, t2
+        blocks = blocks_from_full(ERI, no)
+        return F, blocks, t1, t2
 
-    print("synthesizing (o,v)=(%d,%d) dense H on device..." % (no, nv))
+    from pycc_tpu.models.blocked import blocks_from_full
+
+    print("synthesizing (o,v)=(%d,%d) blocked H on device..." % (no, nv))
     sys.stdout.flush()
-    F, ERI, L, t1, t2 = synth(jax.random.PRNGKey(7))
+    F, blocks, t1, t2 = synth(jax.random.PRNGKey(7))
     jax.block_until_ready(F)
 
-    # duck-typed ccwfn: cchbar/cceom read storage/model/H/t1/t2/no/nv
-    cc = SimpleNamespace(storage="full", model="CCSD", local=None,
-                         mesh=None, no=no, nv=nv, t1=t1, t2=t2,
-                         H=SimpleNamespace(F=F, ERI=ERI, L=L))
+    # duck-typed ccwfn with blocked storage: the dense ERI+L pair plus
+    # HBAR does not fit 15.75 GB HBM at this size (measured: 36 MB over);
+    # the six Dirac blocks + block-native HBAR do
+    cc = SimpleNamespace(storage="blocked", blocks=blocks, model="CCSD",
+                         local=None, mesh=None, no=no, nv=nv, t1=t1, t2=t2,
+                         H=SimpleNamespace(F=F))
 
     t0 = time.time()
     hb = cchbar(cc)

@@ -58,18 +58,23 @@ def main():
         t1 = 0.01 * jax.random.normal(k3, (no, nv), jnp.float32)
         mu = 0.1 * jax.random.normal(k4, (3, nact, nact), jnp.float32)
         mu = 0.5 * (mu + jnp.swapaxes(mu, 1, 2))
-        return F, ERI, L, t1, t2, mu
+        blocks = blocks_from_full(ERI, no)
+        return F, blocks, t1, t2, mu
 
-    print("synthesizing (o,v)=(%d,%d) dense H on device..." % (no, nv))
+    from pycc_tpu.models.blocked import blocks_from_full
+
+    print("synthesizing (o,v)=(%d,%d) blocked H on device..." % (no, nv))
     sys.stdout.flush()
-    F, ERI, L, t1, t2, mu = synth(jax.random.PRNGKey(11))
+    F, blocks, t1, t2, mu = synth(jax.random.PRNGKey(11))
     jax.block_until_ready(F)
 
-    H = SimpleNamespace(F=F, ERI=ERI, L=L, mu=mu, m=mu, p=mu,
-                        Q=jnp.stack([mu[0]] * 6))
-    cc = SimpleNamespace(storage="full", model="CCSD", local=None,
-                         mesh=None, no=no, nv=nv, t1=t1, t2=t2, H=H,
-                         o=slice(0, no), v=slice(no, nact))
+    # blocked storage: dense ERI+L beside the 11 HBAR blocks exceeds the
+    # 15.75 GB HBM at this size (measured); the six Dirac blocks fit,
+    # and ccresponse assembles its oovv slices from them on device
+    H = SimpleNamespace(F=F, mu=mu, m=mu, p=mu, Q=jnp.stack([mu[0]] * 6))
+    cc = SimpleNamespace(storage="blocked", blocks=blocks, model="CCSD",
+                         local=None, mesh=None, no=no, nv=nv, t1=t1, t2=t2,
+                         H=H, o=slice(0, no), v=slice(no, nact))
 
     t0 = time.time()
     hb = cchbar(cc)

@@ -115,10 +115,15 @@ class cceom:
             self._init_df_sigma(hb, cc, no, nv)
             return
         o_, v_ = slices(no)
-        # only the oovv block of L is needed by the sigmas; slice it on the
-        # host (cheap even when blocked storage keeps L host-side) and pass
+        # only the oovv block of L is needed by the sigmas; under blocked
+        # storage assemble it on device from the oovv Dirac block (no host
+        # dense L required at all); otherwise slice the host tensor.  Pass
         # everything as jit ARGUMENTS (no big closure constants)
-        Loovv = jnp.asarray(np.asarray(cc.H.L)[o_, o_, v_, v_])
+        if getattr(cc, "storage", "full") == "blocked":
+            Loovv = jax.jit(
+                lambda x: 2.0 * x - jnp.swapaxes(x, 2, 3))(cc.blocks.oovv)
+        else:
+            Loovv = jnp.asarray(np.asarray(cc.H.L)[o_, o_, v_, v_])
 
         class _L:
             def __getitem__(self, key):
@@ -311,9 +316,14 @@ class cceom:
             eps = np.sort(D[:no * nv])[::-1]
         elif method == "CIS":
             F = np.asarray(self.ccwfn.H.F)
-            L = np.asarray(self.ccwfn.H.L)
             o, v = slices(no)
-            H = L[v, o, o, v].swapaxes(0, 1).swapaxes(0, 2).copy()
+            if getattr(self.ccwfn, "storage", "full") == "blocked":
+                from .models.blocked import BlockedL
+                L_voov = np.asarray(jax.jit(
+                    lambda b: BlockedL(b, no)[v, o, o, v])(self.ccwfn.blocks))
+            else:
+                L_voov = np.asarray(self.ccwfn.H.L)[v, o, o, v]
+            H = L_voov.swapaxes(0, 1).swapaxes(0, 2).copy()
             H += np.einsum("ab,ij->iajb", F[no:, no:][:nv, :nv], np.eye(no))
             H -= np.einsum("ij,ab->iajb", F[:no, :no], np.eye(nv))
             eps, c = np.linalg.eigh(H.reshape(no * nv, no * nv))
@@ -369,6 +379,10 @@ class cceom:
             delta = r / np.subtract.outer(E, D)
 
             dE = E - E_old
+            log.info("CCEOM iter %3d: M=%3d  E0=%.10f  |dE|=%.3e  "
+                     "max|r|=%.3e  (%.1f s)"
+                     % (niter, M, E[0], np.linalg.norm(dE), rnorms.max(),
+                        time.time() - t_init))
             if (np.abs(np.linalg.norm(dE)) <= e_conv
                     and np.all(rnorms <= r_conv)):
                 converged = True

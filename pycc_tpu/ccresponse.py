@@ -71,6 +71,18 @@ def _oovv(x, no):
     return _OovvOnly(jnp.asarray(np.asarray(x)[o, o, v, v]))
 
 
+def _oovv_from_cc(cc, kind):
+    """oovv slice of ERI or L without requiring a host dense tensor:
+    under blocked storage assemble it on device from the oovv Dirac
+    block (L = 2<ij|ab> - <ij|ba>); otherwise slice cc.H."""
+    if getattr(cc, "storage", "full") == "blocked":
+        x = cc.blocks.oovv
+        if kind == "L":
+            x = jax.jit(lambda b: 2.0 * b - jnp.swapaxes(b, 2, 3))(x)
+        return _OovvOnly(x)
+    return _oovv(cc.H.L if kind == "L" else cc.H.ERI, cc.no)
+
+
 def build_response_aux(hb):
     """Pre-laid spin-adapted combinations of the HBAR blocks, built ONCE
     per response object and passed into the jitted steps as arguments.
@@ -375,7 +387,7 @@ class ccresponse:
         no = cc.no
         hb = self.hbar.hbar if hasattr(self.hbar, "hbar") else self.hbar
         t2 = cc.t2
-        L = None if self._df else _oovv(cc.H.L, no)
+        L = None if self._df else _oovv_from_cc(cc, "L")
         Dia = self.Dia + omega
         Dijab = self.Dijab + omega
         Ad = self._Adict(A)
@@ -486,7 +498,8 @@ class ccresponse:
             imY1, imY2 = inhomo(hb, self._Loovv, self._Eoovv, cc.t1, t2,
                                 l1, l2, Ad, A.pert_ov, self.X1, self.X2)
         else:
-            L, ERI = _oovv(cc.H.L, no), _oovv(cc.H.ERI, no)
+            L = _oovv_from_cc(cc, "L")
+            ERI = _oovv_from_cc(cc, "ERI")
             imY1 = in_Y1(hb, L, t2, l1, l2, Ad, self.X1, self.X2, no,
                          self._aux)
             imY2 = in_Y2(hb, L, ERI, t2, l1, l2, Ad, self.X1, self.X2, no,

@@ -50,4 +50,7 @@ MOLECULES = {"H2O": H2O, "H2O_Teach": H2O_TEACH, "He": HE, "H2": H2,
 
 @functools.lru_cache(maxsize=32)
 def scf(molname, basis, freeze_core=True):
+    if molname not in MOLECULES:
+        from pycc_tpu.data.molecules import moldict
+        return run_rhf(moldict[molname], basis, freeze_core=freeze_core)
     return run_rhf(MOLECULES[molname], basis, freeze_core=freeze_core)

@@ -163,7 +163,9 @@ def residuals_ccd_screened(pre, t2r):
     """r2 (no,no,D,D): the lccwfn_local.residuals_ccd_local equations over
     the compact strong-pair stacks; weak-pair rows return 0."""
     pidx, pi, pj = pre["pidx"], pre["pi"], pre["pj"]
-    no, D = pre["no"], pre["D"]
+    # static ints from the amplitude SHAPE: pre is a jit argument, so its
+    # scalar entries arrive as tracers and cannot parameterize reshapes
+    no, D = t2r.shape[0], t2r.shape[2]
     Sg, TLg, BEg = pre["Sg"], pre["TLg"], pre["BEg"]
     t2c = t2r.reshape(no * no, D, D)[pi * no + pj]
     t2sc = t2c - t2c.swapaxes(1, 2)

@@ -158,3 +158,61 @@ def solve_atom(sym, s_exps=None, p_exps=None, damp=0.5, maxiter=4000,
     if w[np.argmax(np.abs(w))] < 0:
         w = -w
     return dict(E=float(E), c=[c1, c2], w=w, niter=it)
+
+
+# ---------------------------------------------------------------------------
+# aug-cc-pVDZ diffuse exponents (Kendall, Dunning & Harrison, JCP 96, 6796
+# (1992)): one diffuse function per angular momentum, with the s/p
+# exponents optimized for the HF energy of the atomic ANION in the
+# presence of each other.  LS ground terms of the anions, same
+# (alpha, gamma) parametrization as STATES (the p^5 2P row follows by
+# hole-counting against closed p^6 = 15 Jxy: removing one electron
+# removes Jxx + 4Jxy - 2Kxy = 5Jxy, so E_pp(p^5) = 10 Jxy exactly).
+#
+# Calibration (tests/test_022_aug_cn.py): for O — whose published diffuse
+# set is pinned externally through the frozen aug-cc-pVDZ Psi4 oracles
+# (tests/test_007) — optimize_aug reproduces BOTH published exponents to
+# every published digit (s 0.07896, p 0.06856).  Applied to C/N it
+# reproduces the published p exponents exactly (0.04041 / 0.05611) and
+# lands within the shallow s minimum (derived 0.04642 / 0.06026 vs
+# published 0.04690 / 0.06124; the basin is ~1e-5 mH flat).  The diffuse
+# d is a correlation-optimized quantity (CISD on the anion) out of scope
+# for this HF solver; it transfers by the O-calibrated even-tempered
+# ratio d_aug/d_valence = 0.3320/1.1850, which also post-dicts the
+# published C/N values to 2%/0.4% (0.15409->0.151, 0.22890->0.230).
+# ---------------------------------------------------------------------------
+
+ANION_STATES = {
+    "C": (2, 3, 3.0, -3.0),   # C-  p3 4S
+    "N": (2, 4, 6.0, -1.0),   # N-  p4 3P
+    "O": (2, 5, 10.0, 0.0),   # O-  p5 2P
+}
+
+
+def anion_energy(sym, s_diffuse, p_diffuse):
+    """LS-coupled atomic HF energy of the anion with one extra diffuse
+    primitive per l appended to the cc-pVDZ primitive set."""
+    s0, p0 = PRIMITIVES[sym]
+    save = STATES[sym]
+    STATES[sym] = ANION_STATES[sym]
+    try:
+        return solve_atom(sym, s_exps=list(s0) + [float(s_diffuse)],
+                          p_exps=list(p0) + [float(p_diffuse)])["E"]
+    finally:
+        STATES[sym] = save
+
+
+def optimize_aug(sym, guess=None, xatol=1e-4):
+    """Derive the aug-cc-pVDZ diffuse (s, p) exponents for `sym` by
+    minimizing the anion HF energy (the defining construction).  Returns
+    (s_exp, p_exp)."""
+    import numpy as _np
+    from scipy.optimize import minimize
+
+    if guess is None:
+        guess = {"C": (0.05, 0.045), "N": (0.065, 0.055),
+                 "O": (0.08, 0.069)}[sym]
+    r = minimize(lambda v: anion_energy(sym, _np.exp(v[0]), _np.exp(v[1])),
+                 _np.log(_np.asarray(guess)), method="Nelder-Mead",
+                 options=dict(xatol=xatol, fatol=1e-11))
+    return tuple(float(x) for x in _np.exp(r.x))

@@ -122,11 +122,18 @@ _CCPVDZ = {
     ],
 }
 
-# aug-cc-pVDZ = cc-pVDZ + one diffuse function per angular momentum
+# aug-cc-pVDZ = cc-pVDZ + one diffuse function per angular momentum.
+# H/He/O rows are oracle-validated (frozen aug-cc-pVDZ Psi4 energies,
+# tests/test_007).  C/N rows are DERIVED by anion-HF optimization of the
+# s/p exponents (scf/atomic.py optimize_aug — reproduces every published
+# O digit) with the d transferred by the O-calibrated even-tempered
+# ratio; frozen here, regression-pinned in tests/test_022_aug_cn.py.
 _AUG_EXTRA = {
     "H": [("S", [(0.0297400, 1.0)]), ("P", [(0.1410000, 1.0)])],
     "He": [("S", [(0.0725500, 1.0)]), ("P", [(0.2473000, 1.0)])],
     "O": [("S", [(0.0789600, 1.0)]), ("P", [(0.0685600, 1.0)]), ("D", [(0.3320000, 1.0)])],
+    "C": [("S", [(0.0464200, 1.0)]), ("P", [(0.0404100, 1.0)]), ("D", [(0.1540900, 1.0)])],
+    "N": [("S", [(0.0602600, 1.0)]), ("P", [(0.0561200, 1.0)]), ("D", [(0.2289000, 1.0)])],
 }
 
 _631G = {

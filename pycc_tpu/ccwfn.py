@@ -103,7 +103,7 @@ class ccwfn:
             raise Exception("%s is not an allowed local-CC model." % local)
         self.local = local
         self.local_cutoff = kwargs.pop("local_cutoff", 1e-5)
-        # pair_cutoff (local CCD only): strong-pair screening threshold on
+        # pair_cutoff (local CCD/CCSD): strong-pair screening threshold on
         # the local-MP2 pair energies; weak pairs are frozen at MP2 and the
         # pair-pair stacks compact to the strong list (lccwfn_screened.py)
         self.pair_cutoff = kwargs.pop("pair_cutoff", None)
@@ -111,10 +111,11 @@ class ccwfn:
         self.it2_opt = kwargs.pop("it2_opt", True)
         self.filter = kwargs.pop("filter", False)
         if self.pair_cutoff is not None and (local is None
-                                             or model != "CCD"
+                                             or model not in ("CCD", "CCSD")
                                              or self.filter):
-            raise Exception("pair_cutoff requires a native local CCD run "
-                            "(local=..., model='CCD', filter=False).")
+            raise Exception("pair_cutoff requires a native local CCD/CCSD "
+                            "run (local=..., model='CCD'|'CCSD', "
+                            "filter=False).")
 
         precision = kwargs.pop("precision", "DP").upper()
         if precision not in ("SP", "DP"):

@@ -73,19 +73,27 @@ class lccwfn:
         if self._use_local_eqs:
             from . import lccwfn_local as leq
             D2 = Local.D2
-            if model == "CCD" and pair_cutoff is not None:
+            if model in ("CCD", "CCSD") and pair_cutoff is not None:
                 # pair-screened compact stacks: P^2 D^2 memory instead of
                 # no^4 D^2; weak pairs frozen at local MP2
                 from . import lccwfn_screened as seq
-                self._pre = seq.precompute_ccd_screened(
-                    H, Local, no, nv, pair_cutoff)
+                if model == "CCD":
+                    self._pre = seq.precompute_ccd_screened(
+                        H, Local, no, nv, pair_cutoff)
+                    res_fn = lambda pre, t1r, t2r: (
+                        None, seq.residuals_ccd_screened(pre, t2r))
+                    en_fn = lambda pre, t1r, t2r: seq.energy_ccd_screened(
+                        pre, t2r)
+                else:
+                    self._pre = seq.precompute_ccsd_screened(
+                        H, Local, no, nv, pair_cutoff)
+                    res_fn = lambda pre, t1r, t2r: \
+                        seq.residuals_ccsd_screened(pre, t1r, t2r)
+                    en_fn = lambda pre, t1r, t2r: \
+                        seq.energy_ccsd_screened(pre, t1r, t2r)
                 log.info("pair screening: %d of %d pairs strong "
                          "(cutoff %.1e)" % (self._pre["P"], no * no,
                                             pair_cutoff))
-                res_fn = lambda pre, t1r, t2r: (
-                    None, seq.residuals_ccd_screened(pre, t2r))
-                en_fn = lambda pre, t1r, t2r: seq.energy_ccd_screened(
-                    pre, t2r)
             elif model == "CCD":
                 self._pre = leq.precompute_ccd(H, Local, no, nv)
                 res_fn = lambda pre, t1r, t2r: (None,

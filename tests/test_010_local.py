@@ -177,12 +177,60 @@ def test_pair_screened_ccd_weak_pairs_frozen_at_mp2():
     assert np.max(np.abs(t2_fin[weak] - t2_mp2[weak])) < 1e-13
 
 
+def test_pair_screened_ccsd_exact_at_zero_cutoff():
+    """pair_cutoff=0 keeps every pair strong: the compact screened CCSD
+    stacks must reproduce the unscreened padded-batch solver through
+    convergence (singles included)."""
+    wfn = scf("H2O", "cc-pvdz", freeze_core=False)
+    with contextlib.redirect_stdout(io.StringIO()):
+        cc0 = pycc_tpu.ccwfn(wfn, model="CCSD", local="PNO",
+                             local_cutoff=1e-5, it2_opt=False)
+        e0 = cc0.lccwfn.solve_lcc(1e-12, 1e-12, maxiter=100)
+        cc1 = pycc_tpu.ccwfn(wfn, model="CCSD", local="PNO",
+                             local_cutoff=1e-5, it2_opt=False,
+                             pair_cutoff=0.0)
+        e1 = cc1.lccwfn.solve_lcc(1e-12, 1e-12, maxiter=100)
+    assert cc1.lccwfn._pre["P"] == cc1.lccwfn.no ** 2
+    assert abs(e1 - e0) < 1e-12
+
+
+def test_pair_screened_ccsd_weak_pairs_frozen_at_mp2():
+    """A real cutoff on CCSD: strong list shrinks, energy moves by
+    O(cutoff), weak t2 rows stay at local MP2, and t1 stays finite."""
+    import numpy as np
+
+    wfn = scf("H2O", "cc-pvdz", freeze_core=False)
+    with contextlib.redirect_stdout(io.StringIO()):
+        cc0 = pycc_tpu.ccwfn(wfn, model="CCSD", local="PNO",
+                             local_cutoff=1e-5, it2_opt=False)
+        e0 = cc0.lccwfn.solve_lcc(1e-12, 1e-12, maxiter=100)
+        cc = pycc_tpu.ccwfn(wfn, model="CCSD", local="PNO",
+                            local_cutoff=1e-5, it2_opt=False,
+                            pair_cutoff=1e-3)
+        e = cc.lccwfn.solve_lcc(1e-12, 1e-12, maxiter=100)
+    lw = cc.lccwfn
+    P, no = lw._pre["P"], lw.no
+    assert P < no ** 2
+    assert 0 < abs(e - e0) < 2e-2
+    pidx = np.asarray(lw._pre["pidx"]).reshape(-1)
+    t2_mp2 = np.asarray(-lw.H.ERI[lw.o, lw.o, lw.v, lw.v]
+                        .reshape(no * no, lw.nv, lw.nv))
+    QLp = np.asarray(lw.Local.QLp)
+    t2_mp2 = np.einsum("pva,pvw,pwb->pab", QLp, t2_mp2, QLp) \
+        / np.asarray(lw._Dloc)
+    t2_fin = np.asarray(lw.t2)
+    weak = pidx < 0
+    assert weak.any()
+    assert np.max(np.abs(t2_fin[weak] - t2_mp2[weak])) < 1e-13
+    assert np.all(np.isfinite(np.asarray(lw.t1)))
+
+
 def test_pair_screened_rejects_unsupported_combinations():
     import pytest
 
     wfn = scf("H2O", "cc-pvdz", freeze_core=False)
     with pytest.raises(Exception, match="pair_cutoff"):
-        pycc_tpu.ccwfn(wfn, model="CCSD", local="PNO", local_cutoff=1e-5,
+        pycc_tpu.ccwfn(wfn, model="CC2", local="PNO", local_cutoff=1e-5,
                        pair_cutoff=1e-4)
     with pytest.raises(Exception, match="pair_cutoff"):
         pycc_tpu.ccwfn(wfn, model="CCD", pair_cutoff=1e-4)

@@ -198,7 +198,11 @@ class ccwfn:
             if not self.filter:
                 from .lccwfn import lccwfn as _lccwfn
                 self.Local.trans_integrals(self.o, self.v)
-                self.Local.overlaps()
+                if self.pair_cutoff is None:
+                    # full no^4 D^2 pair-pair overlap stack — only the
+                    # unscreened padded equations index it; the screened
+                    # path builds its compact (P,P,D,D) block itself
+                    self.Local.overlaps()
                 self.lccwfn = _lccwfn(self.o, self.v, self.no, self.nv,
                                       self.H, self.local, self.model,
                                       self.eref, self.Local,

@@ -18,6 +18,8 @@ import argparse
 import dataclasses
 import json
 import sys
+
+sys.path.insert(0, "/root/repo")  # runnable from any cwd
 import time
 
 

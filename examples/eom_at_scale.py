@@ -17,6 +17,8 @@ Usage:  python examples/eom_at_scale.py [--no 32] [--nv 128] [--roots 3]
 import argparse
 import json
 import sys
+
+sys.path.insert(0, "/root/repo")  # runnable from any cwd
 import time
 from types import SimpleNamespace
 

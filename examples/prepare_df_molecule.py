@@ -20,6 +20,8 @@ Usage:
 
 import argparse
 import sys
+
+sys.path.insert(0, "/root/repo")  # runnable from any cwd
 import time
 
 import numpy as np

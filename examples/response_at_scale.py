@@ -16,6 +16,8 @@ Usage: python examples/response_at_scale.py [--no 32] [--nv 128]
 import argparse
 import json
 import sys
+
+sys.path.insert(0, "/root/repo")  # runnable from any cwd
 import time
 from types import SimpleNamespace
 

@@ -9,8 +9,12 @@ analysis PLUS the ladder-scan body times its remaining trip count (XLA
 costs a scan body once), so `tflops`/`mfu` are true sustained rates.
 
 `extra` carries secondary rows: the round-1 blocked-storage CCSD
-iteration at (32,128) f32 (continuity metric) and the (T) slab-scan wall
-time at (32,128) (the BASELINE.json "(T) wall time" metric).
+iteration at (32,128) f32 (continuity metric), the (T) slab-scan wall
+time at (32,128) (the BASELINE.json "(T) wall time" metric), and — when
+the prepared factors are cached on disk (examples/prepare_df_molecule.py)
+— a REAL-molecule DF-CCSD iteration: (H2O)_10 / aug-cc-pVDZ, 410 basis
+functions, (o, v) = (40, 360), naux = 2592, integral-direct AO Cholesky
+factors (no four-index tensor was ever formed), f32.
 
 Measurement rules learned the hard way on the axon runtime (see
 PERF.md): executions are async and a FAILED execution makes
@@ -42,6 +46,9 @@ CPU_S_PER_FLOP = 6.596 / 3.0314522624e10
 DF_CFG = dict(no=32, nv=512, naux=1632, nblocks=64)  # 544-bf, naux=3*nact
 BLK_CFG = dict(no=32, nv=128)
 T_CFG = dict(no=32, nv=128)
+# real-molecule factors prepared by examples/prepare_df_molecule.py
+# ((H2O)_10 aug-cc-pVDZ, 410 bf): the row is emitted only when cached
+REAL_NPZ = "/root/repo/df_cache/w10aug.npz"
 
 TPU_BF16_PEAK = 197e12  # TPU v5e
 
@@ -136,6 +143,58 @@ def bench_df(no, nv, naux, nblocks, n=5):
     _fetch_finite(b)
     dt = (time.time() - t0) / n
     return dt, flops
+
+
+def bench_real_molecule(npz_path, n=5):
+    """Real-molecule DF-CCSD iteration from integral-direct AO-Cholesky
+    factors ((H2O)_10 / aug-cc-pVDZ, 410 bf): the same residual program
+    ccwfn(storage='df') runs, timed on physical factors rather than the
+    synthetic spectrally-shaped draws of bench_df."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pycc_tpu.models import dfccsd as dfq
+    from pycc_tpu.models.dfccsd import _ladder_blocks
+    from pycc_tpu.ops.contract import contract
+
+    d = np.load(npz_path, allow_pickle=True)
+    B = np.asarray(d["B"], np.float32)
+    F = np.asarray(d["F"], np.float32)
+    no = int(d["no"])
+    naux, nact, _ = B.shape
+    nv = nact - no
+    nblocks = _ladder_blocks(nv, naux)
+    df = dfq.DFERI(jnp.asarray(B[:, :no, :no]), jnp.asarray(B[:, :no, no:]),
+                   jnp.asarray(B[:, no:, no:]))
+    del B
+    eps = np.diag(F)
+    Dia = jnp.asarray(eps[:no, None] - eps[None, no:])
+    Dijab = jnp.asarray(eps[:no, None, None, None]
+                        + eps[None, :no, None, None]
+                        - eps[None, None, no:, None]
+                        - eps[None, None, None, no:])
+    F = jnp.asarray(F)
+    t1 = jnp.zeros((no, nv), jnp.float32)
+    t2 = jax.jit(lambda df, D: contract("Pia,Pjb->ijab", df.Bov,
+                                        df.Bov) / D)(df, Dijab)
+
+    def step(F, df, Dia, Dijab, t1, t2):
+        r1, r2 = dfq.residuals_ccsd_df(F, df, t1, t2, no, nblocks=nblocks)
+        return t1 + r1 / Dia, t2 + r2 / Dijab
+
+    comp = jax.jit(step).lower(F, df, Dia, Dijab, t1, t2).compile()
+    flops = _flops_of(comp)
+    if flops:
+        blk = -(-nv // nblocks)
+        flops += (nblocks - 1) * 2.0 * blk * nv ** 3 * (naux + no * no)
+    a, b = comp(F, df, Dia, Dijab, t1, t2)
+    _fetch_finite(b)
+    t0 = time.time()
+    for _ in range(n):
+        a, b = comp(F, df, Dia, Dijab, a, b)
+    _fetch_finite(b)
+    dt = (time.time() - t0) / n
+    return dt, flops, dict(no=no, nv=nv, naux=naux)
 
 
 def bench_blocked(no, nv, n=10):
@@ -258,6 +317,14 @@ def _child():
                           unit="s"))
     except Exception as exc:
         print("# triples extra failed: %s" % exc, file=sys.stderr)
+    if os.path.exists(REAL_NPZ):
+        try:
+            dtr, fr, cfg = bench_real_molecule(REAL_NPZ)
+            extra.append(_row(
+                "dfccsd_real_w10_augccpvdz_410bf_o%(no)d_v%(nv)d_"
+                "naux%(naux)d_f32" % cfg, dtr, fr))
+        except Exception as exc:
+            print("# real-molecule extra failed: %s" % exc, file=sys.stderr)
     out["extra"] = extra
     print(json.dumps(out))
 
@@ -270,7 +337,7 @@ def main():
     try:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child"],
-            capture_output=True, text=True, timeout=3000)
+            capture_output=True, text=True, timeout=4200)
         for line in out.stdout.splitlines():
             if line.startswith("{"):
                 print(line)

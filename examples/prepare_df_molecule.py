@@ -68,8 +68,13 @@ def main():
 
     F = C_act.T @ np.asarray(wfn.Fa()) @ C_act
     no = wfn.doccpi()[0] - wfn.frzcpi()[0]
+    # MO electric-dipole integrals: lets run_df_molecule --response solve
+    # perturbed amplitudes / a polarizability component from the factors
+    from pycc_tpu.scf import integrals as ints
+    mu = np.stack([C_act.T @ M @ C_act
+                   for M in ints.dipole(wfn.basisset())])
     np.savez_compressed(
-        args.out, B=B.astype(np.float32), F=F, no=no,
+        args.out, B=B.astype(np.float32), F=F, no=no, mu=mu,
         escf=wfn.energy(), nbf=wfn.basisset().nbf,
         basis=args.basis, molname=args.mol or ("(H2O)_%d" % args.waters),
         t_scf=t_scf, t_mo=t_mo, t_rc=t_rc)

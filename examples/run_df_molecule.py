@@ -41,10 +41,26 @@ def main():
     ap.add_argument("--eom-r-conv", type=float, default=1e-5,
                     help="root/residual tolerances (SP at scale bottoms "
                          "out near 1e-3 residual norms; loosen there)")
+    ap.add_argument("--eom-guess", default="UNIT",
+                    help="UNIT (orbital-energy diagonal; the at-scale "
+                         "choice) or HBAR_SS (dense (no*nv)^2 host eig — "
+                         "hours at nact >= 400)")
+    ap.add_argument("--eom-maxiter", type=int, default=40)
+    ap.add_argument("--response", action="store_true",
+                    help="after Lambda: solve the MU_Z right+left perturbed "
+                         "amplitudes at --omega and assemble alpha_zz "
+                         "(needs mu in the npz; see prepare_df_molecule)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke tests; the env var "
+                         "JAX_PLATFORMS=cpu is ignored under axon)")
+    ap.add_argument("--omega", type=float, default=0.0656)
+    ap.add_argument("--resp-conv", type=float, default=1e-5)
     args = ap.parse_args()
     print("args: %s" % vars(args))
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import pycc_tpu
@@ -82,11 +98,42 @@ def main():
                           "lambda_converged": bool(lam.converged),
                           "t_post_s": round(time.time() - t0, 2)}))
         sys.stdout.flush()
+        if args.response:
+            import dataclasses
+            from types import SimpleNamespace
+            if "mu" not in d:
+                raise SystemExit("npz has no dipole integrals; re-run "
+                                 "examples/prepare_df_molecule.py")
+            import jax.numpy as jnp
+            mu = jnp.asarray(np.asarray(
+                d["mu"], np.float32 if args.precision == "SP"
+                else np.float64))
+            cc.H = dataclasses.replace(cc.H, mu=mu)
+            resp = pycc_tpu.ccresponse(SimpleNamespace(ccwfn=cc,
+                                                       cclambda=lam))
+            t0 = time.time()
+            X1, X2, pX = resp.solve_right(
+                resp.pertbar["MU_Z"], args.omega, e_conv=args.resp_conv,
+                r_conv=args.resp_conv, maxiter=args.maxiter)
+            t_x = round(time.time() - t0, 2)
+            t0 = time.time()
+            Y1, Y2, pY = resp.solve_left(
+                resp.pertbar["MU_Z"], args.omega, e_conv=args.resp_conv,
+                r_conv=args.resp_conv, maxiter=args.maxiter)
+            t_y = round(time.time() - t0, 2)
+            lrzz = float(np.real(resp.linresp_asym("MU_Z", X1, X2, Y1, Y2)))
+            print(json.dumps({"lr_mu_z_mu_z": lrzz, "omega": args.omega,
+                              "pseudoresponse_right": float(np.real(pX)),
+                              "t_solve_right_s": t_x,
+                              "t_solve_left_s": t_y}))
+            sys.stdout.flush()
         if args.eom:
             t0 = time.time()
             eom = pycc_tpu.cceom(hbar)
             E, _ = eom.solve_eom(N=args.eom, e_conv=args.eom_e_conv,
-                                 r_conv=args.eom_r_conv)
+                                 r_conv=args.eom_r_conv,
+                                 maxiter=args.eom_maxiter,
+                                 guess=args.eom_guess)
             print(json.dumps({"eom_roots_eh": [float(x) for x in E],
                               "eom_converged": bool(eom.converged),
                               "t_eom_s": round(time.time() - t0, 2)}))

@@ -35,6 +35,10 @@ def main():
                          "t2-sized buffers; shrink at nact >= 400)")
     ap.add_argument("--post", action="store_true",
                     help="DF-HBAR + Lambda after convergence")
+    ap.add_argument("--triples", action="store_true",
+                    help="(T) energy from factor-assembled slices after "
+                         "the solve (no dense ERI anywhere; working set "
+                         "~2 x no*nv^3)")
     ap.add_argument("--eom", type=int, default=0,
                     help="number of EOM-CCSD roots (0 = skip)")
     ap.add_argument("--eom-e-conv", type=float, default=1e-6)
@@ -86,6 +90,14 @@ def main():
         "e_corr": float(ecc), "e_total": float(d["escf"]) + float(ecc),
         "converged": bool(cc.converged), "t_solve_s": round(t_solve, 2)}))
     sys.stdout.flush()
+
+    if args.triples:
+        from pycc_tpu.triples import t_vikings_scan
+        t0 = time.time()
+        et = float(t_vikings_scan(cc))
+        print(json.dumps({"e_t": et, "e_ccsd_t": float(ecc) + et,
+                          "t_triples_s": round(time.time() - t0, 2)}))
+        sys.stdout.flush()
 
     if args.post:
         t0 = time.time()

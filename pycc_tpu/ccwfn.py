@@ -693,11 +693,15 @@ class ccwfn:
                 log.info("\nCCWFN converged in %.3f seconds.\n" % (time.time() - tstart))
                 log.info("E(REF)  = %20.15f" % self.eref)
                 if self.model == "CCSD(T)":
-                    from .triples import t_tjl
                     log.info("E(CCSD) = %20.15f" % ecc)
                     if self.make_t3_density:
                         et = float(self.t3_density())
+                    elif self.storage == "df":
+                        # factor-assembled slices; no dense ERI exists
+                        from .triples import t_vikings_scan
+                        et = float(t_vikings_scan(self))
                     else:
+                        from .triples import t_tjl
                         et = float(t_tjl(self))
                     log.info("E(T)    = %20.15f" % et)
                     ecc = ecc + et
@@ -822,8 +826,12 @@ class ccwfn:
         log.info("CCWFN (fused) converged=%s in %d iterations: E(%s) = %.15f"
               % (bool(done), int(niter), self.model, self.ecc))
         if self.model == "CCSD(T)":
-            from .triples import t_tjl
-            et = float(t_tjl(self))
+            if self.storage == "df":
+                from .triples import t_vikings_scan
+                et = float(t_vikings_scan(self))
+            else:
+                from .triples import t_tjl
+                et = float(t_tjl(self))
             self.ecc += et
             log.info("E(T) = %.15f  E(total corr) = %.15f" % (et, self.ecc))
         return self.ecc

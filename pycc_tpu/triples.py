@@ -409,7 +409,30 @@ def t_vikings_scan(cc):
     t1, t2 = cc.t1, cc.t2
     o, v = _slices(no)
 
-    if getattr(cc, "storage", "full") == "blocked":
+    if getattr(cc, "storage", "full") == "df":
+        # (T) from Cholesky/DF factors: assemble exactly the five integral
+        # slices the slab scan consumes — nothing nact^4 is ever formed,
+        # so CCSD(T) runs at sizes whose dense ERI cannot exist (the
+        # reference's (T) needs the full MO ERI,
+        # /root/reference/pycc/cctriples.py:106-152 via hamiltonian.py:36).
+        # Dirac <pq|rs> = (pr|qs) = sum_P B[P,p,r] B[P,q,s].  The largest
+        # assembled stacks are the two no*nv^3 slabs (~1.8 GB f32 each at
+        # (28,252)); the HBM wall moves from nact^4 to no*nv^3.
+        @jax.jit
+        def prep_df(F, Boo, Bov, Bvv):
+            Wvvvo_o = contract("Pac,Pib->iabc", Bvv, Bov)
+            Wovoo_t = contract("Pij,Pka->jkia", Boo, Bov)
+            Evovv = contract("Pab,Pic->aibc", Bvv, Bov)
+            Eooov = contract("Pik,Pja->ijka", Boo, Bov)
+            Eoovv = contract("Pia,Pjb->ijab", Bov, Bov)
+            Loovv = 2.0 * Eoovv - Eoovv.swapaxes(2, 3)
+            return (Wvvvo_o, Wovoo_t, Evovv, Eooov, Loovv, F[o, v],
+                    jnp.diagonal(F))
+
+        (Wvvvo, Wovoo, Evovv, Eooov,
+         Loovv, Fov, eps) = prep_df(jnp.asarray(cc.H.F), cc.dfb.Boo,
+                                    cc.dfb.Bov, cc.dfb.Bvv)
+    elif getattr(cc, "storage", "full") == "blocked":
         # source every slice from the six Dirac blocks: nothing nact^4
         # ever reaches the device
         from .models.blocked import blocked_views

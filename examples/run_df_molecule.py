@@ -110,6 +110,22 @@ def main():
                           "lambda_converged": bool(lam.converged),
                           "t_post_s": round(time.time() - t0, 2)}))
         sys.stdout.flush()
+        if "mu" in d:
+            # correlation contribution to the electric dipole from the
+            # unrelaxed CCSD one-pdm (no v^4 object: onlyone path)
+            import jax.numpy as jnp
+            from pycc_tpu.ccdensity import onepdm
+            from pycc_tpu.ops.contract import contract
+            t0 = time.time()
+            opdm = onepdm("CCSD", cc.t1, cc.t2, lam.l1, lam.l2,
+                          cc.no, cc.nact)
+            mu_d = np.asarray(d["mu"], np.float32
+                              if args.precision == "SP" else np.float64)
+            mu_corr = [float(np.real(contract(
+                "pq,pq->", jnp.asarray(mu_d[k]), opdm))) for k in range(3)]
+            print(json.dumps({"dipole_corr_au": mu_corr,
+                              "t_onepdm_s": round(time.time() - t0, 2)}))
+            sys.stdout.flush()
         if args.response:
             import dataclasses
             from types import SimpleNamespace

@@ -263,19 +263,48 @@ class ccdensity:
         self.Dvo = build_Dvo(l1)
         self.Dvv = build_Dvv(model, t1, t2, l1, l2, Dvv_x)
         self.Doo = build_Doo(model, t1, t2, l1, l2, Doo_x)
+        self._df = getattr(ccwfn, "storage", "full") == "df"
         if not onlyone:
             self.Doooo = build_Doooo(model, t1, t2, l2)
-            self.Dvvvv = build_Dvvvv(model, t1, t2, l2)
             self.Dooov = build_Dooov(model, t1, t2, l1, l2, Gooov)
-            self.Dvvvo = build_Dvvvo(model, t1, t2, l1, l2, Gvvvo)
             self.Dovov = build_Dovov(model, t1, t2, l1, l2)
             self.Doovv = build_Doovv(model, t1, t2, l1, l2, Goovv)
+            if not self._df:
+                self.Dvvvv = build_Dvvvv(model, t1, t2, l2)
+                self.Dvvvo = build_Dvvvo(model, t1, t2, l1, l2, Gvvvo)
+            # storage='df': the v^4/v^3o blocks are never materialized —
+            # compute_energy evaluates their energy contractions
+            # factor-wise (models/dfdensity.py)
         log.info("\nCCDENSITY constructed in %.3f seconds.\n" % (time.time() - t0))
 
     def compute_energy(self):
         cc = self.ccwfn
         o, v = cc.o, cc.v
         F, ERI = cc.H.F, cc.H.ERI
+        if self._df and not self.onlyone:
+            # factor-wise two-electron energy: the vvvv term rides the
+            # a-blocked DF ladder and every Dvvvo term is re-associated
+            # through B — no v^4/v^3o object exists (models/dfdensity.py)
+            from .models.dfdensity import density_energy_df
+            if getattr(self.ccwfn, "Gvvvo", None) is not None:
+                raise Exception("(T)-density energy over factors is not "
+                                "implemented (the Gvvvo extra needs a "
+                                "factor-wise form); use storage='full' or "
+                                "'blocked' for CCSD(T) densities.")
+            lam = self.cclambda
+            eone, etwo = density_energy_df(
+                F, cc.dfb, cc.t1, cc.t2, lam.l1, lam.l2, cc.no,
+                model=cc.model, Doo=self.Doo, Dvv=self.Dvv,
+                Doooo=self.Doooo, Dooov=self.Dooov, Dovov=self.Dovov,
+                Doovv=self.Doovv,
+                nblocks=getattr(cc, "_df_nblocks", None))
+            self.eone = float(jnp.real(eone))
+            self.etwo = float(jnp.real(etwo))
+            self.ecc = self.eone + self.etwo
+            log.info("One-electron CC energy = %20.15f" % self.eone)
+            log.info("Two-electron CC energy = %20.15f" % self.etwo)
+            log.info("CC Correlation Energy  = %20.15f" % self.ecc)
+            return self.ecc
         if getattr(cc, "storage", "full") == "blocked":
             # the six blocks are already on device; slice-views beat
             # re-staging the host-side dense tensor

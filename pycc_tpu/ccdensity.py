@@ -286,17 +286,14 @@ class ccdensity:
             # a-blocked DF ladder and every Dvvvo term is re-associated
             # through B — no v^4/v^3o object exists (models/dfdensity.py)
             from .models.dfdensity import density_energy_df
-            if getattr(self.ccwfn, "Gvvvo", None) is not None:
-                raise Exception("(T)-density energy over factors is not "
-                                "implemented (the Gvvvo extra needs a "
-                                "factor-wise form); use storage='full' or "
-                                "'blocked' for CCSD(T) densities.")
             lam = self.cclambda
             eone, etwo = density_energy_df(
                 F, cc.dfb, cc.t1, cc.t2, lam.l1, lam.l2, cc.no,
                 model=cc.model, Doo=self.Doo, Dvv=self.Dvv,
                 Doooo=self.Doooo, Dooov=self.Dooov, Dovov=self.Dovov,
                 Doovv=self.Doovv,
+                Gvvvo=(getattr(cc, "Gvvvo", None)
+                       if cc.model == "CCSD(T)" else None),
                 nblocks=getattr(cc, "_df_nblocks", None))
             self.eone = float(jnp.real(eone))
             self.etwo = float(jnp.real(etwo))

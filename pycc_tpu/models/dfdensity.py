@@ -15,12 +15,27 @@ Index conventions: Dirac <pq|rs> = (pr|qs) = sum_P B[P,p,r] B[P,q,s];
 factor blocks Boo/Bov/Bvv as in models/dfccsd.DFERI.
 """
 
+import jax
 import jax.numpy as jnp
 
 from ..cclambda import build_Goo, build_Gvv
 from ..ops.contract import contract
 from .ccsd import build_tau
 from .dfhbar import ladder_apply
+
+
+def _evvvo_extra_df(df, G):
+    """sum <ab|ci> G[abci] for a MATERIALIZED v^3 o extra block (the (T)
+    density's Gvvvo): a-mapped so the ERI slice never exists beyond one
+    (v, o, v) sheet."""
+
+    def one_a(args):
+        Bva, Ga = args                              # (naux, v), (v, v, o)
+        t = contract("Pc,Pib->cib", Bva, df.Bov)    # <a.|ci> sheet
+        return contract("cib,bci->", t, Ga)
+
+    es = jax.lax.map(one_a, (jnp.moveaxis(df.Bvv, 1, 0), G))
+    return jnp.sum(es)
 
 
 def _evvvv_df(model, df, t1, t2, l2, nblocks=None):
@@ -91,7 +106,7 @@ def _evvvo_df(model, df, t1, t2, l1, l2, nblocks=None):
 
 def density_energy_df(F, df, t1, t2, l1, l2, no, model="CCSD",
                       Doo=None, Dvv=None, Doooo=None, Dooov=None,
-                      Dovov=None, Doovv=None, nblocks=None):
+                      Dovov=None, Doovv=None, Gvvvo=None, nblocks=None):
     """(eone, etwo): the density-based correlation energy over factors.
 
     The o-heavy two-pdm blocks may be passed in (ccdensity caches them);
@@ -128,4 +143,7 @@ def density_energy_df(F, df, t1, t2, l1, l2, no, model="CCSD",
     etwo += 0.5 * contract("Pia,Pjb,ijab->", Bov, Bov, Doovv)
     etwo += _evvvv_df(model, df, t1, t2, l2, nblocks=nblocks)
     etwo += _evvvo_df(model, df, t1, t2, l1, l2, nblocks=nblocks)
+    if Gvvvo is not None:
+        # (T)-density vvvo extra (ccwfn.t3_density's Gvvvo block)
+        etwo += _evvvo_extra_df(df, Gvvvo)
     return eone, etwo

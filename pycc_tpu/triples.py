@@ -321,6 +321,8 @@ def t3_density_energy(cc):
     scan = getattr(cc, "t3_scan", None)
     if scan is None:
         scan = cc.no ** 3 * cc.nv ** 3 > 2e8
+    if getattr(cc, "storage", "full") == "df":
+        scan = True  # no dense ERI exists; the scan assembles from factors
     return t3_density_scan(cc) if scan else t3_density(cc)
 
 
@@ -550,7 +552,26 @@ def t3_density_scan(cc):
     t1, t2 = cc.t1, cc.t2
     o, v = _slices(no)
 
-    if getattr(cc, "storage", "full") == "blocked":
+    if getattr(cc, "storage", "full") == "df":
+        # (T)-density slices from the Cholesky factors — the same
+        # assembly as the DF-(T) energy (t_vikings_scan), plus Eovvv.
+        # Dirac <pq|rs> = (pr|qs) = sum_P B[P,p,r] B[P,q,s].
+        @jax.jit
+        def prep_df(F, Boo, Bov, Bvv):
+            Wvvvo_o = contract("Pac,Pib->iabc", Bvv, Bov)
+            Wovoo_t = contract("Pij,Pka->jkia", Boo, Bov)
+            Evovv = contract("Pab,Pic->aibc", Bvv, Bov)
+            Eooov = contract("Pik,Pja->ijka", Boo, Bov)
+            Eovvv = contract("Pib,Pac->iabc", Bov, Bvv)
+            Eoovv = contract("Pia,Pjb->ijab", Bov, Bov)
+            Loovv = 2.0 * Eoovv - Eoovv.swapaxes(2, 3)
+            return (Wvvvo_o, Wovoo_t, Evovv, Eooov, Eovvv, Eoovv,
+                    Loovv, F[o, v], jnp.diagonal(F))
+
+        (Wvvvo, Wovoo, Evovv, Eooov, Eovvv, Eoovv,
+         Loovv, Fov, eps) = prep_df(jnp.asarray(cc.H.F), cc.dfb.Boo,
+                                    cc.dfb.Bov, cc.dfb.Bvv)
+    elif getattr(cc, "storage", "full") == "blocked":
         from .models.blocked import blocked_views
 
         @jax.jit

@@ -65,3 +65,40 @@ def _energies(setup, model):
 def test_density_energy_df_equals_dense(setup, model):
     e_dense, e_df = _energies(setup, model)
     assert abs(e_dense - e_df) < 1e-11, (model, e_dense, e_df)
+
+
+GEOM_T = """
+O 0.000000000000000   0.000000000000000   0.143225857166674
+H 0.000000000000000  -1.638037301628121  -1.136549142277225
+H 0.000000000000000   1.638037301628121  -1.136549142277225
+symmetry c1
+units bohr
+"""
+
+
+def test_ccsd_t_density_df_oracles():
+    """CCSD(T) density chain entirely over factors: solve + (T)-density
+    extras (factor-assembled slices), Lambda S1/S2, density energy with
+    the Gvvvo extra contracted a-mapped — against test_011's frozen Psi4
+    oracles (exact factors, so 1e-9 headroom covers the 1e-14 Cholesky)."""
+    import contextlib
+    import io
+
+    import pycc_tpu
+
+    wfn = run_rhf(GEOM_T, "sto-3g", freeze_core=False)
+    H = build_hamiltonian(wfn, host=True)
+    B = cholesky_factor_eri(np.asarray(H.ERI), tol=1e-14)
+    with contextlib.redirect_stdout(io.StringIO()):
+        cc = pycc_tpu.ccwfn.from_df_factors(B, np.asarray(H.F), H.no,
+                                            model="CCSD(T)")
+        cc.make_t3_density = True
+        cc.solve_cc(1e-12, 1e-12, 75, max_diis=0)
+        hbar = pycc_tpu.cchbar(cc)
+        lam = pycc_tpu.cclambda(cc, hbar)
+        lcc = lam.solve_lambda(1e-12, 1e-12, 75, max_diis=0)
+        dens = pycc_tpu.ccdensity(cc, lam)
+        dens.compute_energy()
+    assert abs(lcc - -0.069084521221746) < 1e-9
+    assert abs(dens.eone - 0.104463374777302) < 1e-9
+    assert abs(dens.etwo - -0.175243393781829) < 1e-9

@@ -419,7 +419,11 @@ def t_vikings_scan(cc):
         # /root/reference/pycc/cctriples.py:106-152 via hamiltonian.py:36).
         # Dirac <pq|rs> = (pr|qs) = sum_P B[P,p,r] B[P,q,s].  The largest
         # assembled stacks are the two no*nv^3 slabs (~1.8 GB f32 each at
-        # (28,252)); the HBM wall moves from nact^4 to no*nv^3.
+        # (28,252)); the HBM wall moves from nact^4 to no*nv^3.  Past
+        # ~1 GB of no*nv^3 the single-resident k-chunked path takes over.
+        if no * (t2.shape[-1] ** 3) > 2 ** 28:
+            return t_vikings_scan_df_chunked(cc.dfb, cc.H.F, t1, t2, no)
+
         @jax.jit
         def prep_df(F, Boo, Bov, Bvv):
             Wvvvo_o = contract("Pac,Pib->iabc", Bvv, Bov)
@@ -502,6 +506,124 @@ def t_vikings_scan_core(Wvvvo_o, Wovoo_t, Evovv, Eooov, Loovv, Fov, eps,
     for i in range(no):
         e = e + _t_vikings_row(jnp.asarray(i), Wvvvo_o, Wovoo_t, Evovv,
                                Eooov, Loovv, Fov, eps, t1, t2, no=no)
+    return e
+
+
+# ---------------------------------------------------------------------------
+# Integral-direct k-chunked (T): CCSD(T) at the DF scale
+# ---------------------------------------------------------------------------
+
+def _dslice(x, k0, kc):
+    """Leading-axis window [k0:k0+kc] of an arbitrary-rank operand."""
+    return jax.lax.dynamic_slice(x, (k0,) + (0,) * (x.ndim - 1),
+                                 (kc,) + x.shape[1:])
+
+
+def _t3c_chunk_ij(i, j, k0, kc, W, Wovoo_t, t2, eps_o, eps_v):
+    """_t3c_slab_ij restricted to a k-window (K,a,b,c).
+
+    W is Wvvvo in the occupied-major kace assembly (== slab_layouts'
+    Wvvvo_o): W[i] has exactly the (a,b,c) layout the Wi/Wj terms use,
+    and the full-k terms take a dynamic k-window."""
+    nv = eps_v.shape[0]
+    Wi, Wj = W[i], W[j]
+    WK = jax.lax.dynamic_slice(W, (k0, 0, 0, 0), (kc, nv, nv, nv))
+    t3 = contract("bae,kce->kabc", Wi, _dslice(t2[:, j], k0, kc))
+    t3 += contract("cae,kbe->kabc", Wi, _dslice(t2[j], k0, kc))
+    t3 += contract("kace,be->kabc", WK, t2[j, i])
+    t3 += contract("kbce,ae->kabc", WK, t2[i, j])
+    t3 += contract("cbe,kae->kabc", Wj, _dslice(t2[i], k0, kc))
+    t3 += contract("abe,kce->kabc", Wj, _dslice(t2[:, i], k0, kc))
+    t3 -= contract("kmc,mab->kabc", _dslice(Wovoo_t[j], k0, kc), t2[i])
+    t3 -= contract("kmb,mac->kabc", _dslice(Wovoo_t[:, j], k0, kc), t2[i])
+    t3 -= contract("mb,kmca->kabc", Wovoo_t[i, j], _dslice(t2, k0, kc))
+    t3 -= contract("ma,kmcb->kabc", Wovoo_t[j, i], _dslice(t2, k0, kc))
+    t3 -= contract("kma,mbc->kabc", _dslice(Wovoo_t[:, i], k0, kc), t2[j])
+    t3 -= contract("kmc,mba->kabc", _dslice(Wovoo_t[i], k0, kc), t2[j])
+    eo = jax.lax.dynamic_slice(eps_o, (k0,), (kc,))
+    denom = (eps_o[i] + eps_o[j] + eo[:, None, None, None]
+             - eps_v[None, :, None, None]
+             - eps_v[None, None, :, None]
+             - eps_v[None, None, None, :])
+    return t3 / denom
+
+
+@partial(jax.jit, static_argnames=("no", "kc"))
+def _t_df_row_chunked(i, W, Wovoo_t, Eooov, Loovv, Fov, eps, t1, t2,
+                      no, kc):
+    """One fixed-i row of the (T) energy with k-chunked slabs and NO
+    separate Evovv: Evovv[d,k,b,c] = (db|kc) == (db|ck) = W[k,d,c,b], a
+    label permutation of the SAME resident tensor — XLA materializes one
+    kc*v^3 layout copy per chunk instead of a second no*v^3 resident."""
+    eps_o, eps_v = eps[:no], eps[no:]
+    nv = eps_v.shape[0]
+    t2w = 4.0 * t2 - 2.0 * t2.swapaxes(2, 3)
+    k0s = jnp.arange(0, no, kc)
+
+    def body(j, acc):
+        def chunk(carry, k0):
+            X1, X2, X2l = carry
+            t3 = _t3c_chunk_ij(i, j, k0, kc, W, Wovoo_t, t2, eps_o, eps_v)
+            td = t3 - t3.swapaxes(1, 3)
+            T = 2.0 * t3 - t3.swapaxes(2, 3) - t3.swapaxes(1, 3)
+            X1 = X1 + contract("kabc,kbc->a", td, _dslice(Loovv[j], k0, kc))
+            X2 = X2 + contract("kabc,kc->ab", td, _dslice(Fov, k0, kc))
+            WK = jax.lax.dynamic_slice(W, (k0, 0, 0, 0), (kc, nv, nv, nv))
+            X2 = X2 + contract("kabc,kdcb->ad", T, WK)
+            X2l = X2l + contract("kabc,klc->lab", T,
+                                 _dslice(Eooov[j], k0, kc))
+            return (X1, X2, X2l), 0.0
+
+        z = (jnp.zeros((nv,), Fov.dtype), jnp.zeros((nv, nv), Fov.dtype),
+             jnp.zeros((no, nv, nv), Fov.dtype))
+        (X1, X2, X2l), _ = jax.lax.scan(chunk, z, k0s)
+        e = 2.0 * contract("a,a->", t1[i], X1)
+        e += contract("ab,ab->", t2w[i, j], X2)
+        e -= contract("lab,lab->", t2w[i], X2l)
+        return acc + e
+
+    return jax.lax.fori_loop(0, no, body, jnp.asarray(0.0, Fov.dtype))
+
+
+def _t_df_kc(no, nv, max_elems=2 ** 27):
+    """Largest divisor of no whose chunk slab (kc, v, v, v) stays under
+    max_elems elements (512 MB f32 by default)."""
+    cap = max(1, int(max_elems // max(1, nv ** 3)))
+    kc = 1
+    for d in range(1, no + 1):
+        if no % d == 0 and d <= cap:
+            kc = d
+    return kc
+
+
+def t_vikings_scan_df_chunked(dfb, F, t1, t2, no, kc=None):
+    """(T) from factors with ONE resident (o, v, v, v) integral tensor
+    and k-chunked slabs: Wvvvo in the kace assembly serves the slab
+    terms (W[i] is exactly the Wi layout) AND the Evovv energy term
+    ((ac|bk) and (db|kc) are label permutations of the same factor
+    product).  Working set W + ~6 chunk slabs: at (40, 360) f32 that is
+    ~7.5 GB + kc * 1.1 GB, vs ~15 GB + no*v^3 slabs for the unchunked
+    assembly — CCSD(T) for a 410-bf molecule on one 16 GB chip."""
+    nv = F.shape[0] - no
+    if kc is None:
+        kc = _t_df_kc(no, nv)
+    o = slice(0, no)
+
+    @jax.jit
+    def prep(F, Boo, Bov, Bvv):
+        W = contract("Pae,Pkc->kace", Bvv, Bov)
+        Wovoo_t = contract("Pij,Pka->jkia", Boo, Bov)
+        Eooov = contract("Pik,Pja->ijka", Boo, Bov)
+        Eoovv = contract("Pia,Pjb->ijab", Bov, Bov)
+        Loovv = 2.0 * Eoovv - Eoovv.swapaxes(2, 3)
+        return W, Wovoo_t, Eooov, Loovv, F[o, no:], jnp.diagonal(F)
+
+    W, Wovoo_t, Eooov, Loovv, Fov, eps = prep(jnp.asarray(F), dfb.Boo,
+                                              dfb.Bov, dfb.Bvv)
+    e = jnp.asarray(0.0, Fov.dtype)
+    for i in range(no):
+        e = e + _t_df_row_chunked(jnp.asarray(i), W, Wovoo_t, Eooov,
+                                  Loovv, Fov, eps, t1, t2, no=no, kc=kc)
     return e
 
 

@@ -59,6 +59,26 @@ def test_df_scan_equals_dense_scan(setup):
     assert abs(e_dense - e_df) < 1e-11
 
 
+def test_df_chunked_equals_df_scan(setup):
+    """The k-chunked single-resident path (t_vikings_scan_df_chunked)
+    reproduces the slice-assembled df scan exactly, with a chunk size
+    that forces multiple k-windows AND the label-permuted Evovv."""
+    from pycc_tpu.triples import t_vikings_scan_df_chunked
+
+    wfn, H, B, rec, L, t1, t2, no = setup
+    F = jnp.asarray(H.F)
+    dfb = df_blocks(jnp.asarray(B), no)
+    df_cc = SimpleNamespace(
+        storage="df", no=no, t1=t1, t2=t2,
+        H=SimpleNamespace(F=F), dfb=dfb)
+    e_scan = float(t_vikings_scan(df_cc))
+    assert no % 2 == 0 and no > 2  # the kc=2 case below must chunk
+    e_chunk = float(t_vikings_scan_df_chunked(dfb, F, t1, t2, no, kc=2))
+    assert abs(e_scan - e_chunk) < 1e-12
+    e_chunk1 = float(t_vikings_scan_df_chunked(dfb, F, t1, t2, no, kc=no))
+    assert abs(e_scan - e_chunk1) < 1e-12
+
+
 def test_from_df_factors_ccsd_t_solve(setup):
     wfn, H, B, rec, L, t1, t2, no = setup
     cc_dense = ccwfn(wfn, model="CCSD(T)")

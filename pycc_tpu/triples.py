@@ -611,7 +611,11 @@ def t_vikings_scan_df_chunked(dfb, F, t1, t2, no, kc=None):
 
     @jax.jit
     def prep(F, Boo, Bov, Bvv):
-        W = contract("Pae,Pkc->kace", Bvv, Bov)
+        # k-mapped assembly: one einsum "Pae,Pkc->kace" would hold the
+        # natural (a,e,k,c) dot output AND the transposed copy (2x the
+        # ~7.5 GB W at (40,360)); per-row the copy is one v^3 sheet
+        W = jax.lax.map(lambda Bk: contract("Pae,Pc->ace", Bvv, Bk),
+                        jnp.moveaxis(Bov, 1, 0))
         Wovoo_t = contract("Pij,Pka->jkia", Boo, Bov)
         Eooov = contract("Pik,Pja->ijka", Boo, Bov)
         Eoovv = contract("Pia,Pjb->ijab", Bov, Bov)

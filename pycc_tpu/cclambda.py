@@ -112,6 +112,24 @@ def lambda_residuals_from_F(model, F, ERI, L, t1, t2, l1, l2, no,
     return r1, r2
 
 
+def lambda_residuals_from_F_df(model, F, dfb, t1, t2, l1, l2, no):
+    """RT propagation path over factors: rebuild the DF-HBAR from the
+    (field-dressed) F each step — the storage='df' counterpart of
+    lambda_residuals_from_F; no four-index object exists.  CCD reduces
+    to the CCSD forms at t1 = l1 = 0 (the RT-CCD invariant), with r1
+    pinned to zero as in the dense branch."""
+    from .models.dfhbar import build_hbar_df, lambda_residuals_df
+    from .ops.ctensor import ct_zeros_like
+    if model not in ("CCD", "CCSD"):
+        raise Exception("RT over storage='df' supports CCD/CCSD only "
+                        "(got %s)." % model)
+    dfh = build_hbar_df(F, dfb, t1, t2, no)
+    r1, r2 = lambda_residuals_df(dfh, t1, t2, l1, l2, no)
+    if model == "CCD":
+        r1 = ct_zeros_like(l1)
+    return r1, r2
+
+
 def pseudoenergy(ERI, l2, no):
     o, v = slices(no)
     return 0.5 * contract("ijab,ijab->", ERI[o, o, v, v], l2)

@@ -322,7 +322,8 @@ class ccwfn:
 
     @classmethod
     def from_df_factors(cls, B, F, no, escf=0.0, model="CCSD",
-                        precision="DP", df_nblocks=None, mesh=None):
+                        precision="DP", df_nblocks=None, mesh=None,
+                        mu=None):
         """Construct a storage='df' solver directly from precomputed
         MO-basis Cholesky/DF factors B (naux, nact, nact) and the active-
         space MO Fock matrix (frozen core already dropped) — the device
@@ -365,7 +366,11 @@ class ccwfn:
         self.nmo = self.nact
         self.nv = self.nact - self.no
         self.naux = B.shape[0]
-        self.H = Hamiltonian(F=F, ERI=None, L=None, mu=None, m=None,
+        # mu: optional (3, nact, nact) MO dipole integrals (response/RT
+        # over factors; prepare_df_molecule.py saves them in the .npz)
+        if mu is not None:
+            mu = jnp.asarray(mu, dtype=dtype)
+        self.H = Hamiltonian(F=F, ERI=None, L=None, mu=mu, m=None,
                              p=None, Q=None, no=self.no)
         self.o = slice(0, self.no)
         self.v = slice(self.no, self.nact)

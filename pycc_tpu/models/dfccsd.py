@@ -173,7 +173,14 @@ def ladder_df(df, t1, t2, nblocks=None):
     """sum_ef tau[ijef] * W[abef] with
     W[abef] = sum_P (0.5 B[Pae] - sum_m t1[ma] B[Pme]) B[Pbf]:
     the vvvv ladder and the reference's `- t1*Zmbij` term in one dressed
-    contraction, assembled in a-blocks (peak blk*v^3, never v^4)."""
+    contraction, assembled in a-blocks (peak blk*v^3, never v^4).
+
+    Written representation-uniformly (method calls + ct_dot), so CTensor
+    amplitudes (the RT re/im split, ops/ctensor.py) flow through the same
+    blocked scan: the dressed BL and tau are complex, Bvv stays real —
+    ct_dot/ct_contract expand each block matmul to 2/3 real ones."""
+    from ..ops.ctensor import CTensor, ct_dot
+
     naux, nv = df.Bvv.shape[0], df.Bvv.shape[2]
     no = t1.shape[0]
     tau = _tau(t1, t2)
@@ -188,24 +195,28 @@ def ladder_df(df, t1, t2, nblocks=None):
     if nblocks * blk != nv:
         # zero-pad the a-axis: padded rows contribute zero blocks, sliced
         # off the output below
-        BL = jnp.concatenate(
-            [BL, jnp.zeros((naux, nblocks * blk - nv, nv), BL.dtype)], axis=1)
+        pad = jnp.zeros((naux, nblocks * blk - nv, nv), BL.dtype)
+        if isinstance(BL, CTensor):
+            BL = CTensor(jnp.concatenate([BL.re, pad], axis=1),
+                         jnp.concatenate([BL.im, pad], axis=1))
+        else:
+            BL = jnp.concatenate([BL, pad], axis=1)
     # xs for scan: (nblk, naux, blk, v)
-    BLs = jnp.moveaxis(BL.reshape(naux, nblocks, blk, nv), 1, 0)
-    tau2 = tau.reshape(no * no, nv * nv)
+    BLs = BL.reshape(naux, nblocks, blk, nv).transpose(1, 0, 2, 3)
+    tau2 = tau.reshape(no * no, nv, nv)
     BR2 = df.Bvv.reshape(naux, nv * nv)
 
     def body(carry, BL_blk):
         # (blk*v, naux) @ (naux, v^2) -> W as (a e, b f)
-        W = jnp.matmul(BL_blk.reshape(naux, blk * nv).T, BR2,
-                       preferred_element_type=tau2.dtype)
+        W = ct_dot(BL_blk.reshape(naux, blk * nv).T, BR2,
+                   preferred_element_type=tau.dtype)
         W = W.reshape(blk, nv, nv, nv)  # (a, e, b, f)
-        z = contract("xef,aebf->xab", tau2.reshape(no * no, nv, nv), W)
+        z = contract("xef,aebf->xab", tau2, W)
         return carry, z
 
     _, zs = jax.lax.scan(body, 0, BLs)
     # zs: (nblk, o^2, blk, v) -> (o, o, nblk*blk, v) -> slice padded rows
-    z = jnp.moveaxis(zs, 0, 1).reshape(no, no, nblocks * blk, nv)
+    z = zs.transpose(1, 0, 2, 3).reshape(no, no, nblocks * blk, nv)
     return z[:, :, :nv, :]
 
 
@@ -300,13 +311,14 @@ def residuals_ccd_df(F, df, t1, t2, no, nblocks=None):
              + 0.5 * contract("njfb,mnef->mbej", t2, Loovv))
     Wmbje = -eri_ovov + 0.5 * contract("jnfb,mnfe->mbje", t2, eri_oovv)
 
-    r1 = jnp.zeros_like(t1)
+    from ..ops.ctensor import ct_zeros_like
+    r1 = ct_zeros_like(t1)
     r2 = 0.5 * eri_oovv
     r2 += contract("ijae,be->ijab", t2, Fae)
     r2 -= contract("imab,mj->ijab", t2, Fmi)
     r2 += 0.5 * contract("mnab,mnij->ijab", t2, Wmnij)
     # undressed ladder: t1 = 0 makes BL = 0.5 * Bvv and tau = t2
-    r2 += ladder_df(df, jnp.zeros_like(t1), t2, nblocks=nblocks)
+    r2 += ladder_df(df, ct_zeros_like(t1), t2, nblocks=nblocks)
     r2 += contract("imae,mbej->ijab", t2 - t2.swapaxes(2, 3), Wmbej)
     r2 += contract("imae,mbej->ijab", t2, Wmbej + Wmbje.swapaxes(2, 3))
     r2 += contract("mjae,mbie->ijab", t2, Wmbje)

@@ -77,8 +77,13 @@ def ladder_apply(BL, BR, x2, nblocks=None):
     assembled in a-blocks under lax.scan (peak blk*v^3, never v^4).
     Generalizes models/dfccsd.ladder_df's inner loop to arbitrary
     left/right factors (ground-state tau ladder, Lambda/EOM Hvvvv
-    ladders, C1*t1 rank-1 ladders)."""
-    naux, nva, _ = BL.shape
+    ladders, C1*t1 rank-1 ladders).
+
+    Representation-uniform: CTensor factors/amplitudes (the RT re/im
+    split) flow through the same scan via ct_dot/ct_contract."""
+    from ..ops.ctensor import CTensor, ct_dot
+
+    naux, nva, ne = BL.shape
     no = x2.shape[0]
     nv = BR.shape[2]
     if nblocks is None:
@@ -88,23 +93,25 @@ def ladder_apply(BL, BR, x2, nblocks=None):
         return contract("ijef,abef->ijab", x2, W)
     blk = -(-nva // nblocks)
     if nblocks * blk != nva:
-        BL = jnp.concatenate(
-            [BL, jnp.zeros((naux, nblocks * blk - nva, BL.shape[2]),
-                           BL.dtype)], axis=1)
-    BLs = jnp.moveaxis(BL.reshape(naux, nblocks, blk, BL.shape[2]), 1, 0)
-    x2f = x2.reshape(no * no, -1)
-    BR2 = BR.reshape(naux, -1)
+        pad = jnp.zeros((naux, nblocks * blk - nva, ne), BL.dtype)
+        if isinstance(BL, CTensor):
+            BL = CTensor(jnp.concatenate([BL.re, pad], axis=1),
+                         jnp.concatenate([BL.im, pad], axis=1))
+        else:
+            BL = jnp.concatenate([BL, pad], axis=1)
+    BLs = BL.reshape(naux, nblocks, blk, ne).transpose(1, 0, 2, 3)
+    x2f = x2.reshape(no * no, ne, nv)
+    BR2 = BR.reshape(naux, nv * nv)
 
     def body(carry, BL_blk):
-        W = jnp.matmul(BL_blk.reshape(naux, blk * BL.shape[2]).T, BR2,
-                       preferred_element_type=x2f.dtype)
-        W = W.reshape(blk, BL.shape[2], nv, nv)   # (a, e, b, f)
-        z = contract("xef,aebf->xab",
-                     x2f.reshape(no * no, BL.shape[2], nv), W)
+        W = ct_dot(BL_blk.reshape(naux, blk * ne).T, BR2,
+                   preferred_element_type=x2.dtype)
+        W = W.reshape(blk, ne, nv, nv)   # (a, e, b, f)
+        z = contract("xef,aebf->xab", x2f, W)
         return carry, z
 
     _, zs = jax.lax.scan(body, 0, BLs)
-    z = jnp.moveaxis(zs, 0, 1).reshape(no, no, nblocks * blk, nv)
+    z = zs.transpose(1, 0, 2, 3).reshape(no, no, nblocks * blk, nv)
     return z[:, :, :nva, :]
 
 

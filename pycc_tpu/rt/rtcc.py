@@ -67,9 +67,26 @@ class rtcc:
 
         # H enters every jitted function as an ARGUMENT (not a closure
         # constant: those are serialized into the remote TPU compile
-        # request); blocked storage passes the six Dirac blocks
+        # request); blocked storage passes the six Dirac blocks;
+        # storage='df' passes the Cholesky factor blocks — RT at any
+        # size the factors reach, with no four-index object anywhere
         blocked = getattr(ccwfn, "storage", "full") == "blocked"
-        if blocked:
+        dfmode = getattr(ccwfn, "storage", "full") == "df"
+        if dfmode:
+            from ..cclambda import lambda_residuals_from_F_df
+            from ..models.dfccsd import _eri_oooo, cc_energy_df
+            from ..models.dfhbar import loovv_df
+            if model not in ("CCD", "CCSD"):
+                raise Exception("rtcc over storage='df' supports CCD/CCSD "
+                                "only (got %s)." % model)
+            self._H_args = (ccwfn.dfb,)
+            # the L[o,o,o,o] trace in the phase/lagrangian is
+            # field-independent: precompute it from the (real) factors
+            _e4 = _eri_oooo(ccwfn.dfb)
+            loooo_tr = (2.0 * contract("ijij->", _e4)
+                        - contract("ijji->", _e4))
+            del _e4
+        elif blocked:
             self._H_args = (ccwfn.blocks,)
         else:
             self._H_args = (jnp.asarray(H.ERI), jnp.asarray(H.L))
@@ -83,7 +100,8 @@ class rtcc:
 
         def _phase(F, t1, t2, L):
             eref = 2.0 * jnp.trace(F[o, o])
-            eref -= contract("ijij->", L[o, o, o, o])
+            eref -= (loooo_tr if dfmode
+                     else contract("ijij->", L[o, o, o, o]))
             if model == "CCD":
                 ecc = contract("ijab,ijab->", t2, L[o, o, v, v])
             else:
@@ -91,8 +109,20 @@ class rtcc:
                 ecc += contract("ijab,ijab->", build_tau(t1, t2), L[o, o, v, v])
             return (eref + ecc) * (-1.0j)
 
+        class _Lw:
+            """Constant-slice L shim: the df phase/residual paths only
+            ever take the oovv slice."""
+            def __init__(self, x):
+                self.x = x
+
+            def __getitem__(self, key):
+                return self.x
+
         def _f_core(t, y, *Hargs):
-            ERI, L = _views(Hargs)
+            if dfmode:
+                ERI, L = None, _Lw(loovv_df(Hargs[0]))
+            else:
+                ERI, L = _views(Hargs)
             t1 = y[:len1].reshape(no, nv)
             t2 = y[len1:len1 + len2].reshape(no, no, nv, nv)
             l1 = y[len1 + len2:2 * len1 + len2].reshape(no, nv)
@@ -100,16 +130,23 @@ class rtcc:
 
             F = Fj.astype(y.dtype) + mu_tot.astype(y.dtype) * self.V(t)
 
-            rt1, rt2 = residual_fn(F, ERI, L, t1, t2, no)
+            if dfmode:
+                rt1, rt2 = ccwfn._df_residual_fn(F, Hargs[0], t1, t2, no)
+            else:
+                rt1, rt2 = residual_fn(F, ERI, L, t1, t2, no)
             rt1 = rt1 * (-1.0j)
             rt2 = rt2 * (-1.0j)
             if use_filter:
                 rt1, rt2 = filter_res(rt1, rt2)
 
-            rl1, rl2 = lambda_residuals_from_F(model, F, ERI, L,
-                                               t1, t2, l1, l2, no,
-                                               real_time=ccwfn.real_time,
-                                               F_ref=Fj)
+            if dfmode:
+                rl1, rl2 = lambda_residuals_from_F_df(model, F, Hargs[0],
+                                                      t1, t2, l1, l2, no)
+            else:
+                rl1, rl2 = lambda_residuals_from_F(model, F, ERI, L,
+                                                   t1, t2, l1, l2, no,
+                                                   real_time=ccwfn.real_time,
+                                                   F_ref=Fj)
             rl1 = rl1 * (1.0j)
             rl2 = rl2 * (1.0j)
             if use_filter:
@@ -120,12 +157,19 @@ class rtcc:
                                     rl2.ravel(), ph.reshape(1)])
 
         self._f_jit = jax.jit(_f_core)
-        self._phase_fn = lambda F, t1, t2: _phase(F, t1, t2,
-                                                  _views(self._H_args)[1])
+        if dfmode:
+            self._phase_fn = lambda F, t1, t2: _phase(
+                F, t1, t2, _Lw(loovv_df(self._H_args[0])))
+        else:
+            self._phase_fn = lambda F, t1, t2: _phase(
+                F, t1, t2, _views(self._H_args)[1])
 
         def _f_core_ri(t, yri, *Hargs):
             from ..ops.ctensor import CTensor
-            ERI, L = _views(Hargs)
+            if dfmode:
+                ERI, L = None, _Lw(loovv_df(Hargs[0]))
+            else:
+                ERI, L = _views(Hargs)
 
             def amp(lo, hi, shape):
                 return CTensor(yri[0, lo:hi].reshape(shape),
@@ -143,15 +187,22 @@ class rtcc:
                 fi1, fi2 = filter_res(r1.im, r2.im)
                 return CTensor(fr1, fi1), CTensor(fr2, fi2)
 
-            rt1, rt2 = residual_fn(F, ERI, L, t1, t2, no)
+            if dfmode:
+                rt1, rt2 = ccwfn._df_residual_fn(F, Hargs[0], t1, t2, no)
+            else:
+                rt1, rt2 = residual_fn(F, ERI, L, t1, t2, no)
             rt1 = rt1 * (-1.0j)
             rt2 = rt2 * (-1.0j)
             if use_filter:
                 rt1, rt2 = ct_filter(rt1, rt2)
-            rl1, rl2 = lambda_residuals_from_F(model, F, ERI, L,
-                                               t1, t2, l1, l2, no,
-                                               real_time=ccwfn.real_time,
-                                               F_ref=Fj)
+            if dfmode:
+                rl1, rl2 = lambda_residuals_from_F_df(model, F, Hargs[0],
+                                                      t1, t2, l1, l2, no)
+            else:
+                rl1, rl2 = lambda_residuals_from_F(model, F, ERI, L,
+                                                   t1, t2, l1, l2, no,
+                                                   real_time=ccwfn.real_time,
+                                                   F_ref=Fj)
             rl1 = rl1 * (1.0j)
             rl2 = rl2 * (1.0j)
             if use_filter:
@@ -210,8 +261,18 @@ class rtcc:
             self._f_rows = _f_rows
 
         def _lagrangian(t, t1, t2, l1, l2, *Hargs):
-            ERIv, Lv = _views(Hargs)
             F = Fj.astype(t1.dtype) + mu_tot.astype(t1.dtype) * self.V(t)
+            if dfmode:
+                # factor-wise density energy (models/dfdensity.py): the
+                # same scalar as the dense branch, no v^4/v^3o object
+                from ..models.dfdensity import density_energy_df
+                opdm = onepdm(model, t1, t2, l1, l2, no, ccwfn.nact)
+                eref = 2.0 * jnp.trace(F[o, o]) - loooo_tr
+                eone = jnp.sum(F * opdm)
+                _, etwo = density_energy_df(F, Hargs[0], t1, t2, l1, l2,
+                                            no, model=model)
+                return eref + eone + etwo
+            ERIv, Lv = _views(Hargs)
             if model == "CC3":
                 from ..models.cc3 import cc3_onepdm
                 opdm, opdm_cc3 = cc3_onepdm(ccwfn, t1, t2, l1, l2)
@@ -371,6 +432,10 @@ class rtcc:
     def energy(self, t, t1, t2):
         cc = self.ccwfn
         F = jnp.asarray(cc.H.F).astype(jnp.complex128) + self.mu_tot * self.V(t)
+        if getattr(cc, "storage", "full") == "df":
+            from ..models.dfccsd import cc_energy_df
+            return complex(cc_energy_df(F, cc.dfb, jnp.asarray(t1),
+                                        jnp.asarray(t2), cc.no))
         if getattr(cc, "storage", "full") == "blocked":
             from ..models.blocked import blocked_views
             L = blocked_views(cc.blocks, cc.no)[1]

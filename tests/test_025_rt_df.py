@@ -1,0 +1,86 @@
+"""Real-time CC over DF factors (rtcc with storage='df').
+
+The RHS (T residuals, Lambda residuals with the HBAR rebuilt under the
+field-dressed Fock, phase quasienergy), the step observables (density-
+based Lagrangian, one-pdm dipole), and the re/im-split TPU mode must all
+equal the dense path on exact factors.  The reference's RT driver needs
+the dense MO ERI (/root/reference/pycc/rt/rtcc.py via hamiltonian.py:36)
+— RT at DF scale has no counterpart there.
+"""
+
+import contextlib
+import io
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import pycc_tpu
+from pycc_tpu.hamiltonian import build_hamiltonian
+from pycc_tpu.ops.cholesky import cholesky_factor_eri
+from pycc_tpu.rt.lasers import gaussian_laser
+from pycc_tpu.scf import run_rhf
+
+from .common import H2O as H2O_GEOM
+
+
+@pytest.fixture(scope="module")
+def setup():
+    wfn = run_rhf(H2O_GEOM, "sto-3g", freeze_core=True)
+    H = build_hamiltonian(wfn, host=True)
+    B = cholesky_factor_eri(np.asarray(H.ERI), tol=1e-14)
+    mu = np.stack([np.asarray(m) for m in H.mu])
+    V = gaussian_laser(0.05, 0.0, 0.01, center=0.05)
+    with contextlib.redirect_stdout(io.StringIO()):
+        cc_d = pycc_tpu.ccwfn(wfn)
+        cc_d.solve_cc(e_conv=1e-12, r_conv=1e-12)
+        hb_d = pycc_tpu.cchbar(cc_d)
+        lam_d = pycc_tpu.cclambda(cc_d, hb_d)
+        lam_d.solve_lambda(e_conv=1e-12, r_conv=1e-12)
+        dens_d = pycc_tpu.ccdensity(cc_d, lam_d)
+        rt_d = pycc_tpu.rtcc(cc_d, lam_d, dens_d, V)
+
+        cc_f = pycc_tpu.ccwfn.from_df_factors(B, np.asarray(H.F), H.no,
+                                              mu=mu)
+        cc_f.solve_cc(e_conv=1e-12, r_conv=1e-12)
+        hb_f = pycc_tpu.cchbar(cc_f)
+        lam_f = pycc_tpu.cclambda(cc_f, hb_f)
+        lam_f.solve_lambda(e_conv=1e-12, r_conv=1e-12)
+        dens_f = pycc_tpu.ccdensity(cc_f, lam_f)
+        rt_f = pycc_tpu.rtcc(cc_f, lam_f, dens_f, V)
+        rt_fr = pycc_tpu.rtcc(cc_f, lam_f, dens_f, V, ri_split=True)
+        y0_d = rt_d.collect_amps(cc_d.t1, cc_d.t2, lam_d.l1, lam_d.l2,
+                                 jnp.asarray(0.0 + 0.0j))
+        y0_f = rt_f.collect_amps(cc_f.t1, cc_f.t2, lam_f.l1, lam_f.l2,
+                                 jnp.asarray(0.0 + 0.0j))
+    return rt_d, rt_f, rt_fr, np.asarray(y0_d), np.asarray(y0_f)
+
+
+def test_rhs_df_equals_dense(setup):
+    rt_d, rt_f, rt_fr, y0_d, y0_f = setup
+    # same converged state to 1e-11 first (the df solve IS the dense
+    # fixed point on exact factors)
+    assert np.abs(y0_d - y0_f).max() < 1e-9
+    f_d = rt_d.f(0.02, y0_d)
+    f_f = rt_f.f(0.02, y0_d)
+    assert np.abs(np.asarray(f_d) - np.asarray(f_f)).max() < 1e-10
+
+
+def test_rhs_ri_split_df(setup):
+    rt_d, rt_f, rt_fr, y0_d, y0_f = setup
+    f_f = rt_f.f(0.02, y0_f)
+    f_r = rt_fr.f(0.02, y0_f)
+    assert np.abs(np.asarray(f_f) - np.asarray(f_r)).max() < 1e-12
+
+
+def test_step_observables_df(setup):
+    from pycc_tpu.rt.integrators import rk4
+
+    rt_d, rt_f, rt_fr, y0_d, y0_f = setup
+    ode = rk4(0.02)
+    y_d, ret_d = rt_d.step(ode, y0_d, 0.0)
+    y_f, ret_f = rt_f.step(ode, y0_d, 0.0)
+    assert np.abs(np.asarray(y_d) - np.asarray(y_f)).max() < 1e-9
+    assert abs(ret_d["ecc"] - ret_f["ecc"]) < 1e-9
+    for k in ("mu_x", "mu_y", "mu_z"):
+        assert abs(ret_d[k] - ret_f[k]) < 1e-9

@@ -183,9 +183,10 @@ class cchbar:
             # dressed factors instead (models/dfhbar.py)
             from .models.dfhbar import build_hbar_df
 
-            if ccwfn.model not in ("CCSD", "CCSD(T)"):
-                raise Exception("storage='df' HBAR supports CCSD/CCSD(T) "
-                                "only (got %s)" % ccwfn.model)
+            if ccwfn.model not in ("CCD", "CCSD", "CCSD(T)"):
+                # CCD: the CCSD forms reduce to the CCD ones at t1 = 0
+                raise Exception("storage='df' HBAR supports CCD/CCSD/"
+                                "CCSD(T) only (got %s)" % ccwfn.model)
             hbar = jax.jit(build_hbar_df, static_argnums=(4,))(
                 jnp.asarray(ccwfn.H.F), ccwfn.dfb, ccwfn.t1, ccwfn.t2,
                 ccwfn.no)

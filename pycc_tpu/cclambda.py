@@ -119,15 +119,12 @@ def lambda_residuals_from_F_df(model, F, dfb, t1, t2, l1, l2, no):
     to the CCSD forms at t1 = l1 = 0 (the RT-CCD invariant), with r1
     pinned to zero as in the dense branch."""
     from .models.dfhbar import build_hbar_df, lambda_residuals_df
-    from .ops.ctensor import ct_zeros_like
     if model not in ("CCD", "CCSD"):
         raise Exception("RT over storage='df' supports CCD/CCSD only "
-                        "(got %s)." % model)
+                        "(got %s; the CC2 HBAR forms are dense-only)."
+                        % model)
     dfh = build_hbar_df(F, dfb, t1, t2, no)
-    r1, r2 = lambda_residuals_df(dfh, t1, t2, l1, l2, no)
-    if model == "CCD":
-        r1 = ct_zeros_like(l1)
-    return r1, r2
+    return lambda_residuals_df(dfh, t1, t2, l1, l2, no, model=model)
 
 
 def pseudoenergy(ERI, l2, no):
@@ -199,8 +196,11 @@ class cclambda:
         # at (no, nv) where the fused DF residual's ~14 live o^2v^2 temps
         # exceed HBM, evaluate it as two host-sequenced device programs
         # (models/dfhbar.py lambda_r2_seed_df/lambda_r1_r2_finish_df)
-        split_df = dfmode and (no * cc.nv ** 3 > 2e8
-                               or getattr(cc, "_force_split_lambda", False))
+        # the five-program split implements the CCSD residual only (the
+        # CCD/CC2 df residuals are far lighter — no ladder/ring blocks)
+        split_df = (dfmode and model in ("CCSD", "CCSD(T)")
+                    and (no * cc.nv ** 3 > 2e8
+                         or getattr(cc, "_force_split_lambda", False)))
 
         # everything big enters as a jit ARGUMENT (closure constants are
         # serialized into the remote compile request on TPU); l1/l2 and
@@ -213,7 +213,8 @@ class cclambda:
             if blocked:
                 ERIa, La = blocked_views(ERIa, no)
             if dfmode:
-                r1, r2 = lambda_residuals_df(hb, t1, t2, l1, l2, no, S1, S2)
+                r1, r2 = lambda_residuals_df(hb, t1, t2, l1, l2, no,
+                                             S1, S2, model=model)
             else:
                 r1, r2 = lambda_residuals("CCSD" if is_cc3 else model,
                                           hb, F, ERIa, La,

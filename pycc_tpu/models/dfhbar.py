@@ -436,36 +436,49 @@ def loovv_df(df):
 # ---------------------------------------------------------------------------
 
 def lambda_residuals_df(dfh, t1, t2, l1, l2, no, S1=None, S2=None,
-                        nblocks=None):
+                        nblocks=None, model="CCSD"):
     """r_L1, r_L2 over factors: every big-block contraction of the dense
-    CCSD branch (cclambda.py:41-95) replaced by its factor-implicit form;
-    equal to the dense path given exact factors (test_019)."""
+    model branch (cclambda.lambda_residuals, cclambda.py:33-94) replaced
+    by its factor-implicit form; equal to the dense path given exact
+    factors (test_019).  CCD is exact here because the CCSD HBAR forms
+    reduce to the CCD ones at t1 = 0 (and CCD keeps t1 = 0); CC2's HBAR
+    is structurally different (cchbar.py:94-137) and stays dense-only."""
+    from ..ops.ctensor import ct_zeros_like
+
+    ccd = model == "CCD"
+    if model == "CC2":
+        raise Exception("storage='df' Lambda supports CCD/CCSD/CCSD(T) "
+                        "only (the CC2 HBAR forms are dense-only).")
     Goo = contract("mjab,ijab->mi", t2, l2)
     Gvv = -1.0 * contract("ijeb,ijab->ae", t2, l2)
     Loovv = loovv_df(dfh.df)
     Hovvo_s = 2.0 * dfh.Hovvo - dfh.Hovov.swapaxes(2, 3)
 
-    r1 = 2.0 * dfh.Hov
-    if S1 is not None:
-        r1 = r1 + S1
-    r1 += contract("ie,ea->ia", l1, dfh.Hvv)
-    r1 -= contract("ma,im->ia", l1, dfh.Hoo)
-    r1 += r1_l2_hvvvo(dfh, t1, t2, l2, dfh.Hov)
-    r1 -= contract("mnae,iemn->ia", l2, dfh.Hovoo)
-    r1 += contract("me,ieam->ia", l1, Hovvo_s)
-    r1 += r1_gvv_hvovv(dfh, Gvv)
-    r1 -= 2.0 * contract("mn,mina->ia", Goo, dfh.Hooov)
-    r1 += contract("mn,imna->ia", Goo, dfh.Hooov)
+    if ccd:
+        r1 = ct_zeros_like(l1)
+    else:
+        r1 = 2.0 * dfh.Hov
+        if S1 is not None:
+            r1 = r1 + S1
+        r1 += contract("ie,ea->ia", l1, dfh.Hvv)
+        r1 -= contract("ma,im->ia", l1, dfh.Hoo)
+        r1 += r1_l2_hvvvo(dfh, t1, t2, l2, dfh.Hov)
+        r1 -= contract("mnae,iemn->ia", l2, dfh.Hovoo)
+        r1 += contract("me,ieam->ia", l1, Hovvo_s)
+        r1 += r1_gvv_hvovv(dfh, Gvv)
+        r1 -= 2.0 * contract("mn,mina->ia", Goo, dfh.Hooov)
+        r1 += contract("mn,imna->ia", Goo, dfh.Hooov)
 
     r2 = Loovv
-    if S2 is not None:
-        r2 = r2 + 0.5 * S2
-    r2 = r2 + 2.0 * contract("ia,jb->ijab", l1, dfh.Hov)
-    r2 -= contract("ja,ib->ijab", l1, dfh.Hov)
-    r2 += r2_l1_hvovv(dfh, l1)
-    r2 -= 2.0 * contract("mb,jima->ijab", l1, dfh.Hooov)
-    r2 += contract("mb,ijma->ijab", l1, dfh.Hooov)
-    r2 += contract("ijeb,ea->ijab", l2, dfh.Hvv)
+    if not ccd:
+        if S2 is not None:
+            r2 = r2 + 0.5 * S2
+        r2 = r2 + 2.0 * contract("ia,jb->ijab", l1, dfh.Hov)
+        r2 -= contract("ja,ib->ijab", l1, dfh.Hov)
+        r2 += r2_l1_hvovv(dfh, l1)
+        r2 -= 2.0 * contract("mb,jima->ijab", l1, dfh.Hooov)
+        r2 += contract("mb,ijma->ijab", l1, dfh.Hooov)
+    r2 = r2 + contract("ijeb,ea->ijab", l2, dfh.Hvv)
     r2 -= contract("mjab,im->ijab", l2, dfh.Hoo)
     r2 += 0.5 * contract("mnab,ijmn->ijab", l2, dfh.Hoooo)
     r2 += hvvvv_x2_df(dfh, t2, l2, nblocks=nblocks)

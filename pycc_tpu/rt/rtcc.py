@@ -78,7 +78,8 @@ class rtcc:
             from ..models.dfhbar import loovv_df
             if model not in ("CCD", "CCSD"):
                 raise Exception("rtcc over storage='df' supports CCD/CCSD "
-                                "only (got %s)." % model)
+                                "only (got %s; CC2's HBAR forms are "
+                                "dense-only)." % model)
             self._H_args = (ccwfn.dfb,)
             # the L[o,o,o,o] trace in the phase/lagrangian is
             # field-independent: precompute it from the (real) factors

@@ -190,6 +190,39 @@ def test_df_lambda_eom_end_to_end():
     assert np.allclose(E_seq, E_ref, atol=1e-7), (E_seq, E_ref)
 
 
+def test_df_lambda_ccd_model():
+    """CCD Lambda under storage='df' equals the dense CCD branch: the
+    CCSD HBAR/residual forms reduce to the CCD ones at t1 = l1 = 0, with
+    r1 pinned to zero.  CC2 stays dense-only (its HBAR forms differ
+    structurally) and raises a clear error — also checked."""
+    import contextlib
+    import io
+
+    import pycc_tpu
+
+    wfn = run_rhf(H2O_GEOM, "sto-3g", freeze_core=True)
+    for model in ("CCD",):
+        with contextlib.redirect_stdout(io.StringIO()):
+            cc_f = pycc_tpu.ccwfn(wfn, model=model, storage="df",
+                                  df_tol=1e-13)
+            cc_f.solve_cc(e_conv=1e-12, r_conv=1e-12)
+            lam_f = pycc_tpu.cclambda(cc_f, pycc_tpu.cchbar(cc_f))
+            le_f = lam_f.solve_lambda(e_conv=1e-12, r_conv=1e-12)
+            cc_d = pycc_tpu.ccwfn(wfn, model=model)
+            cc_d.solve_cc(e_conv=1e-12, r_conv=1e-12)
+            lam_d = pycc_tpu.cclambda(cc_d, pycc_tpu.cchbar(cc_d))
+            le_d = lam_d.solve_lambda(e_conv=1e-12, r_conv=1e-12)
+        assert lam_f.converged and lam_d.converged, model
+        assert abs(le_f - le_d) < 1e-9, (model, le_f, le_d)
+        assert np.abs(np.asarray(lam_f.l1)
+                      - np.asarray(lam_d.l1)).max() < 1e-7, model
+    with contextlib.redirect_stdout(io.StringIO()):
+        cc2 = pycc_tpu.ccwfn(wfn, model="CC2", storage="df", df_tol=1e-13)
+        cc2.solve_cc(e_conv=1e-10, r_conv=1e-10)
+        with pytest.raises(Exception, match="CCD/CCSD"):
+            pycc_tpu.cchbar(cc2)
+
+
 def test_split_lambda_equals_fused():
     """The at-scale two-program DF Lambda residual (lambda_r2_seed_df +
     lambda_r1_r2_finish_df, auto-selected at no*nv^3 > 2e8) equals the

@@ -183,13 +183,13 @@ class cchbar:
             # dressed factors instead (models/dfhbar.py)
             from .models.dfhbar import build_hbar_df
 
-            if ccwfn.model not in ("CCD", "CCSD", "CCSD(T)"):
+            if ccwfn.model not in ("CCD", "CC2", "CCSD", "CCSD(T)"):
                 # CCD: the CCSD forms reduce to the CCD ones at t1 = 0
-                raise Exception("storage='df' HBAR supports CCD/CCSD/"
+                raise Exception("storage='df' HBAR supports CCD/CC2/CCSD/"
                                 "CCSD(T) only (got %s)" % ccwfn.model)
-            hbar = jax.jit(build_hbar_df, static_argnums=(4,))(
+            hbar = jax.jit(build_hbar_df, static_argnums=(4, 5))(
                 jnp.asarray(ccwfn.H.F), ccwfn.dfb, ccwfn.t1, ccwfn.t2,
-                ccwfn.no)
+                ccwfn.no, ccwfn.model if ccwfn.model == "CC2" else "CCSD")
             if getattr(ccwfn, "mesh", None) is not None:
                 from .parallel import shard_hbar
                 hbar = shard_hbar(hbar, ccwfn.mesh)

@@ -119,12 +119,12 @@ def lambda_residuals_from_F_df(model, F, dfb, t1, t2, l1, l2, no):
     to the CCSD forms at t1 = l1 = 0 (the RT-CCD invariant), with r1
     pinned to zero as in the dense branch."""
     from .models.dfhbar import build_hbar_df, lambda_residuals_df
-    if model not in ("CCD", "CCSD"):
-        raise Exception("RT over storage='df' supports CCD/CCSD only "
-                        "(got %s; the CC2 HBAR forms are dense-only)."
-                        % model)
-    dfh = build_hbar_df(F, dfb, t1, t2, no)
-    return lambda_residuals_df(dfh, t1, t2, l1, l2, no, model=model)
+    if model not in ("CCD", "CC2", "CCSD"):
+        raise Exception("RT over storage='df' supports CCD/CC2/CCSD only "
+                        "(got %s)." % model)
+    dfh = build_hbar_df(F, dfb, t1, t2, no,
+                        model="CC2" if model == "CC2" else "CCSD")
+    return lambda_residuals_df(dfh, t1, t2, l1, l2, no, model=model, F=F)
 
 
 def pseudoenergy(ERI, l2, no):
@@ -214,7 +214,7 @@ class cclambda:
                 ERIa, La = blocked_views(ERIa, no)
             if dfmode:
                 r1, r2 = lambda_residuals_df(hb, t1, t2, l1, l2, no,
-                                             S1, S2, model=model)
+                                             S1, S2, model=model, F=F)
             else:
                 r1, r2 = lambda_residuals("CCSD" if is_cc3 else model,
                                           hb, F, ERIa, La,

@@ -162,12 +162,17 @@ def _tau_ovvv_ovoo(df, tau):
 # HBAR build (CCSD forms; cchbar.py:81-164)
 # ---------------------------------------------------------------------------
 
-def build_hbar_df(F, dfb, t1, t2, no):
+def build_hbar_df(F, dfb, t1, t2, no, model="CCSD"):
     """All <= o^3 v HBAR blocks from factors, equal to the dense
-    build_hbar('CCSD', ...) blocks exactly (given exact factors), plus the
-    dressed factors for the implicit blocks."""
+    build_hbar(model, ...) blocks exactly (given exact factors), plus the
+    dressed factors for the implicit blocks.  model='CC2' produces the
+    CC2 forms (cchbar.py:97-137): the doubles blocks are pure t1-dressed
+    integrals — which is exactly what the dressed-factor bilinears give —
+    plus bare-Fock t2 terms in Hovoo/Hvvvo.  CCD shares the CCSD forms
+    (they coincide at t1 = 0)."""
     o, v = slice(0, no), slice(no, None)
     df = dfb
+    cc2 = model == "CC2"
     tau = _tau(t1, t2)
     Bd_ae, Bd_mi = dress_factors(df, t1)
 
@@ -195,8 +200,13 @@ def build_hbar_df(F, dfb, t1, t2, no):
 
     eri_oooo = _eri_oooo(df)
     tmp = contract("je,mnie->mnij", t1, eri_ooov)
-    Hoooo = (eri_oooo + tmp + tmp.transpose(1, 0, 3, 2)
-             + contract("ijef,mnef->mnij", tau, eri_oovv))
+    Hoooo = eri_oooo + tmp + tmp.transpose(1, 0, 3, 2)
+    if cc2:
+        # t1.t1 bilinear instead of tau (cchbar.py:98-100)
+        Hoooo = Hoooo + contract("jf,mnif->mnij", t1,
+                                 contract("ie,mnef->mnif", t1, eri_oovv))
+    else:
+        Hoooo = Hoooo + contract("ijef,mnef->mnij", tau, eri_oovv)
 
     # Hooov[mnie] = sum_P Bd_mi[P,m,i] Bov[P,n,e]  (exact; see module doc)
     Hooov = contract("Pmi,Pne->mnie", Bd_mi, df.Bov)
@@ -210,31 +220,42 @@ def build_hbar_df(F, dfb, t1, t2, no):
     Cbj = contract("Pbf,jf->Pbj", df.Bvv, t1)
     Hovvo = (eri_ovvo
              + contract("Pme,Pbj->mbej", df.Bov, Cbj)
-             - contract("nb,mnej->mbej", t1, eri_oovo)
-             - contract("jnfb,mnef->mbej", tau, eri_oovv)
-             + contract("njfb,mnef->mbej", t2, Loovv))
-
+             - contract("nb,mnej->mbej", t1, eri_oovo))
     Dmj = contract("Pmf,jf->Pmj", df.Bov, t1)
     Hovov = (eri_ovov
              + contract("Pmj,Pbe->mbje", Dmj, df.Bvv)
-             - contract("nb,mnje->mbje", t1, eri_ooov)
-             - contract("jnfb,nmef->mbje", tau, eri_oovv))
+             - contract("nb,mnje->mbje", t1, eri_ooov))
+    if not cc2:
+        Hovvo = (Hovvo
+                 - contract("jnfb,mnef->mbej", tau, eri_oovv)
+                 + contract("njfb,mnef->mbej", t2, Loovv))
+        Hovov = Hovov - contract("jnfb,nmef->mbje", tau, eri_oovv)
 
-    # Hovoo[mbij] (cchbar.py:152-164)
-    Hovoo = (eri_ovoo
-             + contract("me,ijeb->mbij", Hov, t2)
-             - contract("nb,mnij->mbij", t1, Hoooo)
-             + _tau_ovvv_ovoo(df, tau))
-    tmpo = eri_ovov - contract("infb,mnfe->mbie", t2, eri_oovv)
-    Hovoo = (Hovoo
-             - contract("ineb,nmje->mbij", t2, eri_ooov)
-             - contract("jneb,mnie->mbij", t2, eri_ooov)
-             + contract("njeb,mnie->mbij", t2, Looov)
-             + contract("je,mbie->mbij", t1, tmpo))
-    tmpv = (contract("Pjb,Pme->bmje", df.Bov, df.Bov)
-            - contract("jnfb,mnef->bmje", t2, eri_oovv)
-            + contract("njfb,mnef->bmje", t2, Loovv))
-    Hovoo = Hovoo + contract("ie,bmje->mbij", t1, tmpv)
+    if cc2:
+        # Hovoo CC2 (cchbar.py:130-137): dressed integral + bare-Fock t2;
+        # the three t1 dressings assemble from the rank-1 factors above
+        Hovoo = (eri_ovoo
+                 + contract("me,ijeb->mbij", F[o, v], t2)
+                 - contract("nb,mnij->mbij", t1, Hoooo)
+                 + contract("Pmi,Pbj->mbij", Dmj, Cbj)
+                 + contract("Pmi,Pbj->mbij", df.Boo, Cbj)
+                 + contract("Pmi,Pjb->mbij", Dmj, df.Bov))
+    else:
+        # Hovoo[mbij] (cchbar.py:152-164)
+        Hovoo = (eri_ovoo
+                 + contract("me,ijeb->mbij", Hov, t2)
+                 - contract("nb,mnij->mbij", t1, Hoooo)
+                 + _tau_ovvv_ovoo(df, tau))
+        tmpo = eri_ovov - contract("infb,mnfe->mbie", t2, eri_oovv)
+        Hovoo = (Hovoo
+                 - contract("ineb,nmje->mbij", t2, eri_ooov)
+                 - contract("jneb,mnie->mbij", t2, eri_ooov)
+                 + contract("njeb,mnie->mbij", t2, Looov)
+                 + contract("je,mbie->mbij", t1, tmpo))
+        tmpv = (contract("Pjb,Pme->bmje", df.Bov, df.Bov)
+                - contract("jnfb,mnef->bmje", t2, eri_oovv)
+                + contract("njfb,mnef->bmje", t2, Loovv))
+        Hovoo = Hovoo + contract("ie,bmje->mbij", t1, tmpv)
 
     return DFHBar(Hov=Hov, Hvv=Hvv, Hoo=Hoo, Hoooo=Hoooo, Hooov=Hooov,
                   Hovvo=Hovvo, Hovov=Hovov, Hovoo=Hovoo,
@@ -285,12 +306,17 @@ def r2_l1_hvovv(dfh, l1):
 # implicit-Hvvvo consumers
 # ---------------------------------------------------------------------------
 
-def r1_l2_hvvvo(dfh, t1, t2, l2, Hov, nblocks=None):
+def r1_l2_hvvvo(dfh, t1, t2, l2, Hov, nblocks=None, cc2=False):
     """'imef,efam->ia' over the FULL CCSD Hvvvo (cclambda.py:51) without
     materializing the o v^3 block.  Renaming Hvvvo[abei] -> [e,f,a,m],
     each of the nine dense terms (cchbar.py:138-150) reduces to factor
     assemblies with <= (naux,o,v) / o^2 v^2 intermediates; the derivation
-    is in this function term by term."""
+    is in this function term by term.
+
+    cc2=True evaluates the CC2 Hvvvo (cchbar.py:124-130) instead: bare
+    F[o,v] in (2) (pass it as Hov), the t1.t1 bilinear for tau in (4),
+    the t1-dressed-only Hvvvv in (3), bare integrals in (8)/(9), and no
+    t2 ring terms (5)-(7)."""
     df = dfh.df
     Bov, Boo, Bvv = df.Bov, df.Boo, df.Bvv
     tau = _tau(t1, t2)
@@ -298,7 +324,7 @@ def r1_l2_hvvvo(dfh, t1, t2, l2, Hov, nblocks=None):
     # (1) <ef|am> = (ea|fm):  Z[P,i,e] = l2[imef] Bov[P,m,f]
     Z = contract("imef,Pmf->Pie", l2, Bov)
     out = contract("Pie,Pea->ia", Z, Bvv)
-    # (2) -Hov[na] t2[nmef]
+    # (2) -Hov[na] t2[nmef]   (CC2: F[o,v] instead of Hov)
     out -= contract("in,na->ia", contract("imef,nmef->in", l2, t2), Hov)
     # (3) t1[mg] Hvvvv[efag]:
     #     factor part: E[P,m,f] = t1[mg] Bd_ae[P,f,g];
@@ -306,15 +332,29 @@ def r1_l2_hvvvo(dfh, t1, t2, l2, Hov, nblocks=None):
     E = contract("mg,Pfg->Pmf", t1, dfh.Bd_ae)
     Z3 = contract("imef,Pmf->Pie", l2, E)
     out += contract("Pie,Pea->ia", Z3, dfh.Bd_ae)
-    #     t2 residue of Hvvvv: X[i,g,m?] -> via o^3 v intermediates
-    l2t = contract("imef,mg->igef", l2, t1)
-    X = contract("igef,pqef->igpq", l2t, t2)
-    Y = contract("igpq,Pqg->Pip", X, Bov)
-    out += contract("Pip,Ppa->ia", Y, Bov)
-    # (4) tau[pqef] <pq|am> = (pa|qm)
-    T4 = contract("imef,pqef->ipqm", l2, tau)
+    if not cc2:
+        #  t2 residue of Hvvvv: X[i,g,m?] -> via o^3 v intermediates
+        l2t = contract("imef,mg->igef", l2, t1)
+        X = contract("igef,pqef->igpq", l2t, t2)
+        Y = contract("igpq,Pqg->Pip", X, Bov)
+        out += contract("Pip,Ppa->ia", Y, Bov)
+    # (4) tau[pqef] <pq|am> = (pa|qm)   (CC2: t1[pe] t1[qf] bilinear)
+    if cc2:
+        lt4 = contract("imef,qf->imeq", l2, t1)
+        T4 = contract("imeq,pe->ipqm", lt4, t1)
+    else:
+        T4 = contract("imef,pqef->ipqm", l2, tau)
     Y4 = contract("ipqm,Pqm->Pip", T4, Boo)
     out += contract("Pip,Ppa->ia", Y4, Bov)
+    if cc2:
+        # (8') -t1[pf] <ep|am>, <ep|am> = (ea|pm)
+        lt = contract("imef,pf->imep", l2, t1)
+        W8 = contract("imep,Ppm->Pie", lt, Boo)
+        out -= contract("Pie,Pea->ia", W8, Bvv)
+        # (9') -t1[pe] <fp|ma>, <fp|ma> = (fm|pa)
+        ZT = contract("pe,Pie->Pip", t1, Z)
+        out -= contract("Pip,Ppa->ia", ZT, Bov)
+        return out
     # (5) -t2[mpge] <fp|ga> = (fg|pa):  U[i,f,p,g] = l2[imef] t2[mpge]
     U = contract("imef,mpge->ifpg", l2, t2)
     W5 = contract("ifpg,Pfg->Pip", U, Bvv)
@@ -436,19 +476,20 @@ def loovv_df(df):
 # ---------------------------------------------------------------------------
 
 def lambda_residuals_df(dfh, t1, t2, l1, l2, no, S1=None, S2=None,
-                        nblocks=None, model="CCSD"):
+                        nblocks=None, model="CCSD", F=None):
     """r_L1, r_L2 over factors: every big-block contraction of the dense
     model branch (cclambda.lambda_residuals, cclambda.py:33-94) replaced
     by its factor-implicit form; equal to the dense path given exact
     factors (test_019).  CCD is exact here because the CCSD HBAR forms
-    reduce to the CCD ones at t1 = 0 (and CCD keeps t1 = 0); CC2's HBAR
-    is structurally different (cchbar.py:94-137) and stays dense-only."""
+    reduce to the CCD ones at t1 = 0 (and CCD keeps t1 = 0).  CC2
+    (cclambda.py:56-61,78-82) needs the bare Fock matrix F for its
+    one-body r2 terms; dfh must be built with model='CC2'."""
     from ..ops.ctensor import ct_zeros_like
 
     ccd = model == "CCD"
     if model == "CC2":
-        raise Exception("storage='df' Lambda supports CCD/CCSD/CCSD(T) "
-                        "only (the CC2 HBAR forms are dense-only).")
+        return _lambda_residuals_cc2_df(dfh, F, t1, t2, l1, l2, no,
+                                        S1=S1, S2=S2)
     Goo = contract("mjab,ijab->mi", t2, l2)
     Gvv = -1.0 * contract("ijeb,ijab->ae", t2, l2)
     Loovv = loovv_df(dfh.df)
@@ -487,6 +528,51 @@ def lambda_residuals_df(dfh, t1, t2, l1, l2, no, S1=None, S2=None,
     r2 -= contract("mieb,jeam->ijab", l2, dfh.Hovvo)
     r2 += contract("ae,ijeb->ijab", Gvv, Loovv)
     r2 -= contract("mi,mjab->ijab", Goo, Loovv)
+    r2 = r2 + r2.transpose(1, 0, 3, 2)
+    return r1, r2
+
+
+def _lambda_residuals_cc2_df(dfh, F, t1, t2, l1, l2, no, S1=None, S2=None):
+    """CC2 Lambda residuals over factors (cclambda.py:48-61, 68-82, CC2
+    branch): the heavy-block terms (Hvvvv ladder, Hovvo/Hovov rings,
+    Goo/Gvv) are absent in CC2; what remains is the implicit-Hvovv /
+    implicit-Hvvvo l1/l2 terms plus bare-Fock one-body r2 terms.  dfh
+    must be a model='CC2' build (Hoooo/Hovvo/Hovov/Hovoo CC2 forms)."""
+    if F is None:
+        raise Exception("CC2 df Lambda residuals need the Fock matrix F "
+                        "(the dense CC2 r2 uses bare-Fock one-body terms).")
+    o, v = slice(0, no), slice(no, None)
+    tau = _tau(t1, t2)
+    eri_oovv = _eri_oovv(dfh.df)
+    Loovv = 2.0 * eri_oovv - eri_oovv.swapaxes(2, 3)
+    Hovvo_s = 2.0 * dfh.Hovvo - dfh.Hovov.swapaxes(2, 3)
+
+    r1 = 2.0 * dfh.Hov
+    if S1 is not None:
+        r1 = r1 + S1
+    r1 += contract("ie,ea->ia", l1, dfh.Hvv)
+    r1 -= contract("ma,im->ia", l1, dfh.Hoo)
+    r1 += r1_l2_hvvvo(dfh, t1, t2, l2, F[o, v], cc2=True)
+    r1 -= contract("mnae,iemn->ia", l2, dfh.Hovoo)
+    r1 += contract("me,ieam->ia", l1, Hovvo_s)
+    tmp = contract("me,nmfe->nf", l1, t2)
+    r1 += 2.0 * contract("nf,inaf->ia", tmp, Loovv)
+    tmp = contract("me,mnfe->nf", l1, tau)
+    r1 -= 2.0 * contract("nf,inaf->ia", tmp, eri_oovv)
+    r1 += contract("nf,inaf->ia", tmp, eri_oovv.swapaxes(2, 3))
+
+    r2 = Loovv
+    if S2 is not None:
+        r2 = r2 + 0.5 * S2
+    r2 = r2 + 2.0 * contract("ia,jb->ijab", l1, dfh.Hov)
+    r2 -= contract("ja,ib->ijab", l1, dfh.Hov)
+    r2 += r2_l1_hvovv(dfh, l1)
+    r2 -= 2.0 * contract("mb,jima->ijab", l1, dfh.Hooov)
+    r2 += contract("mb,ijma->ijab", l1, dfh.Hooov)
+    r2 += contract("ijeb,ea->ijab", l2,
+                   F[v, v] - contract("me,ma->ae", F[o, v], t1))
+    r2 -= contract("mjab,im->ijab", l2,
+                   F[o, o] + contract("ie,me->mi", t1, F[o, v]))
     r2 = r2 + r2.transpose(1, 0, 3, 2)
     return r1, r2
 

@@ -76,10 +76,9 @@ class rtcc:
             from ..cclambda import lambda_residuals_from_F_df
             from ..models.dfccsd import _eri_oooo, cc_energy_df
             from ..models.dfhbar import loovv_df
-            if model not in ("CCD", "CCSD"):
-                raise Exception("rtcc over storage='df' supports CCD/CCSD "
-                                "only (got %s; CC2's HBAR forms are "
-                                "dense-only)." % model)
+            if model not in ("CCD", "CC2", "CCSD"):
+                raise Exception("rtcc over storage='df' supports CCD/CC2/"
+                                "CCSD only (got %s)." % model)
             self._H_args = (ccwfn.dfb,)
             # the L[o,o,o,o] trace in the phase/lagrangian is
             # field-independent: precompute it from the (real) factors

@@ -190,18 +190,61 @@ def test_df_lambda_eom_end_to_end():
     assert np.allclose(E_seq, E_ref, atol=1e-7), (E_seq, E_ref)
 
 
+def test_cc2_hbar_and_lambda_df(setup):
+    """model='CC2' DF-HBAR blocks and Lambda residuals equal the dense
+    CC2 branch (cchbar.py:94-137, cclambda.py:56-61/78-82) given exact
+    factors: the CC2 doubles blocks are pure t1-dressed integrals (the
+    dressed-factor bilinears), plus bare-Fock t2 terms."""
+    from pycc_tpu.cclambda import lambda_residuals
+
+    dense_ccsd, dfh, t1, t2, no, nv, rng = setup
+    df = dfh.df
+    B = jnp.concatenate(
+        [jnp.concatenate([df.Boo, df.Bov], axis=2),
+         jnp.concatenate([df.Bov.transpose(0, 2, 1), df.Bvv], axis=2)],
+        axis=1)
+    rec = np.einsum("Ppr,Pqs->pqrs", np.asarray(B), np.asarray(B))
+    L = 2.0 * rec - rec.swapaxes(2, 3)
+    nact = no + nv
+    rngF = np.random.default_rng(23)
+    Fs = rngF.standard_normal((nact, nact))
+    F = jnp.asarray(0.1 * (Fs + Fs.T) + np.diag(np.arange(nact, dtype=float)))
+
+    dense = build_hbar("CC2", F, jnp.asarray(rec), jnp.asarray(L),
+                       t1, t2, no)
+    dfh2 = dfq.build_hbar_df(F, df, t1, t2, no, model="CC2")
+    for name in ("Hov", "Hvv", "Hoo", "Hoooo", "Hooov", "Hovvo",
+                 "Hovov", "Hovoo"):
+        assert _close(getattr(dense, name), getattr(dfh2, name)), name
+
+    l2 = jnp.asarray(rng.standard_normal((no, no, nv, nv)))
+    o = slice(0, no)
+    v = slice(no, None)
+    ref = np.einsum("imef,efam->ia", l2, dense.Hvvvo)
+    assert _close(ref, dfq.r1_l2_hvvvo(dfh2, t1, t2, l2, F[o, v], cc2=True))
+
+    l1 = jnp.asarray(rng.standard_normal((no, nv)))
+    l2s = l2 + l2.transpose(1, 0, 3, 2)
+    r1_ref, r2_ref = lambda_residuals("CC2", dense, F, jnp.asarray(rec),
+                                      jnp.asarray(L), t1, t2, l1, l2s, no)
+    r1, r2 = dfq.lambda_residuals_df(dfh2, t1, t2, l1, l2s, no,
+                                     model="CC2", F=F)
+    assert _close(r1_ref, r1)
+    assert _close(r2_ref, r2)
+
+
 def test_df_lambda_ccd_model():
-    """CCD Lambda under storage='df' equals the dense CCD branch: the
-    CCSD HBAR/residual forms reduce to the CCD ones at t1 = l1 = 0, with
-    r1 pinned to zero.  CC2 stays dense-only (its HBAR forms differ
-    structurally) and raises a clear error — also checked."""
+    """CCD and CC2 Lambda under storage='df' equal the dense branches:
+    CCD because the CCSD HBAR/residual forms reduce to the CCD ones at
+    t1 = l1 = 0 (r1 pinned to zero); CC2 through its own factor-implicit
+    forms (models/dfhbar.py _lambda_residuals_cc2_df)."""
     import contextlib
     import io
 
     import pycc_tpu
 
     wfn = run_rhf(H2O_GEOM, "sto-3g", freeze_core=True)
-    for model in ("CCD",):
+    for model in ("CCD", "CC2"):
         with contextlib.redirect_stdout(io.StringIO()):
             cc_f = pycc_tpu.ccwfn(wfn, model=model, storage="df",
                                   df_tol=1e-13)
@@ -216,11 +259,6 @@ def test_df_lambda_ccd_model():
         assert abs(le_f - le_d) < 1e-9, (model, le_f, le_d)
         assert np.abs(np.asarray(lam_f.l1)
                       - np.asarray(lam_d.l1)).max() < 1e-7, model
-    with contextlib.redirect_stdout(io.StringIO()):
-        cc2 = pycc_tpu.ccwfn(wfn, model="CC2", storage="df", df_tol=1e-13)
-        cc2.solve_cc(e_conv=1e-10, r_conv=1e-10)
-        with pytest.raises(Exception, match="CCD/CCSD"):
-            pycc_tpu.cchbar(cc2)
 
 
 def test_split_lambda_equals_fused():

@@ -73,6 +73,40 @@ def test_rhs_ri_split_df(setup):
     assert np.abs(np.asarray(f_f) - np.asarray(f_r)).max() < 1e-12
 
 
+def test_rhs_df_cc2_equals_dense():
+    """RT-CC2 over factors: the CC2 DF-HBAR/Lambda forms
+    (models/dfhbar.py build_hbar_df(model='CC2') /
+    _lambda_residuals_cc2_df) drive the same dynamics as the dense CC2
+    RHS, in both complex and re/im-split modes."""
+    wfn = run_rhf(H2O_GEOM, "sto-3g", freeze_core=True)
+    H = build_hamiltonian(wfn, host=True)
+    B = cholesky_factor_eri(np.asarray(H.ERI), tol=1e-14)
+    mu = np.stack([np.asarray(m) for m in H.mu])
+    V = gaussian_laser(0.05, 0.0, 0.01, center=0.05)
+    with contextlib.redirect_stdout(io.StringIO()):
+        cc_d = pycc_tpu.ccwfn(wfn, model="CC2")
+        cc_d.solve_cc(e_conv=1e-12, r_conv=1e-12)
+        lam_d = pycc_tpu.cclambda(cc_d, pycc_tpu.cchbar(cc_d))
+        lam_d.solve_lambda(e_conv=1e-12, r_conv=1e-12)
+        rt_d = pycc_tpu.rtcc(cc_d, lam_d, None, V)
+
+        cc_f = pycc_tpu.ccwfn.from_df_factors(B, np.asarray(H.F), H.no,
+                                              model="CC2", mu=mu)
+        cc_f.solve_cc(e_conv=1e-12, r_conv=1e-12)
+        lam_f = pycc_tpu.cclambda(cc_f, pycc_tpu.cchbar(cc_f))
+        lam_f.solve_lambda(e_conv=1e-12, r_conv=1e-12)
+        rt_f = pycc_tpu.rtcc(cc_f, lam_f, None, V)
+        rt_fr = pycc_tpu.rtcc(cc_f, lam_f, None, V, ri_split=True)
+        y0 = rt_d.collect_amps(cc_d.t1, cc_d.t2, lam_d.l1, lam_d.l2,
+                               jnp.asarray(0.0 + 0.0j))
+    y0 = np.asarray(y0)
+    f_d = np.asarray(rt_d.f(0.02, y0))
+    f_f = np.asarray(rt_f.f(0.02, y0))
+    assert np.abs(f_d - f_f).max() < 1e-10
+    f_r = np.asarray(rt_fr.f(0.02, y0))
+    assert np.abs(f_d - f_r).max() < 1e-10
+
+
 def test_step_observables_df(setup):
     from pycc_tpu.rt.integrators import rk4
 

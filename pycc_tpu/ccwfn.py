@@ -238,9 +238,10 @@ class ccwfn:
 
         self._df_residual_fn = None
         if self.storage == "df":
-            if self.local is not None or self.model == "CC3":
-                raise Exception("storage='df' supports canonical "
-                                "CCD/CC2/CCSD/CCSD(T) only.")
+            if self.local is not None:
+                raise Exception("storage='df' supports canonical models "
+                                "only (local correlation uses the "
+                                "pair-space solver).")
             from .models import dfccsd as dfq
             if not self.df_direct:
                 from .ops.cholesky import cholesky_factor_eri
@@ -249,12 +250,7 @@ class ccwfn:
                 self.naux = B.shape[0]
                 self.dfb = dfq.df_blocks(jnp.asarray(B, dtype=dtype),
                                          self.no)
-            _df_map = {"CCD": dfq.residuals_ccd_df,
-                       "CC2": dfq.residuals_cc2_df,
-                       "CCSD": dfq.residuals_ccsd_df,
-                       "CCSD(T)": dfq.residuals_ccsd_df}
-            self._df_residual_fn = partial(_df_map[self.model],
-                                           nblocks=self._df_nblocks)
+            self._df_residual_fn = self._make_df_residual_fn()
             log.info("DF/Cholesky factors: naux = %d (tol %.1e%s)"
                   % (self.naux, self.df_tol,
                      ", integral-direct" if self.df_direct else ""))
@@ -302,10 +298,10 @@ class ccwfn:
         four-index tensor exists at any point (contrast the reference,
         /root/reference/pycc/hamiltonian.py:36-39, and this framework's
         own dense-sourced route, ops/cholesky.cholesky_factor_eri)."""
-        if self.local is not None or self.model in ("CC3", "CCSD(T)"):
-            raise Exception("df_direct supports canonical CCD/CC2/CCSD "
-                            "only (no dense ERI exists for %s)."
-                            % (self.local or self.model))
+        if self.local is not None:
+            raise Exception("df_direct supports canonical models only "
+                            "(no dense ERI exists for local=%s)."
+                            % self.local)
         from .models import dfccsd as dfq
         from .ops.cholesky import recompress_factors
         from .scf.df import cholesky_factor_ao, factors_to_mo
@@ -335,9 +331,10 @@ class ccwfn:
         from .models import dfccsd as dfq
 
         model = model.upper()
-        if model not in ("CCD", "CC2", "CCSD", "CCSD(T)"):
+        if model not in ("CCD", "CC2", "CCSD", "CCSD(T)", "CC3"):
             raise Exception("from_df_factors supports canonical "
-                            "CCD/CC2/CCSD/CCSD(T) only (got %s)." % model)
+                            "CCD/CC2/CCSD/CCSD(T)/CC3 only (got %s)."
+                            % model)
         precision = precision.upper()
         if precision not in ("SP", "DP"):
             raise Exception("%s is not an allowed precision arithmetic."
@@ -382,18 +379,37 @@ class ccwfn:
         self._residual_fn = _RESIDUALS.get(self.model)
         self._energy_fn = _ENERGY[self.model]
         self._host_residual_fn = None
-        _df_map = {"CCD": dfq.residuals_ccd_df,
-                   "CC2": dfq.residuals_cc2_df,
-                   "CCSD": dfq.residuals_ccsd_df,
-                   "CCSD(T)": dfq.residuals_ccsd_df}
-        self._df_residual_fn = partial(_df_map[self.model],
-                                       nblocks=df_nblocks)
+        if model == "CC3":
+            from .models.cc3 import residuals_cc3_rows
+            big = (self.no ** 3) * (self.nv ** 3) > 2e8
+            if big:
+                self._host_residual_fn = partial(
+                    residuals_cc3_rows, real_time=False, F_ref=F)
+        self._df_residual_fn = self._make_df_residual_fn()
         self.mesh = mesh
         if mesh is not None:
             self._apply_mesh(mesh)
         log.info("DF/Cholesky factors: naux = %d (precomputed, %s)"
               % (self.naux, precision))
         return self
+
+    def _make_df_residual_fn(self):
+        """Model -> factor-residual dispatch for storage='df'.  CC3 uses
+        the slab-scanned T3 path over factor-assembled dressed W's
+        (models/cc3.residuals_cc3_scan_df) — the reference's CC3 exists
+        only as far as the dense ERI reaches
+        (/root/reference/pycc/ccwfn.py:371-404 via hamiltonian.py:36)."""
+        from .models import dfccsd as dfq
+
+        if self.model == "CC3":
+            from .models.cc3 import residuals_cc3_scan_df
+            return partial(residuals_cc3_scan_df, real_time=self.real_time,
+                           F_ref=self.H.F, nblocks=self._df_nblocks)
+        _df_map = {"CCD": dfq.residuals_ccd_df,
+                   "CC2": dfq.residuals_cc2_df,
+                   "CCSD": dfq.residuals_ccsd_df,
+                   "CCSD(T)": dfq.residuals_ccsd_df}
+        return partial(_df_map[self.model], nblocks=self._df_nblocks)
 
     def __getattr__(self, name):
         # storage='df' keeps no resident Dia/Dijab (an o^2v^2 buffer is
@@ -488,8 +504,11 @@ class ccwfn:
         if host_res is not None:
             Dia, Dijab = self.Dia, self.Dijab
             from .models.blocked import LoovvOnly
-            o_, v_ = self.o, self.v
-            Loovv_f = jnp.asarray(np.asarray(self.H.L)[o_, o_, v_, v_])
+            if self.storage == "df":
+                Loovv_f = jax.jit(self._df_Loovv)()
+            else:
+                o_, v_ = self.o, self.v
+                Loovv_f = jnp.asarray(np.asarray(self.H.L)[o_, o_, v_, v_])
 
             @jax.jit
             def apply_update(F, Loovv, Dia, Dijab, t1, t2, r1, r2, state,
@@ -648,7 +667,10 @@ class ccwfn:
                     rms, t1, t2, state = prev
             if not bf16_active and host_res is not None:
                 Fj = jnp.asarray(H.F)
-                if blocked:
+                if df_mode:
+                    r1, r2 = host_res(Fj, None, None, t1, t2, no,
+                                      dfb=self.dfb)
+                elif blocked:
                     r1, r2 = host_res(Fj, None, None, t1, t2, no,
                                       blocks=self.blocks)
                 else:

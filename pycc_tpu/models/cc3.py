@@ -61,6 +61,114 @@ def cc3_intermediates(ERI, t1, no):
     return Wmnij, Wmbij, Wmnie, Wamef, Wabei
 
 
+def cc3_intermediates_df(dfb, t1, no, scan_layout=False):
+    """The five T1-dressed CC3 W intermediates assembled from Cholesky/DF
+    factors — cc3_intermediates term by term with ERI[p,q,r,s] = <pq|rs>
+    = (pr|qs) = sum_P B[P,p,r] B[P,q,s] and the rank-1 t1 dressings of
+    models/dfhbar.py.  The ov^3 tensors (Wamef, Wabei) ARE materialized
+    (the slab scans need them resident anyway), but nothing nact^4 ever
+    exists: the dense builder consumes ERI[v,v,v,v] (cc3_intermediates
+    line 45), which is why the reference's CC3 stops at dense-ERI sizes
+    (/root/reference/pycc/ccwfn.py:371-404 via hamiltonian.py:36).
+
+    scan_layout=True emits Wabei directly as the occupied-major
+    [i,a,b,e] slab layout and Wmbij as [i,j,m,b] (triples.slab_layouts),
+    skipping the per-iteration v^3 o layout copy.
+
+    Derivation sketch (each term one 'Pxy,Pzw->xyzw' MXU dot):
+      t1[if] on a ket virtual  -> Cbi[P,b,i]  = Bvv[P,b,f] t1[i,f]
+      t1[if] on a ket occupied -> Dmi[P,m,i]  = Bov[P,m,f] t1[i,f]
+      t1[ma] on a bra virtual  -> Sae[P,a,e]  = t1[m,a] Bov[P,m,e]
+      t1[mb] on a bra occupied -> Eib[P,i,b]  = Boo[P,i,m] t1[m,b]
+    The Z1+Z2 pair of the dense Wabei is algebraically t1[if]<ab|ef>
+    (the even/odd split sums back); every remaining term collapses onto
+    one of the dressed factors above (Gib/Kib below are their
+    double-dressed compositions)."""
+    Boo, Bov, Bvv = dfb.Boo, dfb.Bov, dfb.Bvv
+    Bvo = Bov.transpose(0, 2, 1)
+    Dmi = contract("Pmf,if->Pmi", Bov, t1)
+    Cbi = contract("Pbf,if->Pbi", Bvv, t1)
+    CbiT = Cbi.transpose(0, 2, 1)
+    Sae = contract("ma,Pme->Pae", t1, Bov)
+    Eib = contract("Pim,mb->Pib", Boo, t1)
+    Gib = contract("Pmi,mb->Pib", Dmi, t1)
+    Kib = contract("Pni,nb->Pib", Boo + Dmi, t1)
+
+    # Wmnij[mnij] = <mn|ij> + <mn|ia>t1[ja] + (transp) + t1.t1 bilinear
+    tmp = contract("Pmi,Pnj->mnij", Boo, Dmi)
+    Wmnij = (contract("Pmi,Pnj->mnij", Boo, Boo)
+             + tmp + tmp.transpose(1, 0, 3, 2)
+             + contract("Pmi,Pnj->mnij", Dmi, Dmi))
+
+    # Wmbij[mbij] = <mb|ij> - Wmnij t1[nb] + <mb|ie>t1[je]
+    #             + t1[ie](<mb|ej> + <mb|ef>t1[jf])
+    Wmbij = (contract("Pmi,Pbj->mbij", Boo, Bvo + Cbi)
+             - contract("mnij,nb->mbij", Wmnij, t1)
+             + contract("Pmi,Pbj->mbij", Dmi, Bvo + Cbi))
+
+    # Wmnie = Bd_mi . Bov (== dfhbar Hooov);  Wamef = Bd_ae . Bov
+    Wmnie = contract("Pmi,Pne->mnie", Boo + Dmi, Bov)
+    Wamef = contract("Pae,Pmf->amef", Bvv - Sae, Bov)
+
+    # Wabei[abei] = Z_abei + Z_eiab^T, all six dense terms regrouped into
+    # two factor dots (see docstring):
+    #   Z_eiab: <ei|ab> + t1[if]<ab|ef> - Zeiam t1[mb] + Zanei t1[nb]
+    #   Z_abei: -t1[ma] Zmbei
+    out = "iabe" if scan_layout else "abei"
+    Wabei = (contract("Pae,Pib->" + out, Bvv, Bov + CbiT - Eib - Gib)
+             + contract("Pae,Pib->" + out, Sae, Kib - Bov - CbiT))
+    if scan_layout:
+        Wmbij = Wmbij.transpose(2, 3, 0, 1)
+    return Wmnij, Wmbij, Wmnie, Wamef, Wabei
+
+
+def cc3_scan_prep_df(F, dfb, t1, t2, no, real_time=False, F_ref=None,
+                     nblocks=None):
+    """cc3_scan_prep from factors: the CCSD residual part via the DF
+    residuals (models/dfccsd.py) and the dressed W's via
+    cc3_intermediates_df, already in slab layout."""
+    from .dfccsd import _eri_oovv, residuals_ccsd_df
+
+    o, v = slices(no)
+    r1, r2 = residuals_ccsd_df(F, dfb, t1, t2, no, nblocks=nblocks)
+    e = _eri_oovv(dfb)
+    Lo = 2.0 * e - e.swapaxes(2, 3)
+    Fme = F[o, v] + contract("nf,mnef->me", t1, Lo)
+    _, Wmbij_t, Wmnie, Wamef, Wabei_o = cc3_intermediates_df(
+        dfb, t1, no, scan_layout=True)
+    eps = jnp.diagonal(F)
+    if real_time:
+        Vov = (F - F_ref.astype(F.dtype))[o, v]
+    else:
+        Vov = jnp.zeros_like(F[o, v])
+    return r1, r2, Fme, Wamef, Wmnie, Wabei_o, Wmbij_t, eps, Lo, Vov
+
+
+def residuals_cc3_scan_df(F, dfb, t1, t2, no, real_time=False, F_ref=None,
+                          nblocks=None):
+    """CC3 T1/T2 residuals over Cholesky/DF factors, O(no v^3) triples
+    working memory — the storage='df' counterpart of residuals_cc3_scan
+    (equal given exact factors, test_026).  Jittable: the per-row T3
+    slabs run under lax.fori_loop."""
+    import jax
+
+    F_ref = F if F_ref is None else F_ref
+    (r1, r2, Fme, Wamef, Wmnie, Wabei_o, Wmbij_t,
+     eps, Lo, Vov) = cc3_scan_prep_df(F, dfb, t1, t2, no,
+                                      real_time=real_time, F_ref=F_ref,
+                                      nblocks=nblocks)
+    X1 = ct_zeros_like(r1)
+    X2 = ct_zeros_like(r2)
+    X1, X2 = jax.lax.fori_loop(
+        0, no,
+        lambda i, c: _cc3_row_xs(i, c, Wabei_o, Wmbij_t, t2, eps, Lo,
+                                 Fme, Wamef, Wmnie, Vov, no, real_time),
+        (X1, X2))
+    r1 = r1 + X1
+    r2 = r2 + X2 + X2.transpose(1, 0, 3, 2)
+    return r1, r2
+
+
 # Lambda-side dressed intermediates (cclambda.build_cc3_W*)
 def cc3_lambda_intermediates(ERI, t1, no):
     o, v = slices(no)
@@ -377,19 +485,26 @@ def _prep_from_blocks(F, blocks, t1, t2, F_ref, no, real_time):
 
 
 def residuals_cc3_rows(F, ERI, L, t1, t2, no, real_time=False, F_ref=None,
-                       blocks=None):
+                       blocks=None, dfb=None):
     """Host-orchestrated CC3 residuals: one short jitted device program per
     occupied row, avoiding the remote TPU watchdog that kills minute-long
     single dispatches (see triples.t_vikings_scan_core).  Identical result
     to residuals_cc3 / residuals_cc3_scan.  NOT jit-able — use from a
-    host-level solver loop only."""
+    host-level solver loop only.  dfb= sources the prep from Cholesky/DF
+    factors (cc3_scan_prep_df) instead of dense tensors or blocks."""
     global _cc3_row_xs_jit
     import jax
     if _cc3_row_xs_jit is None:
         _cc3_row_xs_jit = jax.jit(
             _cc3_row_xs, static_argnames=("no", "real_time"))
     F_ref = F if F_ref is None else F_ref
-    if blocks is not None:
+    if dfb is not None:
+        prep_d = jax.jit(cc3_scan_prep_df,
+                         static_argnames=("no", "real_time"))
+        (r1, r2, Fme, Wamef, Wmnie, Wabei_o, Wmbij_t,
+         eps, Lo, Vov) = prep_d(F, dfb, t1, t2, no=no,
+                                real_time=real_time, F_ref=F_ref)
+    elif blocks is not None:
         prep_b = jax.jit(_prep_from_blocks,
                          static_argnames=("no", "real_time"))
         (r1, r2, Fme, Wamef, Wmnie, Wabei_o, Wmbij_t,

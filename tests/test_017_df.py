@@ -95,8 +95,10 @@ def test_df_fused_solver(h2o_sto3g):
 
 def test_df_rejects_unsupported():
     wfn = run_rhf(H2O_GEOM, "sto-3g", freeze_core=True)
+    # local correlation has no factor-space path (the pair-space solver
+    # covers it); every canonical model now runs under storage='df'
     with pytest.raises(Exception):
-        ccwfn(wfn, storage="df", model="CC3")
+        ccwfn(wfn, storage="df", local="PNO")
 
 
 # ---------------------------------------------------------------------------
@@ -160,12 +162,19 @@ def test_df_direct_ccsd_oracle():
 
 def test_df_direct_explicit_no_scf_factors(h2o_sto3g):
     """df_direct=True works from a conventional SCF too (factors built on
-    demand), and CCSD(T)/CC3/local are rejected in dense-free mode."""
+    demand); CCSD(T) runs dense-free (the (T) scan assembles its slices
+    from the factors, triples.py:415); local stays rejected."""
     cc = ccwfn(h2o_sto3g, storage="df", df_direct=True, df_tol=1e-11)
     e = cc.solve_cc(e_conv=1e-12, r_conv=1e-12)
     assert abs(e - -0.070616830152761) < 1e-9
+    cct = ccwfn(h2o_sto3g, storage="df", df_direct=True, df_tol=1e-11,
+                model="CCSD(T)")
+    et = cct.solve_cc(e_conv=1e-12, r_conv=1e-12)
+    et_d = ccwfn(h2o_sto3g, model="CCSD(T)").solve_cc(e_conv=1e-12,
+                                                      r_conv=1e-12)
+    assert abs(et - et_d) < 1e-9, (et, et_d)
     with pytest.raises(Exception):
-        ccwfn(h2o_sto3g, storage="df", df_direct=True, model="CCSD(T)")
+        ccwfn(h2o_sto3g, storage="df", df_direct=True, local="PNO")
 
 
 def test_from_df_factors_round_trip(h2o_sto3g):

@@ -1,0 +1,97 @@
+"""CC3 over Cholesky/DF factors (models/cc3.py cc3_intermediates_df /
+residuals_cc3_scan_df): the factor-assembled T1-dressed W intermediates,
+the slab-scanned residuals, and the end-to-end storage='df' CC3 solve all
+equal the dense path given exact factors.
+
+The reference's CC3 exists only as far as the dense MO ERI reaches
+(/root/reference/pycc/ccwfn.py:371-404 via hamiltonian.py:36-39) — CC3
+from factors has no counterpart there.
+"""
+
+import contextlib
+import io
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import pycc_tpu
+from pycc_tpu.hamiltonian import build_hamiltonian
+from pycc_tpu.models import cc3 as cc3q
+from pycc_tpu.models.dfccsd import df_blocks
+from pycc_tpu.ops.cholesky import cholesky_factor_eri
+from pycc_tpu.scf import run_rhf
+
+from .common import H2O as H2O_GEOM
+
+
+@pytest.fixture(scope="module")
+def setup():
+    wfn = run_rhf(H2O_GEOM, "sto-3g", freeze_core=True)
+    H = build_hamiltonian(wfn, host=True)
+    ERI = np.asarray(H.ERI)
+    no = H.no
+    nv = ERI.shape[0] - no
+    B = cholesky_factor_eri(ERI, tol=1e-14)
+    rec = np.einsum("Ppr,Pqs->pqrs", B, B)
+    L = 2.0 * rec - rec.swapaxes(2, 3)
+    rng = np.random.default_rng(31)
+    t1 = jnp.asarray(0.05 * rng.standard_normal((no, nv)))
+    # NOT pair-symmetrized: the factor derivations must hold term by term
+    t2 = jnp.asarray(0.05 * rng.standard_normal((no, no, nv, nv)))
+    df = df_blocks(jnp.asarray(B), no)
+    return (wfn, jnp.asarray(H.F), jnp.asarray(rec), jnp.asarray(L),
+            df, t1, t2, no)
+
+
+def _close(a, b, tol=1e-11):
+    return np.abs(np.asarray(a) - np.asarray(b)).max() < tol
+
+
+def test_cc3_intermediates_df(setup):
+    wfn, F, rec, L, df, t1, t2, no = setup
+    dense = cc3q.cc3_intermediates(rec, t1, no)
+    from_df = cc3q.cc3_intermediates_df(df, t1, no)
+    for name, d, f in zip(("Wmnij", "Wmbij", "Wmnie", "Wamef", "Wabei"),
+                          dense, from_df):
+        assert _close(d, f), name
+    # scan layout == slab_layouts of the standard layout
+    from pycc_tpu.triples import slab_layouts
+    Wabei_o, Wmbij_t = slab_layouts(dense[4], dense[1])
+    _, Wmbij_s, _, _, Wabei_s = cc3q.cc3_intermediates_df(
+        df, t1, no, scan_layout=True)
+    assert _close(Wabei_o, Wabei_s)
+    assert _close(Wmbij_t, Wmbij_s)
+
+
+def test_cc3_residuals_df(setup):
+    wfn, F, rec, L, df, t1, t2, no = setup
+    r1_ref, r2_ref = cc3q.residuals_cc3(F, rec, L, t1, t2, no)
+    r1, r2 = cc3q.residuals_cc3_scan_df(F, df, t1, t2, no)
+    assert _close(r1_ref, r1)
+    assert _close(r2_ref, r2)
+    # the host-stepped rows path from factors
+    r1h, r2h = cc3q.residuals_cc3_rows(F, None, None, t1, t2, no, dfb=df)
+    assert _close(r1_ref, r1h)
+    assert _close(r2_ref, r2h)
+
+
+def test_cc3_df_solve_end_to_end(setup):
+    """storage='df' CC3 converges to the dense CC3 energy (and to the
+    frozen Psi4 CC3 oracle through it, tests/test_004)."""
+    wfn = setup[0]
+    with contextlib.redirect_stdout(io.StringIO()):
+        cc_d = pycc_tpu.ccwfn(wfn, model="CC3")
+        e_d = cc_d.solve_cc(e_conv=1e-11, r_conv=1e-11)
+        cc_f = pycc_tpu.ccwfn(wfn, model="CC3", storage="df", df_tol=1e-13)
+        e_f = cc_f.solve_cc(e_conv=1e-11, r_conv=1e-11)
+    assert abs(e_d - e_f) < 1e-9, (e_d, e_f)
+
+    # from prepared factors, without an SCF object (the at-scale entry)
+    H = build_hamiltonian(wfn, host=True)
+    B = cholesky_factor_eri(np.asarray(H.ERI), tol=1e-13)
+    with contextlib.redirect_stdout(io.StringIO()):
+        cc_p = pycc_tpu.ccwfn.from_df_factors(B, np.asarray(H.F), H.no,
+                                              model="CC3")
+        e_p = cc_p.solve_cc(e_conv=1e-11, r_conv=1e-11)
+    assert abs(e_d - e_p) < 1e-9, (e_d, e_p)

@@ -183,10 +183,12 @@ class cchbar:
             # dressed factors instead (models/dfhbar.py)
             from .models.dfhbar import build_hbar_df
 
-            if ccwfn.model not in ("CCD", "CC2", "CCSD", "CCSD(T)"):
-                # CCD: the CCSD forms reduce to the CCD ones at t1 = 0
+            if ccwfn.model not in ("CCD", "CC2", "CCSD", "CCSD(T)", "CC3"):
+                # CCD: the CCSD forms reduce to the CCD ones at t1 = 0;
+                # CC3 consumes the CCSD forms (as in the dense branch,
+                # cclambda.lambda_residuals_from_F:101)
                 raise Exception("storage='df' HBAR supports CCD/CC2/CCSD/"
-                                "CCSD(T) only (got %s)" % ccwfn.model)
+                                "CCSD(T)/CC3 only (got %s)" % ccwfn.model)
             hbar = jax.jit(build_hbar_df, static_argnums=(4, 5))(
                 jnp.asarray(ccwfn.H.F), ccwfn.dfb, ccwfn.t1, ccwfn.t2,
                 ccwfn.no, ccwfn.model if ccwfn.model == "CC2" else "CCSD")

@@ -179,6 +179,11 @@ class cclambda:
                                      cc3_lambda_extra_scan)
             big = cc.no ** 3 * cc.nv ** 3 > 2e8
             use_rows = big if cc.t3_scan is None else bool(cc.t3_scan)
+            if getattr(cc, "storage", "full") == "df":
+                # factors have no in-step dense-ERI extras path; the
+                # host-rows extras assemble their dressed W's from the
+                # factor blocks (cc3_lambda_prep_df)
+                use_rows = True
             cc3_extra_fn = cc3_lambda_extra
             if use_rows:
                 # host-orchestrated per-row extras: the in-step 5-D-slab
@@ -325,7 +330,10 @@ class cclambda:
             do_ext = (max_diis > 0) and (niter >= start_diis)
             if host_extras is not None:
                 # CC3 extras per iteration, outside the jitted step
-                if blocked:
+                if dfmode:
+                    Y1, Y2 = host_extras(Fj, None, None, t1, t2, l1, l2,
+                                         no, dfb=cc.dfb)
+                elif blocked:
                     Y1, Y2 = host_extras(Fj, None, None, t1, t2, l1, l2,
                                          no, blocks=cc.blocks)
                 else:

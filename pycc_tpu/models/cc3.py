@@ -685,6 +685,55 @@ def _cc3_t3_slab_pair(i, j, Vov, Wabei_o, Wmbij_t, t2, eps_o, eps_v,
     return t3
 
 
+def cc3_lambda_intermediates_df(dfb, t1, no):
+    """cc3_lambda_intermediates from factors.  Wmbje/Wmbej are pure
+    t1-dressed integrals (rank-1 factor assemblies); Wabef is EXACTLY the
+    dressed bilinear sum_P Bd_ae[P,a,e] Bd_ae[P,b,f] (the t1.t1 bilinear
+    of the dense form is the product of the two dressings), so the v^4
+    tensor stays implicit — the caller contracts against Bd_ae."""
+    Boo, Bov, Bvv = dfb.Boo, dfb.Bov, dfb.Bvv
+    Bvo = Bov.transpose(0, 2, 1)
+    Dmi = contract("Pmf,if->Pmi", Bov, t1)
+    Cbi = contract("Pbf,if->Pbi", Bvv, t1)
+    Sae = contract("ma,Pme->Pae", t1, Bov)
+    Bd_ae = Bvv - Sae
+
+    # Wmbje[mbje] = <mb|je> + t1[jf]<mb|fe> - t1[nb]<mn|je> - bilinear
+    #   <mb|je> = (mj|be); t1[jf]<mb|fe> = t1[jf](mf|be) -> Dmi.Bvv;
+    #   t1[nb]<mn|je> = t1[nb](mj|ne) and the bilinear both dress the
+    #   (b,e) factor with -t1[nb]Bov[P,n,e] — i.e. exactly Bd_ae
+    Wmbje = contract("Pmj,Pbe->mbje", Boo + Dmi, Bd_ae)
+
+    # Wmbej[mbej] = <mb|ej> + t1[jf]<mb|ef> - t1[nb]<mn|ej> - bilinear
+    #   <mb|ej> = (me|bj); t1[jf]<mb|ef> = t1[jf](me|bf) -> Bov.Cbi;
+    #   t1[nb]<mn|ej> = t1[nb](me|nj) -> Bov.(Boo-dressed);
+    #   bilinear: t1[jf]t1[nb](me|nf) -> Bov.(Dmi-dressed)
+    Fbj = contract("nb,Pnj->Pbj", t1, Boo + Dmi)
+    Wmbej = contract("Pme,Pbj->mbej", Bov, Bvo + Cbi - Fbj)
+    return Wmbje, Wmbej, Bd_ae
+
+
+def cc3_lambda_prep_df(F, dfb, t1, t2, no, real_time=False, F_ref=None):
+    """cc3_lambda_prep from factors: Wvvvv's slot carries Bd_ae (the
+    implicit dressed-bilinear form) instead of the v^4 tensor."""
+    from .dfccsd import _eri_oovv
+
+    o, v = slices(no)
+    e = _eri_oovv(dfb)
+    Lo = 2.0 * e - e.swapaxes(2, 3)
+    Fov = F[o, v] + contract("nf,mnef->me", t1, Lo)
+    Wmnij, Wmbij_t, Wmnie, Wamef, Wabei_o = cc3_intermediates_df(
+        dfb, t1, no, scan_layout=True)
+    Wovov, Wovvo, Bd_ae = cc3_lambda_intermediates_df(dfb, t1, no)
+    eps = jnp.diagonal(F)
+    if real_time:
+        Vov = (F - F_ref.astype(F.dtype))[o, v]
+    else:
+        Vov = jnp.zeros_like(F[o, v])
+    return (Fov, Wmnij, Wmnie, Wamef, Wabei_o, Wmbij_t, Wovov, Wovvo,
+            Bd_ae, eps, Lo, e, Vov)
+
+
 def cc3_lambda_prep(F, ERI, L, t1, t2, no, real_time=False, F_ref=None):
     """Intermediates for the row-scanned Lambda-CC3 extras (jit this)."""
     o, v = slices(no)
@@ -747,13 +796,21 @@ def _cc3_lambda_row_l3(k, carry, t2, l1, l2, Fov, Wamef, Wmnie, Wabei_o,
 
 
 def cc3_lambda_extra_rows(F, ERI, L, t1, t2, l1, l2, no, real_time=False,
-                          F_ref=None, blocks=None):
+                          F_ref=None, blocks=None, dfb=None):
     """Host-orchestrated Lambda-CC3 extras: one short jitted device program
     per leading occupied index, per-(i,j) 4-D slabs (the 5-D slabs of
     cc3_lambda_extra_scan are 8.6 GB each at (32,128)).  Identical result.
-    NOT jit-able."""
+    NOT jit-able.  dfb= sources the prep from Cholesky/DF factors: the
+    only v^4 consumer (the Y1 Wvvvv dot below) then contracts the
+    dressed-bilinear factors instead."""
     F_ref = F if F_ref is None else F_ref
-    if blocks is not None:
+    if dfb is not None:
+        prep_d = jax.jit(cc3_lambda_prep_df,
+                         static_argnames=("no", "real_time"))
+        (Fov, Wmnij, Wmnie, Wamef, Wabei_o, Wmbij_t, Wovov, Wovvo, Wvvvv,
+         eps, Lo, Eo, Vov) = prep_d(F, dfb, t1, t2, no=no,
+                                    real_time=real_time, F_ref=F_ref)
+    elif blocks is not None:
         from .blocked import blocked_views
         prep_b = jax.jit(
             lambda F_, bl, t1_, t2_, Fr: cc3_lambda_prep(
@@ -796,7 +853,14 @@ def cc3_lambda_extra_rows(F, ERI, L, t1, t2, l1, l2, no, real_time=False,
                                    no=no)
     Zbide, Zblad1, Zblad2, Zjlma, Zjlid1, Zjlid2, Y2 = carry
 
-    Y1 += contract("bide,deab->ia", Zbide, Wvvvv)
+    if dfb is not None:
+        # Wvvvv[deab] = sum_P Bd[P,d,a] Bd[P,e,b] stays implicit: two
+        # dots with a (naux, o, v) largest intermediate (Wvvvv here
+        # holds Bd_ae, cc3_lambda_prep_df)
+        K = contract("bide,Peb->Pid", Zbide, Wvvvv)
+        Y1 += contract("Pid,Pda->ia", K, Wvvvv)
+    else:
+        Y1 += contract("bide,deab->ia", Zbide, Wvvvv)
     Y1 += contract("jlma,ijlm->ia", Zjlma, Wmnij)
     Y1 -= contract("jlid,jdla->ia", Zjlid1, Wovov)
     Y1 -= contract("jlid,jdal->ia", Zjlid2, Wovvo)

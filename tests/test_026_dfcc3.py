@@ -76,6 +76,57 @@ def test_cc3_residuals_df(setup):
     assert _close(r2_ref, r2h)
 
 
+def test_cc3_lambda_intermediates_df(setup):
+    wfn, F, rec, L, df, t1, t2, no = setup
+    nv = t2.shape[2]
+    Wmbje_d, Wmbej_d, Wabef_d = cc3q.cc3_lambda_intermediates(rec, t1, no)
+    Wmbje, Wmbej, Bd = cc3q.cc3_lambda_intermediates_df(df, t1, no)
+    assert _close(Wmbje_d, Wmbje)
+    assert _close(Wmbej_d, Wmbej)
+    # the implicit Wvvvv: dressed bilinear == dense Wabef, probed through
+    # the one consumer contraction (cc3_lambda_extra_rows Y1 term)
+    rng = np.random.default_rng(7)
+    Z = jnp.asarray(rng.standard_normal((nv, no, nv, nv)))
+    ref = np.einsum("bide,deab->ia", np.asarray(Z), np.asarray(Wabef_d))
+    from pycc_tpu.ops.contract import contract
+    K = contract("bide,Peb->Pid", Z, Bd)
+    got = contract("Pid,Pda->ia", K, Bd)
+    assert _close(ref, got)
+
+
+def test_cc3_lambda_extras_df(setup):
+    wfn, F, rec, L, df, t1, t2, no = setup
+    nv = t2.shape[2]
+    rng = np.random.default_rng(5)
+    l1 = jnp.asarray(0.05 * rng.standard_normal((no, nv)))
+    l2r = 0.05 * rng.standard_normal((no, no, nv, nv))
+    l2 = jnp.asarray(l2r + l2r.transpose(1, 0, 3, 2))
+    Y1_ref, Y2_ref = cc3q.cc3_lambda_extra_rows(F, rec, L, t1, t2,
+                                                l1, l2, no)
+    Y1, Y2 = cc3q.cc3_lambda_extra_rows(F, None, None, t1, t2, l1, l2,
+                                        no, dfb=df)
+    assert _close(Y1_ref, Y1)
+    assert _close(Y2_ref, Y2)
+
+
+def test_cc3_df_lambda_end_to_end(setup):
+    """storage='df' Lambda-CC3 (CCSD-form DF-HBAR residuals + factor-
+    assembled host-rows extras) converges to the dense pseudoenergy."""
+    wfn = setup[0]
+    with contextlib.redirect_stdout(io.StringIO()):
+        cc_d = pycc_tpu.ccwfn(wfn, model="CC3")
+        cc_d.solve_cc(e_conv=1e-11, r_conv=1e-11)
+        lam_d = pycc_tpu.cclambda(cc_d, pycc_tpu.cchbar(cc_d))
+        le_d = lam_d.solve_lambda(e_conv=1e-11, r_conv=1e-11)
+        cc_f = pycc_tpu.ccwfn(wfn, model="CC3", storage="df", df_tol=1e-13)
+        cc_f.solve_cc(e_conv=1e-11, r_conv=1e-11)
+        lam_f = pycc_tpu.cclambda(cc_f, pycc_tpu.cchbar(cc_f))
+        le_f = lam_f.solve_lambda(e_conv=1e-11, r_conv=1e-11)
+    assert lam_d.converged and lam_f.converged
+    assert abs(le_d - le_f) < 1e-9, (le_d, le_f)
+    assert np.abs(np.asarray(lam_d.l1) - np.asarray(lam_f.l1)).max() < 1e-7
+
+
 def test_cc3_df_solve_end_to_end(setup):
     """storage='df' CC3 converges to the dense CC3 energy (and to the
     frozen Psi4 CC3 oracle through it, tests/test_004)."""

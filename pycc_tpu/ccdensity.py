@@ -332,6 +332,8 @@ class ccdensity:
             from .models.cc3 import cc3_onepdm, cc3_onepdm_rows
             big = cc.no ** 3 * cc.nv ** 3 > 2e8
             use_rows = big if cc.t3_scan is None else bool(cc.t3_scan)
+            if getattr(cc, "storage", "full") == "df":
+                use_rows = True  # the full-tensor path needs the dense ERI
             fn = cc3_onepdm_rows if use_rows else cc3_onepdm
             return fn(cc, t1, t2, l1, l2, real_time=real_time)
         return onepdm(cc.model, t1, t2, l1, l2, cc.no, cc.nact)

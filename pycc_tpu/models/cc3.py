@@ -975,8 +975,16 @@ def cc3_onepdm_rows(cc, t1, t2, l1, l2, real_time=False):
     F = jnp.asarray(cc.H.F)
     if jnp.iscomplexobj(t1):
         F = F.astype(t1.dtype)
-    blocks = cc.blocks if getattr(cc, "storage", "full") == "blocked" else None
-    if blocks is not None:
+    storage = getattr(cc, "storage", "full")
+    blocks = cc.blocks if storage == "blocked" else None
+    if storage == "df":
+        # factor-sourced prep (the onepdm rows never touch Wvvvv)
+        prep_d = jax.jit(cc3_lambda_prep_df,
+                         static_argnames=("no", "real_time"))
+        (Fov, _, Wmnie, Wamef, Wabei_o, Wmbij_t, _, _, _, eps, Lo, _,
+         Vov) = prep_d(F, cc.dfb, t1, t2, no=no, real_time=real_time,
+                       F_ref=jnp.asarray(cc.H.F))
+    elif blocks is not None:
         from .blocked import blocked_views
 
         def _prep(F_, bl, t1_, t2_, Fr):

@@ -127,6 +127,33 @@ def test_cc3_df_lambda_end_to_end(setup):
     assert np.abs(np.asarray(lam_d.l1) - np.asarray(lam_f.l1)).max() < 1e-7
 
 
+def test_cc3_onepdm_df(setup):
+    """The CC3 one-pdm over factors (cc3_onepdm_rows via
+    cc3_lambda_prep_df) equals the dense rows path on arbitrary
+    amplitudes."""
+    from types import SimpleNamespace
+
+    from pycc_tpu.models.cc3 import cc3_onepdm_rows
+    from pycc_tpu.models.dfccsd import DFERI
+
+    wfn, F, rec, L, df, t1, t2, no = setup
+    nv = t2.shape[2]
+    rng = np.random.default_rng(13)
+    l1 = jnp.asarray(0.05 * rng.standard_normal((no, nv)))
+    l2r = 0.05 * rng.standard_normal((no, no, nv, nv))
+    l2 = jnp.asarray(l2r + l2r.transpose(1, 0, 3, 2))
+    H_d = SimpleNamespace(F=F, ERI=rec, L=L)
+    cc_d = SimpleNamespace(no=no, nv=nv, nact=no + nv, model="CC3",
+                           storage="full", H=H_d, t3_scan=None)
+    cc_f = SimpleNamespace(no=no, nv=nv, nact=no + nv, model="CC3",
+                           storage="df", dfb=df, t3_scan=None,
+                           H=SimpleNamespace(F=F, ERI=None, L=None))
+    o1_d, oc_d = cc3_onepdm_rows(cc_d, t1, t2, l1, l2)
+    o1_f, oc_f = cc3_onepdm_rows(cc_f, t1, t2, l1, l2)
+    assert _close(o1_d, o1_f)
+    assert _close(oc_d, oc_f)
+
+
 def test_cc3_df_solve_end_to_end(setup):
     """storage='df' CC3 converges to the dense CC3 energy (and to the
     frozen Psi4 CC3 oracle through it, tests/test_004)."""

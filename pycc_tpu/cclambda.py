@@ -112,19 +112,30 @@ def lambda_residuals_from_F(model, F, ERI, L, t1, t2, l1, l2, no,
     return r1, r2
 
 
-def lambda_residuals_from_F_df(model, F, dfb, t1, t2, l1, l2, no):
+def lambda_residuals_from_F_df(model, F, dfb, t1, t2, l1, l2, no,
+                               real_time=False, F_ref=None):
     """RT propagation path over factors: rebuild the DF-HBAR from the
     (field-dressed) F each step — the storage='df' counterpart of
     lambda_residuals_from_F; no four-index object exists.  CCD reduces
     to the CCSD forms at t1 = l1 = 0 (the RT-CCD invariant), with r1
-    pinned to zero as in the dense branch."""
+    pinned to zero as in the dense branch.  CC3 adds the slab-scanned
+    factor-assembled extras (models/cc3.cc3_lambda_extra_scan_df)."""
     from .models.dfhbar import build_hbar_df, lambda_residuals_df
-    if model not in ("CCD", "CC2", "CCSD"):
-        raise Exception("RT over storage='df' supports CCD/CC2/CCSD only "
-                        "(got %s)." % model)
+    if model not in ("CCD", "CC2", "CCSD", "CC3"):
+        raise Exception("RT over storage='df' supports CCD/CC2/CCSD/CC3 "
+                        "only (got %s)." % model)
     dfh = build_hbar_df(F, dfb, t1, t2, no,
                         model="CC2" if model == "CC2" else "CCSD")
-    return lambda_residuals_df(dfh, t1, t2, l1, l2, no, model=model, F=F)
+    r1, r2 = lambda_residuals_df(dfh, t1, t2, l1, l2, no,
+                                 model="CCSD" if model == "CC3" else model,
+                                 F=F)
+    if model == "CC3":
+        from .models.cc3 import cc3_lambda_extra_scan_df
+        Y1, Y2 = cc3_lambda_extra_scan_df(F, dfb, t1, t2, l1, l2, no,
+                                          real_time=real_time, F_ref=F_ref)
+        r1 = r1 + Y1
+        r2 = r2 + Y2
+    return r1, r2
 
 
 def pseudoenergy(ERI, l2, no):

@@ -941,6 +941,81 @@ def cc3_lambda_extra_scan(F, ERI, L, t1, t2, l1, l2, no, real_time=False,
     return Y1, Y2 + Y2.transpose(1, 0, 3, 2)
 
 
+def cc3_lambda_extra_scan_df(F, dfb, t1, t2, l1, l2, no, real_time=False,
+                             F_ref=None):
+    """cc3_lambda_extra_scan over Cholesky/DF factors: df prep
+    (cc3_lambda_prep_df) + the same T3/L3 slab fori_loops, with the one
+    v^4 consumer (the Y1 Wvvvv dot) contracted against the dressed
+    bilinear factors.  Jittable; CTensor-safe carries for the RT
+    re/im-split mode."""
+    import jax
+    from ..ops.ctensor import CTensor
+
+    F_ref = F if F_ref is None else F_ref
+    (Fov, Wmnij, Wmnie, Wamef, Wabei_o, Wmbij_t, Wovov, Wovvo, Bd,
+     eps, Lo, Eo, Vov) = cc3_lambda_prep_df(F, dfb, t1, t2, no,
+                                            real_time=real_time,
+                                            F_ref=F_ref)
+    eps_o, eps_v = eps[:no], eps[no:]
+    nv = t2.shape[2]
+    D = t2.dtype
+
+    def _zeros(shape):
+        z = jnp.zeros(shape, D)
+        return (CTensor(z, jnp.zeros(shape, D))
+                if isinstance(t2, CTensor) else z)
+
+    def body_t3(l, carry):
+        Zmndi, Zmdfa, Znf = carry
+        t3 = _cc3_t3_slab(l, F, Wabei_o, Wmbij_t, t2, eps_o, eps_v,
+                          real_time, F_ref, no)
+        Zmndi += contract("mndef,pef->mndp", t3, Eo[:, l])
+        Zmndi -= contract("mnfed,pef->mndp", t3, Lo[:, l])
+        Zmdfa += contract("mndef,nea->mdfa", t3, Eo[:, l])
+        Zmdfa -= contract("mndfe,nea->mdfa", t3, Lo[:, l])
+        Znf += contract("mde,mndef->nf", l2[l], t3 - t3.swapaxes(2, 4))
+        return (Zmndi, Zmdfa, Znf)
+
+    carry = (_zeros((no, no, nv, no)), _zeros((no, nv, nv, nv)),
+             _zeros((no, nv)))
+    Zmndi, Zmdfa, Znf = jax.lax.fori_loop(0, no, body_t3, carry)
+
+    Y1 = contract("imdf,mdfa->ia", l2, Zmdfa)
+    Y1 += contract("imaf,mf->ia", Lo, Znf)
+    Y1 += contract("mnad,mndi->ia", l2, Zmndi)
+
+    def body_l3(k, carry):
+        Zbide, Zblad1, Zblad2, Zjlma, Zjlid1, Zjlid2, Y2 = carry
+        l3k = l3_slab(k, Lo, l1, l2, Fov, Wamef, Wmnie, eps_o, eps_v)
+        Zbide += contract("jbc,ijcde->bide", t2[:, k], l3k)
+        Zblad1 += contract("jbc,ijcad->biad", t2[:, k], l3k)
+        Zblad2 += contract("jbc,ijcda->biad", t2[:, k], l3k)
+        Zjlma += contract("pbc,ijcab->pija", t2[:, k], l3k)
+        Zjlid1 += contract("pbc,ijcbd->pijd", t2[:, k], l3k)
+        Zjlid2 += contract("pbc,ijcdb->pijd", t2[:, k], l3k)
+        Y2 += contract("ijdeb,eda->ijab", l3k, Wabei_o[k])
+        Y2 -= contract("ijdab,jld->ilab", l3k, Wmbij_t[:, k])
+        return (Zbide, Zblad1, Zblad2, Zjlma, Zjlid1, Zjlid2, Y2)
+
+    carry = (_zeros((nv, no, nv, nv)), _zeros((nv, no, nv, nv)),
+             _zeros((nv, no, nv, nv)), _zeros((no, no, no, nv)),
+             _zeros((no, no, no, nv)), _zeros((no, no, no, nv)),
+             _zeros((no, no, nv, nv)))
+    Zbide, Zblad1, Zblad2, Zjlma, Zjlid1, Zjlid2, Y2 = jax.lax.fori_loop(
+        0, no, body_l3, carry)
+
+    # implicit Wvvvv[deab] = sum_P Bd[P,d,a] Bd[P,e,b]
+    K = contract("bide,Peb->Pid", Zbide, Bd)
+    Y1 += contract("Pid,Pda->ia", K, Bd)
+    Y1 += contract("jlma,ijlm->ia", Zjlma, Wmnij)
+    Y1 -= contract("jlid,jdla->ia", Zjlid1, Wovov)
+    Y1 -= contract("jlid,jdal->ia", Zjlid2, Wovvo)
+    Y1 -= contract("blad,pdlb->pa", Zblad1, Wovov)
+    Y1 -= contract("blad,pdbl->pa", Zblad2, Wovvo)
+
+    return Y1, Y2 + Y2.transpose(1, 0, 3, 2)
+
+
 @partial(jax.jit, static_argnames=("no", "real_time"))
 def _cc3_onepdm_row(i, carry, Wabei_o, Wmbij_t, t2, l1, l2, Fov, Wamef,
                     Wmnie, eps, Lo, Vov, no, real_time):
@@ -1018,23 +1093,32 @@ def cc3_onepdm_rows(cc, t1, t2, l1, l2, real_time=False):
 
 
 def cc3_onepdm_scan(cc, t1, t2, l1, l2, real_time=False):
-    """cc3_onepdm with O(no^2 v^3) triples memory (fori_loop over slabs)."""
+    """cc3_onepdm with O(no^2 v^3) triples memory (fori_loop over slabs).
+    Jittable; under storage='df' the prep assembles from the factors
+    (cc3_lambda_prep_df) — the traceable path the RT-CC3 df lagrangian
+    needs."""
     import jax
     from ..ccdensity import onepdm
     no, nv, nact = cc.no, cc.nv, cc.nact
-    # jnp conversion up front: under storage='blocked' the dense
-    # Hamiltonian tensors live host-side as numpy arrays
-    F, ERI, L = (jnp.asarray(cc.H.F), jnp.asarray(cc.H.ERI),
-                 jnp.asarray(cc.H.L))
     o, v = slices(no)
+    F = jnp.asarray(cc.H.F)
     if jnp.iscomplexobj(t1):
         F = F.astype(t1.dtype)
-    Fov = build_Fme(F, L, t1, no)
-    Wmnij, Wmbij, Wmnie, Wamef, Wabei = cc3_intermediates(ERI, t1, no)
-    Wabei_o, Wmbij_t = slab_layouts(Wabei, Wmbij)
-    eps = jnp.diagonal(F)
+    if getattr(cc, "storage", "full") == "df":
+        (Fov, _, Wmnie, Wamef, Wabei_o, Wmbij_t, _, _, _, eps, Lo, _,
+         _) = cc3_lambda_prep_df(F, cc.dfb, t1, t2, no,
+                                 real_time=real_time,
+                                 F_ref=jnp.asarray(cc.H.F))
+    else:
+        # jnp conversion up front: under storage='blocked' the dense
+        # Hamiltonian tensors live host-side as numpy arrays
+        ERI, L = jnp.asarray(cc.H.ERI), jnp.asarray(cc.H.L)
+        Fov = build_Fme(F, L, t1, no)
+        Wmnij, Wmbij, Wmnie, Wamef, Wabei = cc3_intermediates(ERI, t1, no)
+        Wabei_o, Wmbij_t = slab_layouts(Wabei, Wmbij)
+        eps = jnp.diagonal(F)
+        Lo = L[o, o, v, v]
     eps_o, eps_v = eps[:no], eps[no:]
-    Lo = L[o, o, v, v]
     D = t1.dtype
 
     def body(i, carry):

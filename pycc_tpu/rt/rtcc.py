@@ -76,9 +76,9 @@ class rtcc:
             from ..cclambda import lambda_residuals_from_F_df
             from ..models.dfccsd import _eri_oooo, cc_energy_df
             from ..models.dfhbar import loovv_df
-            if model not in ("CCD", "CC2", "CCSD"):
+            if model not in ("CCD", "CC2", "CCSD", "CC3"):
                 raise Exception("rtcc over storage='df' supports CCD/CC2/"
-                                "CCSD only (got %s)." % model)
+                                "CCSD/CC3 only (got %s)." % model)
             self._H_args = (ccwfn.dfb,)
             # the L[o,o,o,o] trace in the phase/lagrangian is
             # field-independent: precompute it from the (real) factors
@@ -140,8 +140,9 @@ class rtcc:
                 rt1, rt2 = filter_res(rt1, rt2)
 
             if dfmode:
-                rl1, rl2 = lambda_residuals_from_F_df(model, F, Hargs[0],
-                                                      t1, t2, l1, l2, no)
+                rl1, rl2 = lambda_residuals_from_F_df(
+                    model, F, Hargs[0], t1, t2, l1, l2, no,
+                    real_time=ccwfn.real_time, F_ref=Fj)
             else:
                 rl1, rl2 = lambda_residuals_from_F(model, F, ERI, L,
                                                    t1, t2, l1, l2, no,
@@ -196,8 +197,9 @@ class rtcc:
             if use_filter:
                 rt1, rt2 = ct_filter(rt1, rt2)
             if dfmode:
-                rl1, rl2 = lambda_residuals_from_F_df(model, F, Hargs[0],
-                                                      t1, t2, l1, l2, no)
+                rl1, rl2 = lambda_residuals_from_F_df(
+                    model, F, Hargs[0], t1, t2, l1, l2, no,
+                    real_time=ccwfn.real_time, F_ref=Fj)
             else:
                 rl1, rl2 = lambda_residuals_from_F(model, F, ERI, L,
                                                    t1, t2, l1, l2, no,
@@ -234,14 +236,27 @@ class rtcc:
 
             @jax.jit
             def _f_ccsd_part(F, t1, t2, l1, l2, *Hargs):
-                ERIv, Lv = _views(Hargs)
-                rl1, rl2 = lambda_residuals_from_F("CCSD", F, ERIv, Lv,
-                                                   t1, t2, l1, l2, no)
+                if dfmode:
+                    from ..cclambda import lambda_residuals_from_F_df
+                    Lv = _Lw(loovv_df(Hargs[0]))
+                    rl1, rl2 = lambda_residuals_from_F_df(
+                        "CCSD", F, Hargs[0], t1, t2, l1, l2, no)
+                else:
+                    ERIv, Lv = _views(Hargs)
+                    rl1, rl2 = lambda_residuals_from_F("CCSD", F, ERIv, Lv,
+                                                       t1, t2, l1, l2, no)
                 return rl1, rl2, _phase(F, t1, t2, Lv)
 
             def _f_rows(t, F, t1, t2, l1, l2):
                 kw = dict(real_time=ccwfn.real_time, F_ref=Fj)
-                if blocked:
+                if dfmode:
+                    dfb = self._H_args[0]
+                    rt1, rt2 = residuals_cc3_rows(F, None, None, t1, t2,
+                                                  no, dfb=dfb, **kw)
+                    Y1, Y2 = cc3_lambda_extra_rows(F, None, None, t1, t2,
+                                                   l1, l2, no, dfb=dfb,
+                                                   **kw)
+                elif blocked:
                     bl = self._H_args[0]
                     rt1, rt2 = residuals_cc3_rows(F, None, None, t1, t2,
                                                   no, blocks=bl, **kw)
@@ -266,7 +281,19 @@ class rtcc:
                 # factor-wise density energy (models/dfdensity.py): the
                 # same scalar as the dense branch, no v^4/v^3o object
                 from ..models.dfdensity import density_energy_df
-                opdm = onepdm(model, t1, t2, l1, l2, no, ccwfn.nact)
+                if model == "CC3":
+                    # traceable factor-sourced CC3 one-pdm corrections
+                    # (the dense branch adds them the same way below)
+                    from types import SimpleNamespace
+                    from ..models.cc3 import cc3_onepdm_scan
+                    shim = SimpleNamespace(no=no, nv=nv, nact=ccwfn.nact,
+                                           model="CC3", storage="df",
+                                           dfb=Hargs[0],
+                                           H=SimpleNamespace(F=Fj))
+                    opdm, opdm_cc3 = cc3_onepdm_scan(shim, t1, t2, l1, l2)
+                    opdm = opdm + opdm_cc3
+                else:
+                    opdm = onepdm(model, t1, t2, l1, l2, no, ccwfn.nact)
                 eref = 2.0 * jnp.trace(F[o, o]) - loooo_tr
                 eone = jnp.sum(F * opdm)
                 _, etwo = density_energy_df(F, Hargs[0], t1, t2, l1, l2,
@@ -395,6 +422,8 @@ class rtcc:
             from ..models.cc3 import cc3_onepdm, cc3_onepdm_rows
             big = cc.no ** 3 * cc.nv ** 3 > 2e8
             use_rows = big if cc.t3_scan is None else bool(cc.t3_scan)
+            if getattr(cc, "storage", "full") == "df":
+                use_rows = True  # the full-tensor path needs the dense ERI
             fn = cc3_onepdm_rows if use_rows else cc3_onepdm
             opdm, opdm_cc3 = fn(cc, jnp.asarray(t1), jnp.asarray(t2),
                                 jnp.asarray(l1), jnp.asarray(l2),

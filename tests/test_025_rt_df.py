@@ -107,6 +107,61 @@ def test_rhs_df_cc2_equals_dense():
     assert np.abs(f_d - f_r).max() < 1e-10
 
 
+def test_rhs_df_cc3_equals_dense():
+    """RT-CC3 over factors: the fused RHS (factor-assembled CC3 residual
+    scan + slab-scanned Lambda extras), the re/im-split mode, the
+    host-stepped rows path, and the step observables (CC3 lagrangian +
+    T1-transformed dipole) all equal the dense CC3 path."""
+    from pycc_tpu.rt.integrators import rk4
+
+    wfn = run_rhf(H2O_GEOM, "sto-3g", freeze_core=True)
+    H = build_hamiltonian(wfn, host=True)
+    B = cholesky_factor_eri(np.asarray(H.ERI), tol=1e-14)
+    mu = np.stack([np.asarray(m) for m in H.mu])
+    V = gaussian_laser(0.05, 0.0, 0.01, center=0.05)
+    with contextlib.redirect_stdout(io.StringIO()):
+        cc_d = pycc_tpu.ccwfn(wfn, model="CC3")
+        cc_d.solve_cc(e_conv=1e-12, r_conv=1e-12)
+        lam_d = pycc_tpu.cclambda(cc_d, pycc_tpu.cchbar(cc_d))
+        lam_d.solve_lambda(e_conv=1e-12, r_conv=1e-12)
+        rt_d = pycc_tpu.rtcc(cc_d, lam_d, None, V)
+
+        cc_f = pycc_tpu.ccwfn.from_df_factors(B, np.asarray(H.F), H.no,
+                                              model="CC3", mu=mu)
+        cc_f.solve_cc(e_conv=1e-12, r_conv=1e-12)
+        lam_f = pycc_tpu.cclambda(cc_f, pycc_tpu.cchbar(cc_f))
+        lam_f.solve_lambda(e_conv=1e-12, r_conv=1e-12)
+        rt_f = pycc_tpu.rtcc(cc_f, lam_f, None, V)
+        rt_fr = pycc_tpu.rtcc(cc_f, lam_f, None, V, ri_split=True)
+        y0 = rt_d.collect_amps(cc_d.t1, cc_d.t2, lam_d.l1, lam_d.l2,
+                               jnp.asarray(0.0 + 0.0j))
+    y0 = np.asarray(y0)
+    f_d = np.asarray(rt_d.f(0.02, y0))
+    f_f = np.asarray(rt_f.f(0.02, y0))
+    assert np.abs(f_d - f_f).max() < 1e-10
+    f_r = np.asarray(rt_fr.f(0.02, y0))
+    assert np.abs(f_d - f_r).max() < 1e-10
+
+    # host-stepped rows path from factors (the at-scale RHS)
+    cc_f.t3_scan = True
+    with contextlib.redirect_stdout(io.StringIO()):
+        rt_fh = pycc_tpu.rtcc(cc_f, lam_f, None, V)
+    cc_f.t3_scan = None
+    assert rt_fh.host_stepped
+    f_h = np.asarray(rt_fh.f(0.02, y0))
+    assert np.abs(f_d - f_h).max() < 1e-10
+
+    # step observables: CC3 lagrangian + T1-transformed dipole
+    ode = rk4(0.02)
+    with contextlib.redirect_stdout(io.StringIO()):
+        y_d, ret_d = rt_d.step(ode, y0, 0.0)
+        y_f, ret_f = rt_f.step(ode, y0, 0.0)
+    assert np.abs(np.asarray(y_d) - np.asarray(y_f)).max() < 1e-9
+    assert abs(ret_d["ecc"] - ret_f["ecc"]) < 1e-9
+    for k in ("mu_x", "mu_y", "mu_z"):
+        assert abs(ret_d[k] - ret_f[k]) < 1e-9
+
+
 def test_step_observables_df(setup):
     from pycc_tpu.rt.integrators import rk4
 

@@ -25,6 +25,10 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("npz")
+    ap.add_argument("--model", default="CCSD",
+                    help="CCD/CC2/CCSD/CCSD(T)/CC3 — every canonical "
+                         "model runs from factors (CC3 via the dressed-W "
+                         "slab scan, models/cc3.py)")
     ap.add_argument("--precision", default="SP")
     ap.add_argument("--nblocks", type=int, default=None)
     ap.add_argument("--e-conv", type=float, default=1e-7)
@@ -77,8 +81,8 @@ def main():
     sys.stdout.flush()
 
     cc = pycc_tpu.ccwfn.from_df_factors(
-        B, F, no, escf=float(d["escf"]), precision=args.precision,
-        df_nblocks=args.nblocks)
+        B, F, no, escf=float(d["escf"]), model=args.model,
+        precision=args.precision, df_nblocks=args.nblocks)
     t0 = time.time()
     ecc = cc.solve_cc(e_conv=args.e_conv, r_conv=args.r_conv,
                       maxiter=args.maxiter, max_diis=args.max_diis)
@@ -86,7 +90,8 @@ def main():
     print(json.dumps({
         "molecule": str(d["molname"]), "basis": str(d["basis"]),
         "nbf": int(d["nbf"]), "no": no, "nv": B.shape[1] - no,
-        "naux": int(B.shape[0]), "precision": args.precision,
+        "naux": int(B.shape[0]), "model": args.model,
+        "precision": args.precision,
         "e_corr": float(ecc), "e_total": float(d["escf"]) + float(ecc),
         "converged": bool(cc.converged), "t_solve_s": round(t_solve, 2)}))
     sys.stdout.flush()
@@ -117,8 +122,14 @@ def main():
             from pycc_tpu.ccdensity import onepdm
             from pycc_tpu.ops.contract import contract
             t0 = time.time()
-            opdm = onepdm("CCSD", cc.t1, cc.t2, lam.l1, lam.l2,
-                          cc.no, cc.nact)
+            if cc.model == "CC3":
+                from pycc_tpu.models.cc3 import cc3_onepdm_rows
+                opdm, opdm_cc3 = cc3_onepdm_rows(cc, cc.t1, cc.t2,
+                                                 lam.l1, lam.l2)
+                opdm = opdm + opdm_cc3
+            else:
+                opdm = onepdm(cc.model if cc.model != "CCSD(T)" else "CCSD",
+                              cc.t1, cc.t2, lam.l1, lam.l2, cc.no, cc.nact)
             mu_d = np.asarray(d["mu"], np.float32
                               if args.precision == "SP" else np.float64)
             mu_corr = [float(np.real(contract(

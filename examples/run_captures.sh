@@ -55,4 +55,25 @@ run_step rtdf 3600 python examples/rt_df_at_scale.py
 # 5. The bench itself (warms BENCH_r03's cache).
 run_step bench 5400 python bench.py
 
+# 6. Real-molecule rows: uracil/aug-cc-pVDZ (220 bf, the reference's own
+#    flagship molecule) — DF-CCSD solve, then the (T) scan, then CC3
+#    from factors (beyond the reference: its CC3 needs the dense ERI).
+if [ -f df_cache/uracil_aug.npz ]; then
+  run_step uracil_ccsd_t 5400 python examples/run_df_molecule.py \
+    df_cache/uracil_aug.npz --precision SP --e-conv 1e-7 --r-conv 1e-6 \
+    --triples --post
+  run_step uracil_cc3 7200 python examples/run_df_molecule.py \
+    df_cache/uracil_aug.npz --model CC3 --precision SP \
+    --e-conv 1e-6 --r-conv 1e-5 --maxiter 40
+fi
+
+# 7. (H2O)_12 (492 bf) DF-CCSD — the biggest real-molecule row; shallow
+#    DIIS ring to fit the 16 GB HBM at (48,432) (PERF.md residency
+#    playbook).
+if [ -f df_cache/w12aug.npz ]; then
+  run_step w12_ccsd 7200 python examples/run_df_molecule.py \
+    df_cache/w12aug.npz --precision SP --e-conv 1e-6 --r-conv 1e-5 \
+    --max-diis 2 --nblocks 32
+fi
+
 echo "battery complete; logs in $LOG"

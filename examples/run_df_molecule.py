@@ -65,6 +65,13 @@ def main():
     ap.add_argument("--resp-conv", type=float, default=1e-5)
     args = ap.parse_args()
     print("args: %s" % vars(args))
+    model = args.model.upper()
+    if args.triples and model not in ("CCSD", "CCSD(T)"):
+        ap.error("--triples computes the (T) correction from CCSD "
+                 "amplitudes; use --model CCSD or CCSD(T) (got %s)" % model)
+    if (args.eom or args.response) and model not in ("CCSD", "CCSD(T)"):
+        ap.error("--eom/--response run the EOM-CCSD/CCSD-response "
+                 "equations over the CCSD HBAR; got --model %s" % model)
 
     import jax
     if args.cpu:

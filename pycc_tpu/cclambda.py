@@ -212,9 +212,11 @@ class cclambda:
         # at (no, nv) where the fused DF residual's ~14 live o^2v^2 temps
         # exceed HBM, evaluate it as two host-sequenced device programs
         # (models/dfhbar.py lambda_r2_seed_df/lambda_r1_r2_finish_df)
-        # the five-program split implements the CCSD residual only (the
-        # CCD/CC2 df residuals are far lighter — no ladder/ring blocks)
-        split_df = (dfmode and model in ("CCSD", "CCSD(T)")
+        # the five-program split implements the CCSD-FORM residual (the
+        # CCD/CC2 df residuals are far lighter — no ladder/ring blocks;
+        # CC3's Lambda step IS the CCSD form, with its extras folded into
+        # S1/S2 by the host-rows path above)
+        split_df = (dfmode and model in ("CCSD", "CCSD(T)", "CC3")
                     and (no * cc.nv ** 3 > 2e8
                          or getattr(cc, "_force_split_lambda", False)))
 

@@ -228,7 +228,9 @@ class ccwfn:
             if use_rows:
                 self._host_residual_fn = partial(
                     residuals_cc3_rows, real_time=self.real_time,
-                    F_ref=self.H.F)
+                    F_ref=self.H.F,
+                    nblocks=(self._df_nblocks if self.storage == "df"
+                             else None))
 
         if self.storage == "blocked":
             from .models.blocked import ERIBlocks, blocks_from_full
@@ -384,7 +386,8 @@ class ccwfn:
             big = (self.no ** 3) * (self.nv ** 3) > 2e8
             if big:
                 self._host_residual_fn = partial(
-                    residuals_cc3_rows, real_time=False, F_ref=F)
+                    residuals_cc3_rows, real_time=False, F_ref=F,
+                    nblocks=df_nblocks)
         self._df_residual_fn = self._make_df_residual_fn()
         self.mesh = mesh
         if mesh is not None:
@@ -505,7 +508,9 @@ class ccwfn:
             Dia, Dijab = self.Dia, self.Dijab
             from .models.blocked import LoovvOnly
             if self.storage == "df":
-                Loovv_f = jax.jit(self._df_Loovv)()
+                # dfb as a jit ARGUMENT (closure constants are serialized
+                # into the remote compile request — GBs of factors)
+                Loovv_f = jax.jit(self._df_Loovv)(self.dfb)
             else:
                 o_, v_ = self.o, self.v
                 Loovv_f = jnp.asarray(np.asarray(self.H.L)[o_, o_, v_, v_])

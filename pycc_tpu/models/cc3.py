@@ -485,7 +485,7 @@ def _prep_from_blocks(F, blocks, t1, t2, F_ref, no, real_time):
 
 
 def residuals_cc3_rows(F, ERI, L, t1, t2, no, real_time=False, F_ref=None,
-                       blocks=None, dfb=None):
+                       blocks=None, dfb=None, nblocks=None):
     """Host-orchestrated CC3 residuals: one short jitted device program per
     occupied row, avoiding the remote TPU watchdog that kills minute-long
     single dispatches (see triples.t_vikings_scan_core).  Identical result
@@ -500,10 +500,11 @@ def residuals_cc3_rows(F, ERI, L, t1, t2, no, real_time=False, F_ref=None,
     F_ref = F if F_ref is None else F_ref
     if dfb is not None:
         prep_d = jax.jit(cc3_scan_prep_df,
-                         static_argnames=("no", "real_time"))
+                         static_argnames=("no", "real_time", "nblocks"))
         (r1, r2, Fme, Wamef, Wmnie, Wabei_o, Wmbij_t,
          eps, Lo, Vov) = prep_d(F, dfb, t1, t2, no=no,
-                                real_time=real_time, F_ref=F_ref)
+                                real_time=real_time, F_ref=F_ref,
+                                nblocks=nblocks)
     elif blocks is not None:
         prep_b = jax.jit(_prep_from_blocks,
                          static_argnames=("no", "real_time"))

@@ -115,7 +115,7 @@ def ladder_apply(BL, BR, x2, nblocks=None):
     return z[:, :, :nva, :]
 
 
-def hvvvv_x2_df(dfh, t2, x2, nblocks=None, cc2=False):
+def hvvvv_x2_df(dfh, t2, x2, nblocks=None):
     """0.5 * sum_ef x2[ijef] Hvvvv[efab]  (no pair symmetrization) —
     the DF form of 0.5 * models/ccsd.vvvv_contract_efab(x2, Hvvvv) used by
     the Lambda r2 (cclambda.py:85) and EOM sigma2 (cceom.py:80-82) ladders.
@@ -124,14 +124,11 @@ def hvvvv_x2_df(dfh, t2, x2, nblocks=None, cc2=False):
                 + sum_mn t2[mnef] <mn|ab>           (CCSD tau-residue)
     The second line: the dressed bilinear t1.t1 term equals the t1 part of
     the dense tau contraction (cchbar.py:99-105), leaving only the pure-t2
-    piece, which reduces to o^4-intermediate contractions.  cc2=True drops
-    the t2 piece (the CC2 bilinear is already in the dressing)."""
+    piece, which reduces to o^4-intermediate contractions."""
     BL = _ea_layout(dfh.Bd_ae)
     out = 0.5 * ladder_apply(BL, BL, x2, nblocks=nblocks)
-    if not cc2:
-        X = contract("ijef,mnef->ijmn", x2, t2)
-        out = out + 0.5 * contract("ijmn,mnab->ijab", X, _eri_oovv(dfh.df))
-    return out
+    X = contract("ijef,mnef->ijmn", x2, t2)
+    return out + 0.5 * contract("ijmn,mnab->ijab", X, _eri_oovv(dfh.df))
 
 
 def _ea_layout(Bd_ae):
@@ -454,15 +451,13 @@ def s2_c1_hvvvo(dfh, t1, t2, C1, Hov, nblocks=None):
     return out
 
 
-def hvvvv_x2_abef_df(dfh, t2, x2, nblocks=None, cc2=False):
+def hvvvv_x2_abef_df(dfh, t2, x2, nblocks=None):
     """0.5 * sum_ef x2[ijef] Hvvvv[abef] — the DF form of
     0.5 * models/ccsd.vvvv_contract(x2, Hvvvv) (EOM sigma2, cceom.py:81).
     Hvvvv[abef] = sum_P Bd_ae[P,a,e] Bd_ae[P,b,f] + t2[mnab] <mn|ef>."""
     out = 0.5 * ladder_apply(dfh.Bd_ae, dfh.Bd_ae, x2, nblocks=nblocks)
-    if not cc2:
-        X = contract("ijef,mnef->ijmn", x2, _eri_oovv(dfh.df))
-        out = out + 0.5 * contract("ijmn,mnab->ijab", X, t2)
-    return out
+    X = contract("ijef,mnef->ijmn", x2, _eri_oovv(dfh.df))
+    return out + 0.5 * contract("ijmn,mnab->ijab", X, t2)
 
 
 def loovv_df(df):

@@ -251,8 +251,9 @@ class rtcc:
                 kw = dict(real_time=ccwfn.real_time, F_ref=Fj)
                 if dfmode:
                     dfb = self._H_args[0]
-                    rt1, rt2 = residuals_cc3_rows(F, None, None, t1, t2,
-                                                  no, dfb=dfb, **kw)
+                    rt1, rt2 = residuals_cc3_rows(
+                        F, None, None, t1, t2, no, dfb=dfb,
+                        nblocks=getattr(ccwfn, "_df_nblocks", None), **kw)
                     Y1, Y2 = cc3_lambda_extra_rows(F, None, None, t1, t2,
                                                    l1, l2, no, dfb=dfb,
                                                    **kw)

@@ -134,7 +134,6 @@ def test_cc3_onepdm_df(setup):
     from types import SimpleNamespace
 
     from pycc_tpu.models.cc3 import cc3_onepdm_rows
-    from pycc_tpu.models.dfccsd import DFERI
 
     wfn, F, rec, L, df, t1, t2, no = setup
     nv = t2.shape[2]
@@ -152,6 +151,24 @@ def test_cc3_onepdm_df(setup):
     o1_f, oc_f = cc3_onepdm_rows(cc_f, t1, t2, l1, l2)
     assert _close(o1_d, o1_f)
     assert _close(oc_d, oc_f)
+
+
+def test_cc3_df_lambda_split_equals_fused(setup):
+    """The at-scale five-program DF Lambda split (auto-selected at
+    no*nv^3 > 2e8, forced here) serves CC3 too: the split evaluates the
+    CCSD-form residual with the CC3 extras folded into S1/S2 by the
+    host-rows path."""
+    wfn = setup[0]
+    with contextlib.redirect_stdout(io.StringIO()):
+        cc = pycc_tpu.ccwfn(wfn, model="CC3", storage="df", df_tol=1e-13)
+        cc.solve_cc(e_conv=1e-11, r_conv=1e-11)
+        hbar = pycc_tpu.cchbar(cc)
+        lam = pycc_tpu.cclambda(cc, hbar)
+        p0 = lam.solve_lambda(e_conv=1e-11, r_conv=1e-10)
+        cc._force_split_lambda = True
+        lam2 = pycc_tpu.cclambda(cc, hbar)
+        p1 = lam2.solve_lambda(e_conv=1e-11, r_conv=1e-10)
+    assert abs(p1 - p0) < 1e-12, (p0, p1)
 
 
 def test_cc3_df_solve_end_to_end(setup):

@@ -73,7 +73,7 @@ fi
 if [ -f df_cache/w12aug.npz ]; then
   run_step w12_ccsd 7200 python examples/run_df_molecule.py \
     df_cache/w12aug.npz --precision SP --e-conv 1e-6 --r-conv 1e-5 \
-    --max-diis 2 --nblocks 32
+    --max-diis 1 --nblocks 64
 fi
 
 echo "battery complete; logs in $LOG"

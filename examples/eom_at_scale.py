@@ -29,6 +29,12 @@ def main():
     ap.add_argument("--nv", type=int, default=128)
     ap.add_argument("--roots", type=int, default=3)
     ap.add_argument("--maxiter", type=int, default=40)
+    # CIS by default at this size: the HBAR_SS guess runs a HOST
+    # np.linalg.eig of the dense (no*nv)^2 nonsymmetric singles block —
+    # ~40 min on this machine's single core, during which the idle axon
+    # worker dies and the next device_put raises UNAVAILABLE (measured
+    # twice, 2026-08-18).  CIS is a symmetric eigh, ~1 min at (32,128).
+    ap.add_argument("--guess", default="CIS")
     args = ap.parse_args()
     no, nv = args.no, args.nv
     nact = no + nv
@@ -86,17 +92,22 @@ def main():
 
     t0 = time.time()
     eom = cceom(hb)
+    # nothing downstream consumes the dense HBAR here — drop the
+    # Hvvvv/Hvovv/Hvvvo originals (the sigma runs from the pre-laid aux
+    # forms); keeping them resident runtime-OOM'd the ladder dispatch
+    eom.release_dense_hbar()
     print("cceom init (pre-laid aux forms): %.1f s  sequential=%s"
           % (time.time() - t0, eom.sigma_sequential))
     sys.stdout.flush()
 
     t0 = time.time()
     E, C = eom.solve_eom(N=args.roots, e_conv=1e-5, r_conv=1e-5,
-                         maxiter=args.maxiter)
+                         maxiter=args.maxiter, guess=args.guess)
     t_dav = time.time() - t0
     ok = bool(np.all(np.isfinite(E)))
     print(json.dumps({
-        "config": "(%d,%d) f32 dense->HBAR, sequential sigma" % (no, nv),
+        "config": "(%d,%d) f32 dense->HBAR, sequential sigma, %s guess"
+                  % (no, nv, args.guess),
         "roots": [float(x) for x in np.asarray(E)],
         "finite": ok,
         "t_hbar_s": round(t_hbar, 1),

@@ -200,12 +200,18 @@ class cceom:
             return s_row.at[no * nv:].add(lad.ravel())
 
         def _ladder_one(s_row, c_row, Hefab):
+            # QUARTER the ef contraction: the halved split compiled with
+            # ~2 MB of HBM headroom in isolation, then runtime-OOM'd at
+            # (32,128) once the Davidson's real residency (subspace,
+            # sigma rows, Loovv, aux) surrounded it (measured 2026-08-18).
+            # Each slice is its own dispatch so the temps never coexist.
             C2 = c_row[no * nv:].reshape(no * no, nv * nv)
             H2 = Hefab.reshape(nv * nv, nv * nv)
-            h = (nv * nv) // 2
+            q = max(1, (nv * nv) // 4)
             lad = jnp.zeros((no * no, nv * nv), c_row.dtype)
-            lad = _ladder_half(lad, C2[:, :h], H2[:h])
-            lad = _ladder_half(lad, C2[:, h:], H2[h:])
+            for s in range(0, nv * nv, q):
+                lad = _ladder_half(lad, C2[:, s:s + q], H2[s:s + q])
+                jax.block_until_ready(lad)
             return _ladder_fin(s_row, lad)
 
         # sequential sigma on big systems (no*nv^3 heuristic); settable
@@ -227,15 +233,19 @@ class cceom:
                 # programs collide in HBM.  The per-vector graphs
                 # compile once each (fixed shapes), so no subspace
                 # padding is needed — iterate the M real vectors only.
-                C = jnp.asarray(C)
+                # The subspace STAYS HOST-SIDE and vectors stream through
+                # one at a time: C + S device-resident is ~4 GB at
+                # maxM=30, which (with the aux forms) runtime-OOM'd the
+                # ladder dispatch at (32,128).
+                C = np.asarray(C)
                 rows = []
                 for k in range(M):
-                    r = _sig_one(hb_slim, aux_core, cc.t2, C[k])
+                    ck = jnp.asarray(C[k])
+                    r = _sig_one(hb_slim, aux_core, cc.t2, ck)
                     jax.block_until_ready(r)
-                    r = _ladder_one(r, C[k], aux["Hvvvv_efab"])
-                    jax.block_until_ready(r)
-                    rows.append(r)
-                return jnp.stack(rows)
+                    r = _ladder_one(r, ck, aux["Hvvvv_efab"])
+                    rows.append(np.asarray(r))
+                return np.stack(rows)
             # pad the subspace to the next power-of-two bucket: a growing
             # Davidson subspace otherwise recompiles the vmapped sigma for
             # EVERY new size — ruinous through a remote-compile TPU tunnel
@@ -304,6 +314,23 @@ class cceom:
         for i in range(0, n, bs):
             cols.append(np.asarray(self._sigma(eye[i:i + bs])))
         return np.concatenate(cols, axis=0).T
+
+    def release_dense_hbar(self):
+        """Free the dense Hvvvv/Hvovv/Hvvvo device blocks of the wrapped
+        cchbar.  The at-scale sequential sigma consumes only the pre-laid
+        aux layouts built at construction, but the originals stay
+        device-resident through the wrapper's references (~1.6 GB at
+        (32,128)) and runtime-OOM the ladder dispatch alongside the
+        Davidson working set.  Call only when no OTHER consumer (Lambda,
+        response) still needs the dense blocks; the HBAR_SS guess and the
+        2-index/ovvo blocks survive."""
+        import dataclasses
+        hb = self.hbar
+        if not hasattr(hb, "Hvvvv"):  # DF hbar: nothing dense to free
+            return
+        z = jnp.zeros((1, 1, 1, 1), jnp.asarray(hb.Hvv).dtype)
+        hb.hbar = dataclasses.replace(hb.hbar, Hvvvv=z, Hvovv=z, Hvvvo=z)
+        hb.Hvvvv = hb.Hvovv = hb.Hvvvo = z
 
     def guess(self, M, method):
         hbar = self.hbar

@@ -32,11 +32,14 @@ def test_eom_ccsd_h2o_sto3g():
             E, C = eom.solve_eom(N=3, e_conv=1e-7, guess=g)
         assert np.allclose(E, ev, atol=1e-5), (g, E, ev)
 
-    # the big-system sequential-sigma path (lax.map + hoisted Hvvvv
-    # ladder) must give the same roots
+    # the big-system sequential-sigma path (host-streamed vectors +
+    # hoisted quartered Hvvvv ladder) must give the same roots, and must
+    # survive releasing the dense Hvvvv/Hvovv/Hvvvo blocks it never
+    # touches (the at-scale residency mode, examples/eom_at_scale.py)
     eom.sigma_sequential = True
+    eom.release_dense_hbar()
     with contextlib.redirect_stdout(io.StringIO()):
-        E, C = eom.solve_eom(N=3, e_conv=1e-7)
+        E, C = eom.solve_eom(N=3, e_conv=1e-7, guess="CIS")
     assert np.allclose(E, ev, atol=1e-5), (E, ev)
 
 

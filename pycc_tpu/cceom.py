@@ -391,6 +391,17 @@ class cceom:
         E = np.zeros(N)
 
         converged = False
+        # noise-floor stall detection (same policy as the CC/Lambda
+        # solvers): in SP the sigma carries ~1e-6 relative error per
+        # element, so the residual NORM of an O(1e7)-dim vector floors
+        # around 1e-4..1e-3 — far above a small-system r_conv.  When the
+        # energies are converged and the residuals stop improving for
+        # three consecutive iterations, stop at the floor instead of
+        # churning to maxiter (at (32,128) each iteration is minutes of
+        # device time).  self.residual_floor records the plateau.
+        self.residual_floor = None
+        best_r = np.inf
+        stalled = 0
         for niter in range(1, maxiter + 1):
             E_old = E
             M = C.shape[0]
@@ -413,6 +424,21 @@ class cceom:
             if (np.abs(np.linalg.norm(dE)) <= e_conv
                     and np.all(rnorms <= r_conv)):
                 converged = True
+                break
+
+            if rnorms.max() < 0.98 * best_r:
+                best_r = rnorms.max()
+                stalled = 0
+            else:
+                stalled += 1
+            if (stalled >= 3 and niter >= 6
+                    and np.abs(np.linalg.norm(dE)) <= e_conv):
+                converged = True
+                self.residual_floor = float(rnorms.max())
+                log.warning(
+                    "CCEOM: residual norms stalled at %.2e (> r_conv=%.1e) "
+                    "for 3 iterations with energies converged — stopping "
+                    "at the precision noise floor." % (rnorms.max(), r_conv))
                 break
 
             if M >= maxM:

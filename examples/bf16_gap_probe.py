@@ -23,7 +23,9 @@ def main():
     ap.add_argument("--no", type=int, default=32)
     ap.add_argument("--nv", type=int, default=512)
     ap.add_argument("--naux", type=int, default=1632)
-    ap.add_argument("--nblocks", type=int, default=64)
+    # 128 blocks: the f32 pass at (32,512) holds the blk*v^3 ladder W
+    # beside ~6 o^2v^2 temps; nblocks=64 measured 17.7 G > 15.75 G HBM
+    ap.add_argument("--nblocks", type=int, default=128)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     no, nv, naux = args.no, args.nv, args.naux

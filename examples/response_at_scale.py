@@ -96,11 +96,14 @@ def main():
                                   e_conv=1e-6, r_conv=1e-6,
                                   maxiter=args.maxiter)
     t_x = time.time() - t0
-    ok = bool(np.isfinite(float(jnp.real(pr))))
+    # pr is a HOST python complex — jnp.real(pr) would stage a C128
+    # constant into a device program (complex is UNIMPLEMENTED on the
+    # axon TPU runtime)
+    ok = bool(np.isfinite(pr.real))
     print(json.dumps({
         "config": "(%d,%d) f32 solve_right MU_Z omega=%.4f" % (no, nv,
                                                                args.omega),
-        "pseudoresponse": float(jnp.real(pr)),
+        "pseudoresponse": pr.real,
         "finite": ok,
         "t_hbar_s": round(t_hbar, 1),
         "t_solve_right_s": round(t_x, 1),

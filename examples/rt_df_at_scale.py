@@ -71,10 +71,13 @@ def main():
     jax.block_until_ready(B)
 
     cc = ccwfn.from_df_factors(B, F, no, precision="SP", mu=np.asarray(mu))
-    cc.solve_cc(e_conv=1e-10, r_conv=1e-10, maxiter=args.cc_iters)
+    # max_diis=0: the default depth-8 ring alone is ~17 GB at (32,512)
+    # f32 (measured runtime OOM); a couple of prep Jacobi steps suffice
+    cc.solve_cc(e_conv=1e-10, r_conv=1e-10, maxiter=args.cc_iters,
+                max_diis=0)
     hb = cchbar(cc)
     lam = cclambda(cc, hb)
-    lam.solve_lambda(e_conv=1e-10, r_conv=1e-10, maxiter=1)
+    lam.solve_lambda(e_conv=1e-10, r_conv=1e-10, maxiter=1, max_diis=0)
     dens = ccdensity(cc, lam)
     V = gaussian_laser(0.05, 0.0, 0.01, center=0.05)
     rt = rtcc(cc, lam, dens, V, ri_split=True)

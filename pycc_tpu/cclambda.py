@@ -181,6 +181,9 @@ class cclambda:
             S1, S2 = t3_lambda_sources(cc)
             cc.S1, cc.S2 = S1, S2
 
+        # max_diis=0 disables DIIS at trace time — no ring allocation, no
+        # push in the step graph (see ccwfn.solve_cc; same HBM motive)
+        use_diis = max_diis > 0
         diis = DIIS((self.l1, self.l2), max_diis=max(max_diis, 1))
 
         is_cc3 = model == "CC3"
@@ -259,6 +262,8 @@ class cclambda:
                 lecc = 0.5 * jnp.sum(df_eri_oovv(hb.df) * l2n)
             else:
                 lecc = pseudoenergy(ERIa, l2n, no)
+            if not use_diis:
+                return l1n, l2n, l1n, l2n, state, lecc, rms
             state = diis.push(state, (l1n, l2n), (l1, l2))
             l1e, l2e = jax.lax.cond(
                 do_extrap,
@@ -309,6 +314,8 @@ class cclambda:
                 rms = jnp.sqrt(jnp.sum(jnp.abs(inc1) ** 2)
                                + jnp.sum(jnp.abs(inc2) ** 2))
                 lecc = 0.5 * jnp.sum(df_eri_oovv(hb_.df) * l2n)
+                if not use_diis:
+                    return l1n, l2n, state, lecc, rms
                 state = diis.push(state, (l1n, l2n), (l1, l2))
                 l1e, l2e = jax.lax.cond(
                     do_extrap,
@@ -334,7 +341,7 @@ class cclambda:
         else:
             lecc = float(jnp.real(pseudoenergy(bE0, l2, no)))
         log.info("\nLCC Iter %3d: LCC PseudoE = %.15f  dE = % .5E" % (0, lecc, -lecc))
-        state = diis.init()
+        state = diis.init() if use_diis else None
         best_rms = float("inf")
         stalled = 0
         for niter in range(1, maxiter + 1):

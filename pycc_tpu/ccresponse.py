@@ -122,7 +122,7 @@ def r_X(hb, L, t2, A, omega, X1, X2, no, aux):
     r2 += contract("ae,ijeb->ijab", Zvv, t2)
     r2 += contract("ijeb,ae->ijab", X2, hb.Hvv)
     r2 -= contract("mjab,mi->ijab", X2, hb.Hoo)
-    r2 += 0.5 * contract("mnab,mnij->ijab", X2, hb.Hoooo)
+    r2 += 0.5 * contract("mnij,mnab->ijab", hb.Hoooo, X2)
     r2 += 0.5 * vvvv_contract(X2, hb.Hvvvv)
     r2 -= contract("imeb,maje->ijab", X2, hb.Hovov)
     r2 -= contract("imea,mbej->ijab", X2, hb.Hovvo)
@@ -381,7 +381,7 @@ class ccresponse:
 
     # ------------------------------------------------------------------
     def solve_right(self, A, omega, e_conv=1e-12, r_conv=1e-12, maxiter=200,
-                    max_diis=7, start_diis=1):
+                    max_diis=7, start_diis=1, stall_limit=10):
         t0 = time.time()
         cc = self.ccwfn
         no = cc.no
@@ -394,6 +394,9 @@ class ccresponse:
 
         X1 = A.Avo.T / Dia
         X2 = A.Avvoo / Dijab
+        # max_diis=0 disables DIIS at trace time (no ring, no push);
+        # see ccwfn.solve_cc
+        use_diis = max_diis > 0
         diis = DIIS((X1, X2), max_diis=max(max_diis, 1))
 
         if self._df:
@@ -415,6 +418,8 @@ class ccresponse:
                 X1n, X2n = X1 + inc1, X2 + inc2
                 rms = jnp.sqrt(jnp.sum(jnp.abs(inc1) ** 2)
                                + jnp.sum(jnp.abs(inc2) ** 2))
+                if not use_diis:
+                    return X1n, X2n, X1n, X2n, state, rms
                 state = diis.push(state, (X1n, X2n), (X1, X2))
                 X1e, X2e = jax.lax.cond(
                     do_extrap, lambda s: diis.extrapolate(s, (X1n, X2n)),
@@ -430,6 +435,8 @@ class ccresponse:
                 X1n, X2n = X1 + inc1, X2 + inc2
                 rms = jnp.sqrt(jnp.sum(jnp.abs(inc1) ** 2)
                                + jnp.sum(jnp.abs(inc2) ** 2))
+                if not use_diis:
+                    return X1n, X2n, X1n, X2n, state, rms
                 state = diis.push(state, (X1n, X2n), (X1, X2))
                 X1e, X2e = jax.lax.cond(
                     do_extrap, lambda s: diis.extrapolate(s, (X1n, X2n)),
@@ -437,7 +444,9 @@ class ccresponse:
                 return X1n, X2n, X1e, X2e, state, rms
 
         pseudo = complex(self.pseudoresponse(A, X1, X2))
-        state = diis.init()
+        state = diis.init() if use_diis else None
+        best_rms = float("inf")
+        stalled = 0
         for niter in range(1, maxiter + 1):
           with timers.time("response.right_iteration"):
             pseudo_last = pseudo
@@ -452,6 +461,23 @@ class ccresponse:
                                                     jnp.asarray(do_ext))
             pseudo = complex(self.pseudoresponse(A, X1n, X2n))
             rms = float(rms)
+            # working-precision noise floor (same policy as the CC/Lambda
+            # solvers): the UNNORMALIZED rms over ~1e7-1e8 f32 elements
+            # bottoms out near 1e-3 even when every element is converged
+            # to its float32 limit — stop instead of wobbling to maxiter
+            if rms < 0.98 * best_rms:
+                best_rms = rms
+                stalled = 0
+            else:
+                stalled += 1
+                if stall_limit and stalled >= stall_limit and rms >= r_conv:
+                    self.X1, self.X2 = X1n, X2n
+                    self.converged = abs(pseudo - pseudo_last) < e_conv
+                    log.info("\nsolve_right hit the working-precision noise "
+                             "floor (rms %.3E > r_conv %.1E, no improvement "
+                             "in %d iterations); stopping.\n"
+                             % (rms, r_conv, stall_limit))
+                    return X1n, X2n, pseudo
             if abs(pseudo - pseudo_last) < e_conv and rms < r_conv:
                 log.info("\nPerturbed wave function converged in %.3f seconds.\n"
                       % (time.time() - t0))
@@ -465,7 +491,7 @@ class ccresponse:
         return X1, X2, pseudo
 
     def solve_left(self, A, omega, e_conv=1e-12, r_conv=1e-12, maxiter=200,
-                   max_diis=7, start_diis=1):
+                   max_diis=7, start_diis=1, stall_limit=10):
         t0 = time.time()
         cc = self.ccwfn
         no = cc.no
@@ -505,6 +531,7 @@ class ccresponse:
             imY2 = in_Y2(hb, L, ERI, t2, l1, l2, Ad, self.X1, self.X2, no,
                          self._aux)
 
+        use_diis = max_diis > 0
         diis = DIIS((Y1, Y2), max_diis=max(max_diis, 1))
 
         if self._df:
@@ -523,6 +550,8 @@ class ccresponse:
                 Y1n, Y2n = Y1 + inc1, Y2 + inc2
                 rms = jnp.sqrt(jnp.sum(jnp.abs(inc1) ** 2)
                                + jnp.sum(jnp.abs(inc2) ** 2))
+                if not use_diis:
+                    return Y1n, Y2n, Y1n, Y2n, state, rms
                 state = diis.push(state, (Y1n, Y2n), (Y1, Y2))
                 Y1e, Y2e = jax.lax.cond(
                     do_extrap, lambda s: diis.extrapolate(s, (Y1n, Y2n)),
@@ -539,6 +568,8 @@ class ccresponse:
                 Y1n, Y2n = Y1 + inc1, Y2 + inc2
                 rms = jnp.sqrt(jnp.sum(jnp.abs(inc1) ** 2)
                                + jnp.sum(jnp.abs(inc2) ** 2))
+                if not use_diis:
+                    return Y1n, Y2n, Y1n, Y2n, state, rms
                 state = diis.push(state, (Y1n, Y2n), (Y1, Y2))
                 Y1e, Y2e = jax.lax.cond(
                     do_extrap, lambda s: diis.extrapolate(s, (Y1n, Y2n)),
@@ -546,7 +577,9 @@ class ccresponse:
                 return Y1n, Y2n, Y1e, Y2e, state, rms
 
         pseudo = complex(self.pseudoresponse(A, Y1, Y2))
-        state = diis.init()
+        state = diis.init() if use_diis else None
+        best_rms = float("inf")
+        stalled = 0
         for niter in range(1, maxiter + 1):
           with timers.time("response.left_iteration"):
             pseudo_last = pseudo
@@ -562,6 +595,20 @@ class ccresponse:
                                                     jnp.asarray(do_ext))
             pseudo = complex(self.pseudoresponse(A, Y1n, Y2n))
             rms = float(rms)
+            # noise-floor stall detection — see solve_right
+            if rms < 0.98 * best_rms:
+                best_rms = rms
+                stalled = 0
+            else:
+                stalled += 1
+                if stall_limit and stalled >= stall_limit and rms >= r_conv:
+                    self.Y1, self.Y2 = Y1n, Y2n
+                    self.converged = abs(pseudo - pseudo_last) < e_conv
+                    log.info("\nsolve_left hit the working-precision noise "
+                             "floor (rms %.3E > r_conv %.1E, no improvement "
+                             "in %d iterations); stopping.\n"
+                             % (rms, r_conv, stall_limit))
+                    return Y1n, Y2n, pseudo
             if abs(pseudo - pseudo_last) < e_conv and rms < r_conv:
                 log.info("\nPerturbed wave function converged in %.3f seconds.\n"
                       % (time.time() - t0))

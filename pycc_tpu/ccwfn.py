@@ -501,6 +501,11 @@ class ccwfn:
         if use_filter:
             filter_fn = self.Local.filter_amps
 
+        # max_diis=0 disables DIIS ENTIRELY at trace time: no ring buffers
+        # are allocated and no push enters the step graph.  At (48,432)
+        # f32 even a depth-1 ring is 3.6 GB of HBM — plain damped Jacobi
+        # converges (slower) where the ring does not fit.
+        use_diis = max_diis > 0
         diis = DIIS((self.t1, self.t2), max_diis=max(max_diis, 1))
         blocked = self.storage == "blocked"
         host_res = None if use_filter else self._host_residual_fn
@@ -525,6 +530,8 @@ class ccwfn:
                 rms = jnp.sqrt(jnp.sum(jnp.abs(inc1) ** 2)
                                + jnp.sum(jnp.abs(inc2) ** 2))
                 ecc = energy_fn(F, LoovvOnly(Loovv, no), t1n, t2n, no)
+                if not use_diis:
+                    return t1n, t2n, t1n, t2n, state, ecc, rms
                 state = diis.push(state, (t1n, t2n), (t1, t2))
                 t1e, t2e = jax.lax.cond(
                     do_extrap,
@@ -586,6 +593,8 @@ class ccwfn:
                 rms = jnp.sqrt(jnp.sum(jnp.abs(inc1) ** 2)
                                + jnp.sum(jnp.abs(inc2) ** 2))
                 ecc = energy_fn(F, L, t1n, t2n, no)
+                if not use_diis:
+                    return t1n, t2n, t1n, t2n, state, ecc, rms
                 state = diis.push(state, (t1n, t2n), (t1, t2))
                 t1e, t2e = jax.lax.cond(
                     do_extrap,
@@ -627,6 +636,8 @@ class ccwfn:
             rms = jnp.sqrt(jnp.sum(jnp.abs(inc1) ** 2)
                            + jnp.sum(jnp.abs(inc2) ** 2))
             ecc = energy_fn(F, L, t1n, t2n, no)
+            if not use_diis:
+                return t1n, t2n, t1n, t2n, state, ecc, rms
             # DIIS error = the Jacobi increment (new - the amplitudes this
             # iteration actually started from, i.e. post-extrapolation).
             state = diis.push(state, (t1n, t2n), (t1, t2))
@@ -644,7 +655,9 @@ class ccwfn:
         t1, t2 = self.t1, self.t2
         ecc = float(jnp.real(self.cc_energy(t1, t2)))
         log.info("CC Iter %3d: CC Ecorr = %.15f  dE = % .5E  MP2" % (0, ecc, -ecc))
-        state = diis.init()
+        # None is an empty pytree: with DIIS disabled the step functions
+        # never touch it and no ring buffer ever reaches the device
+        state = diis.init() if use_diis else None
         rms = float("inf")
         bf16_active = use_bf16
         best_rms = float("inf")

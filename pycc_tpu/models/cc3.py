@@ -475,7 +475,60 @@ def _cc3_row_xs(i, carry, Wabei_o, Wmbij_t, t2, eps, Lo, Fme, Wamef, Wmnie,
     return jax.lax.fori_loop(0, no, body, carry)
 
 
+def _cc3_row_xs_chunked(i, carry, Wabei_o, Wmbij_t, t2, eps, Lo, Fme,
+                        Wamef, Wmnie, Vov, no, real_time, kc):
+    """T3 contributions to X1/X2 from one occupied row i, k-chunked:
+    identical arithmetic to _cc3_row_xs with peak slab memory kc*v^3
+    instead of no*v^3 (see triples._t3c_chunk_ij; uracil/aug-cc-pVDZ
+    (21,191) compile-OOM'd the unchunked row at 27.7 GB)."""
+    import jax
+
+    from ..triples import _dslice, _t3c_chunk_ij
+    eps_o, eps_v = eps[:no], eps[no:]
+    nv = eps_v.shape[0]
+    k0s = jnp.arange(0, no, kc)
+    nvW = Wamef.shape[0]
+
+    def body(j, carry):
+        X1, X2 = carry
+
+        def chunk(cr, k0):
+            x1, x2ij, x2l = cr
+            t3 = _t3c_chunk_ij(i, j, k0, kc, Wabei_o, Wmbij_t, t2,
+                               eps_o, eps_v)
+            if real_time:
+                tmp = contract("ld,ad->al", Vov, t2[i, j])
+                t3p = contract("al,klcb->kabc", tmp, _dslice(t2, k0, kc))
+                eo = jax.lax.dynamic_slice(eps_o, (k0,), (kc,))
+                denom = (eps_o[i] + eps_o[j] + eo[:, None, None, None]
+                         - eps_v[None, :, None, None]
+                         - eps_v[None, None, :, None]
+                         - eps_v[None, None, None, :])
+                t3 = t3 - t3p / denom
+            td = t3 - (t3).swapaxes(1, 3)
+            T = 2.0 * t3 - (t3).swapaxes(2, 3) - (t3).swapaxes(1, 3)
+            x1 = x1 + contract("kabc,kbc->a", td, _dslice(Lo[j], k0, kc))
+            x2ij = x2ij + contract("kabc,kc->ab", td, _dslice(Fme, k0, kc))
+            WamefK = jax.lax.dynamic_slice(Wamef, (0, k0, 0, 0),
+                                           (nvW, kc, nv, nv))
+            x2ij = x2ij + contract("kabc,dkbc->ad", T, WamefK)
+            x2l = x2l + contract("kabc,klc->lab", T,
+                                 _dslice(Wmnie[j], k0, kc))
+            return (x1, x2ij, x2l), 0.0
+
+        z = (jnp.zeros((nv,), t2.dtype), jnp.zeros((nv, nv), t2.dtype),
+             jnp.zeros((no, nv, nv), t2.dtype))
+        (x1, x2ij, x2l), _ = jax.lax.scan(chunk, z, k0s)
+        X1 = X1.at[i].add(x1)
+        X2 = X2.at[i, j].add(x2ij)
+        X2 = X2.at[i].add(-x2l)
+        return (X1, X2)
+
+    return jax.lax.fori_loop(0, no, body, carry)
+
+
 _cc3_row_xs_jit = None
+_cc3_row_xs_chunked_jit = None
 
 
 def _prep_from_blocks(F, blocks, t1, t2, F_ref, no, real_time):
@@ -492,11 +545,24 @@ def residuals_cc3_rows(F, ERI, L, t1, t2, no, real_time=False, F_ref=None,
     to residuals_cc3 / residuals_cc3_scan.  NOT jit-able — use from a
     host-level solver loop only.  dfb= sources the prep from Cholesky/DF
     factors (cc3_scan_prep_df) instead of dense tensors or blocks."""
-    global _cc3_row_xs_jit
+    global _cc3_row_xs_jit, _cc3_row_xs_chunked_jit
     import jax
+
+    from ..ops.ctensor import CTensor
     if _cc3_row_xs_jit is None:
         _cc3_row_xs_jit = jax.jit(
             _cc3_row_xs, static_argnames=("no", "real_time"))
+    if _cc3_row_xs_chunked_jit is None:
+        _cc3_row_xs_chunked_jit = jax.jit(
+            _cc3_row_xs_chunked, static_argnames=("no", "real_time", "kc"))
+    # past ~2^27 elements of no*v^3 slab the unchunked row's simultaneous
+    # slab temps compile-OOM (same wall as triples.t_vikings_scan); the
+    # CTensor (RT re/im) path keeps the unchunked row — dynamic_slice
+    # does not dispatch through the CTensor contraction layer
+    nv_ = t2.shape[-1]
+    use_chunked = (no * nv_ ** 3 > 2 ** 27
+                   and not isinstance(t2, CTensor)
+                   and not isinstance(t1, CTensor))
     F_ref = F if F_ref is None else F_ref
     if dfb is not None:
         prep_d = jax.jit(cc3_scan_prep_df,
@@ -518,10 +584,18 @@ def residuals_cc3_rows(F, ERI, L, t1, t2, no, real_time=False, F_ref=None,
                               real_time=real_time, F_ref=F_ref)
     X1 = ct_zeros_like(r1)
     X2 = ct_zeros_like(r2)
-    for i in range(no):
-        X1, X2 = _cc3_row_xs_jit(jnp.asarray(i), (X1, X2), Wabei_o, Wmbij_t,
-                                 t2, eps, Lo, Fme, Wamef, Wmnie, Vov,
-                                 no=no, real_time=real_time)
+    if use_chunked:
+        from ..triples import _t_df_kc
+        kc = _t_df_kc(no, nv_)
+        for i in range(no):
+            X1, X2 = _cc3_row_xs_chunked_jit(
+                jnp.asarray(i), (X1, X2), Wabei_o, Wmbij_t, t2, eps, Lo,
+                Fme, Wamef, Wmnie, Vov, no=no, real_time=real_time, kc=kc)
+    else:
+        for i in range(no):
+            X1, X2 = _cc3_row_xs_jit(jnp.asarray(i), (X1, X2), Wabei_o,
+                                     Wmbij_t, t2, eps, Lo, Fme, Wamef,
+                                     Wmnie, Vov, no=no, real_time=real_time)
     r1 = r1 + X1
     r2 = r2 + X2 + X2.transpose(1, 0, 3, 2)
     return r1, r2

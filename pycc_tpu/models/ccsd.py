@@ -149,7 +149,7 @@ def residuals_ccsd(F, ERI, L, t1, t2, no):
     r2 -= 0.5 * contract("ijae,be->ijab", t2, contract("mb,me->be", t1, Fme))
     r2 -= contract("imab,mj->ijab", t2, Fmi)
     r2 -= 0.5 * contract("imab,jm->ijab", t2, contract("je,me->jm", t1, Fme))
-    r2 += 0.5 * contract("mnab,mnij->ijab", tau, Wmnij)
+    r2 += 0.5 * contract("mnij,mnab->ijab", Wmnij, tau)
     r2 += 0.5 * vvvv_contract(tau, ERI[v, v, v, v])
     r2 -= contract("ma,mbij->ijab", t1, Zmbij)
     r2 += contract("imae,mbej->ijab", t2 - t2.swapaxes(2, 3), Wmbej)
@@ -184,7 +184,7 @@ def residuals_ccd(F, ERI, L, t1, t2, no):
     r2 = 0.5 * ERI[o, o, v, v]
     r2 += contract("ijae,be->ijab", t2, Fae)
     r2 -= contract("imab,mj->ijab", t2, Fmi)
-    r2 += 0.5 * contract("mnab,mnij->ijab", t2, Wmnij)
+    r2 += 0.5 * contract("mnij,mnab->ijab", Wmnij, t2)
     r2 += 0.5 * vvvv_contract(t2, ERI[v, v, v, v])
     r2 += contract("imae,mbej->ijab", t2 - t2.swapaxes(2, 3), Wmbej)
     r2 += contract("imae,mbej->ijab", t2, Wmbej + Wmbje.swapaxes(2, 3))

@@ -279,7 +279,7 @@ def residuals_ccsd_df(F, df, t1, t2, no, nblocks=None):
     r2 -= 0.5 * contract("ijae,be->ijab", t2, contract("mb,me->be", t1, Fme))
     r2 -= contract("imab,mj->ijab", t2, Fmi)
     r2 -= 0.5 * contract("imab,jm->ijab", t2, contract("je,me->jm", t1, Fme))
-    r2 += 0.5 * contract("mnab,mnij->ijab", tau, Wmnij)
+    r2 += 0.5 * contract("mnij,mnab->ijab", Wmnij, tau)
     # dressed ladder == 0.5*vvvv ladder - t1*Zmbij of the dense equations
     r2 += ladder_df(df, t1, t2, nblocks=nblocks)
     r2 += contract("imae,mbej->ijab", t2 - t2.swapaxes(2, 3), Wmbej)
@@ -316,7 +316,7 @@ def residuals_ccd_df(F, df, t1, t2, no, nblocks=None):
     r2 = 0.5 * eri_oovv
     r2 += contract("ijae,be->ijab", t2, Fae)
     r2 -= contract("imab,mj->ijab", t2, Fmi)
-    r2 += 0.5 * contract("mnab,mnij->ijab", t2, Wmnij)
+    r2 += 0.5 * contract("mnij,mnab->ijab", Wmnij, t2)
     # undressed ladder: t1 = 0 makes BL = 0.5 * Bvv and tau = t2
     r2 += ladder_df(df, ct_zeros_like(t1), t2, nblocks=nblocks)
     r2 += contract("imae,mbej->ijab", t2 - t2.swapaxes(2, 3), Wmbej)

@@ -421,7 +421,10 @@ def t_vikings_scan(cc):
         # assembled stacks are the two no*nv^3 slabs (~1.8 GB f32 each at
         # (28,252)); the HBM wall moves from nact^4 to no*nv^3.  Past
         # ~1 GB of no*nv^3 the single-resident k-chunked path takes over.
-        if no * (t2.shape[-1] ** 3) > 2 ** 28:
+        # 2^27 elements (512 MB f32): above this the row path's ~6-8
+        # simultaneous no*v^3 slab temps (plus their layout copies)
+        # compile-OOM — uracil/aug-cc-pVDZ (21,191) measured 27.7 GB
+        if no * (t2.shape[-1] ** 3) > 2 ** 27:
             return t_vikings_scan_df_chunked(cc.dfb, cc.H.F, t1, t2, no)
 
         @jax.jit

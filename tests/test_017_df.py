@@ -197,3 +197,14 @@ def test_from_df_factors_round_trip(h2o_sto3g):
         e2 = cc2.solve_cc(e_conv=1e-11, r_conv=1e-11)
     assert abs(float(e1) - float(e2)) < 1e-12
     assert abs(float(e1) - -0.070616830152761) < 1e-9
+
+
+def test_df_solve_without_diis(h2o_sto3g):
+    """max_diis=0 disables DIIS at trace time (no ring buffers on device;
+    at (48,432) f32 even the depth-1 ring is 3.6 GB) — plain damped
+    Jacobi reaches the same fixed point."""
+    cc = ccwfn(h2o_sto3g, storage="df", df_tol=1e-13)
+    e = cc.solve_cc(e_conv=1e-11, r_conv=1e-11, max_diis=8)
+    cc0 = ccwfn(h2o_sto3g, storage="df", df_tol=1e-13)
+    e0 = cc0.solve_cc(e_conv=1e-11, r_conv=1e-11, maxiter=300, max_diis=0)
+    assert abs(e - e0) < 1e-10, (e, e0)

@@ -190,3 +190,33 @@ def test_cc3_df_solve_end_to_end(setup):
                                               model="CC3")
         e_p = cc_p.solve_cc(e_conv=1e-11, r_conv=1e-11)
     assert abs(e_d - e_p) < 1e-9, (e_d, e_p)
+
+
+def test_cc3_rows_chunked_equals_unchunked(setup):
+    """The k-chunked CC3 row (auto-selected past 2^27 no*v^3 elements,
+    where the unchunked row's simultaneous slab temps compile-OOM —
+    uracil/aug-cc-pVDZ measured 27.7 GB) accumulates identical X1/X2,
+    including the real_time perturbation branch."""
+    import jax
+
+    from pycc_tpu.ops.ctensor import ct_zeros_like
+
+    wfn, F, rec, L, df, t1, t2, no = setup
+    prep = jax.jit(cc3q.cc3_scan_prep_df,
+                   static_argnames=("no", "real_time", "nblocks"))
+    (r1, r2, Fme, Wamef, Wmnie, Wabei_o, Wmbij_t,
+     eps, Lo, Vov) = prep(F, df, t1, t2, no=no, real_time=False, F_ref=F,
+                          nblocks=None)
+    for rt, vov in ((False, Vov), (True, 0.01 * jnp.ones_like(Vov))):
+        Xa = (ct_zeros_like(r1), ct_zeros_like(r2))
+        Xb = (ct_zeros_like(r1), ct_zeros_like(r2))
+        for i in range(no):
+            Xa = cc3q._cc3_row_xs(jnp.asarray(i), Xa, Wabei_o, Wmbij_t,
+                                  t2, eps, Lo, Fme, Wamef, Wmnie, vov,
+                                  no=no, real_time=rt)
+            Xb = cc3q._cc3_row_xs_chunked(jnp.asarray(i), Xb, Wabei_o,
+                                          Wmbij_t, t2, eps, Lo, Fme,
+                                          Wamef, Wmnie, vov, no=no,
+                                          real_time=rt, kc=2)
+        assert _close(Xa[0], Xb[0], 1e-12), rt
+        assert _close(Xa[1], Xb[1], 1e-12), rt

@@ -71,10 +71,14 @@ def main():
     jax.block_until_ready(B)
 
     cc = ccwfn.from_df_factors(B, F, no, precision="SP", mu=np.asarray(mu))
-    # max_diis=0: the default depth-8 ring alone is ~17 GB at (32,512)
-    # f32 (measured runtime OOM); a couple of prep Jacobi steps suffice
-    cc.solve_cc(e_conv=1e-10, r_conv=1e-10, maxiter=args.cc_iters,
-                max_diis=0)
+    # --cc-iters 0 skips the prep solve entirely: the RHS wall-clock does
+    # not depend on amplitude quality, and at (32,512) the ONE-program
+    # f32 residual exceeds HBM (~17 o^2v^2 temps; the north-star solve
+    # row runs bf16 for exactly this reason).  max_diis=0: the default
+    # depth-8 ring alone is ~17 GB here (measured runtime OOM).
+    if args.cc_iters > 0:
+        cc.solve_cc(e_conv=1e-10, r_conv=1e-10, maxiter=args.cc_iters,
+                    max_diis=0)
     hb = cchbar(cc)
     lam = cclambda(cc, hb)
     lam.solve_lambda(e_conv=1e-10, r_conv=1e-10, maxiter=1, max_diis=0)

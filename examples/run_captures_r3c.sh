@@ -49,4 +49,14 @@ run_fb rtdf 5400 \
   python examples/rt_df_at_scale.py --cc-iters 0 -- \
   python examples/rt_df_at_scale.py --cc-iters 0 --nv 384 --naux 1280
 
+# Lambda-CC3 + CC3 one-pdm over factors at uracil scale: the solve
+# re-runs warm (same shapes as battery B's uracil_cc3 step) with a small
+# maxiter — the capture is the POST wall (extras rows / onepdm rows have
+# the same no*v^3 slab class as the residual rows; untested at this size)
+run_fb uracil_cc3_post 10800 \
+  python examples/run_df_molecule.py df_cache/uracil_aug.npz \
+    --model CC3 --precision SP --e-conv 1e-6 --r-conv 1e-5 \
+    --maxiter 8 --post -- \
+  true
+
 echo "battery C complete $(date -u +%H:%M:%S); logs in $LOG"

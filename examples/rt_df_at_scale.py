@@ -82,7 +82,10 @@ def main():
     hb = cchbar(cc)
     lam = cclambda(cc, hb)
     lam.solve_lambda(e_conv=1e-10, r_conv=1e-10, maxiter=1, max_diis=0)
-    dens = ccdensity(cc, lam)
+    # onlyone: rtcc keeps its own per-step density contractions (df mode
+    # evaluates them factor-wise); the eager two-pdm blocks would build a
+    # 17 GB o v^3 temp at this size (measured OOM in build_Doovv)
+    dens = ccdensity(cc, lam, onlyone=True)
     V = gaussian_laser(0.05, 0.0, 0.01, center=0.05)
     rt = rtcc(cc, lam, dens, V, ri_split=True)
 

@@ -253,6 +253,7 @@ class ccwfn:
                 self.dfb = dfq.df_blocks(jnp.asarray(B, dtype=dtype),
                                          self.no)
             self._df_residual_fn = self._make_df_residual_fn()
+            self._maybe_split_df_residual(dtype)
             log.info("DF/Cholesky factors: naux = %d (tol %.1e%s)"
                   % (self.naux, self.df_tol,
                      ", integral-direct" if self.df_direct else ""))
@@ -390,11 +391,28 @@ class ccwfn:
                     nblocks=df_nblocks)
         self._df_residual_fn = self._make_df_residual_fn()
         self.mesh = mesh
+        self._maybe_split_df_residual(dtype)
         if mesh is not None:
             self._apply_mesh(mesh)
         log.info("DF/Cholesky factors: naux = %d (precomputed, %s)"
               % (self.naux, precision))
         return self
+
+    def _maybe_split_df_residual(self, dtype):
+        """Past ~1 GB of o^2v^2 the ONE-program DF-CCSD residual compile-
+        OOMs (~11 simultaneous o^2v^2 temps: 21.6 GB at (48,432) f32,
+        17.7 GB at (32,512) f32 — measured); switch solve_cc to the
+        host-sequenced seven-program split (models/dfccsd.py).  The
+        (40,360) f32 and (32,512) bf16 steps fit fused and stay fused."""
+        if self.model not in ("CCSD", "CCSD(T)"):
+            return
+        if self._host_residual_fn is not None or self.mesh is not None:
+            return
+        from .models import dfccsd as dfq
+        nbytes = (self.no * self.nv) ** 2 * jnp.dtype(dtype).itemsize
+        if nbytes > 9e8 or getattr(self, "_force_split_df", False):
+            self._host_residual_fn = partial(
+                dfq.residuals_ccsd_df_split_host, nblocks=self._df_nblocks)
 
     def _make_df_residual_fn(self):
         """Model -> factor-residual dispatch for storage='df'.  CC3 uses
@@ -509,16 +527,50 @@ class ccwfn:
         diis = DIIS((self.t1, self.t2), max_diis=max(max_diis, 1))
         blocked = self.storage == "blocked"
         host_res = None if use_filter else self._host_residual_fn
-        if host_res is not None:
+        # DF host-residual solves (the CC3-df rows and the split CCSD-df
+        # programs) use a LEAN update: denominators rebuilt from diag(F)
+        # in-jit and the energy assembled from the factors — no resident
+        # Dia/Dijab/Loovv (3.4 GB of o^2v^2 buffers at (48,432) f32 that
+        # the split-program temp budget cannot spare).
+        lean_df = host_res is not None and self.storage == "df"
+        if lean_df:
+            from .models.dfccsd import _eri_oovv as _df_eoovv
+            from .models.dfccsd import _tau as _df_tau
+            from .ops.contract import contract
+
+            @partial(jax.jit, donate_argnums=(2, 3, 4, 5, 6))
+            def apply_update_df(F, dfb, t1, t2, r1, r2, state, do_extrap):
+                eps = jnp.diagonal(F).astype(t1.dtype)
+                inc1 = r1 / (eps[:no, None] - eps[None, no:])
+                inc2 = r2 / (eps[:no, None, None, None]
+                             + eps[None, :no, None, None]
+                             - eps[None, None, no:, None]
+                             - eps[None, None, None, no:])
+                t1n = t1 + inc1
+                t2n = t2 + inc2
+                rms = jnp.sqrt(jnp.sum(jnp.abs(inc1) ** 2)
+                               + jnp.sum(jnp.abs(inc2) ** 2))
+                # cc_energy with Loovv as two relabeled reads of the oovv
+                # assembly (no explicit 2E - E^swap o^2v^2 temp)
+                e = _df_eoovv(dfb)
+                tau = _df_tau(t1n, t2n)
+                ecc = 2.0 * jnp.sum(F[:no, no:].astype(t1.dtype) * t1n)
+                ecc = (ecc + 2.0 * contract("ijab,ijab->", tau, e)
+                       - contract("ijab,ijba->", tau, e))
+                if not use_diis:
+                    return t1n, t2n, t1n, t2n, state, ecc, rms
+                state = diis.push(state, (t1n, t2n), (t1, t2))
+                t1e, t2e = jax.lax.cond(
+                    do_extrap,
+                    lambda s: diis.extrapolate(s, (t1n, t2n)),
+                    lambda s: (t1n, t2n),
+                    state)
+                return t1n, t2n, t1e, t2e, state, ecc, rms
+        if host_res is not None and not lean_df:
             Dia, Dijab = self.Dia, self.Dijab
             from .models.blocked import LoovvOnly
-            if self.storage == "df":
-                # dfb as a jit ARGUMENT (closure constants are serialized
-                # into the remote compile request — GBs of factors)
-                Loovv_f = jax.jit(self._df_Loovv)(self.dfb)
-            else:
-                o_, v_ = self.o, self.v
-                Loovv_f = jnp.asarray(np.asarray(self.H.L)[o_, o_, v_, v_])
+            o_, v_ = self.o, self.v
+            Loovv_f = jnp.asarray(np.asarray(self.H.L)[o_, o_, v_, v_])
 
             @jax.jit
             def apply_update(F, Loovv, Dia, Dijab, t1, t2, r1, r2, state,
@@ -688,14 +740,20 @@ class ccwfn:
                 if df_mode:
                     r1, r2 = host_res(Fj, None, None, t1, t2, no,
                                       dfb=self.dfb)
+                    t1n, t2n, t1, t2, state, ecc_j, rms = apply_update_df(
+                        Fj, self.dfb, t1, t2, r1, r2, state,
+                        jnp.asarray(do_ext))
                 elif blocked:
                     r1, r2 = host_res(Fj, None, None, t1, t2, no,
                                       blocks=self.blocks)
+                    t1n, t2n, t1, t2, state, ecc_j, rms = apply_update(
+                        Fj, Loovv_f, Dia, Dijab, t1, t2, r1, r2, state,
+                        jnp.asarray(do_ext))
                 else:
                     r1, r2 = host_res(Fj, H.ERI, H.L, t1, t2, no)
-                t1n, t2n, t1, t2, state, ecc_j, rms = apply_update(
-                    Fj, Loovv_f, Dia, Dijab, t1, t2, r1, r2, state,
-                    jnp.asarray(do_ext))
+                    t1n, t2n, t1, t2, state, ecc_j, rms = apply_update(
+                        Fj, Loovv_f, Dia, Dijab, t1, t2, r1, r2, state,
+                        jnp.asarray(do_ext))
             elif not bf16_active:
                 ERIa, La = self._solver_H()
                 t1n, t2n, t1, t2, state, ecc_j, rms = step(

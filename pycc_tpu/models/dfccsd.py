@@ -30,6 +30,7 @@ Key re-factorizations (everything is an MXU matmul):
   application matmul, with peak extra memory blk * v^3 instead of v^4.
 """
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -294,6 +295,148 @@ def residuals_ccsd_df(F, df, t1, t2, no, nblocks=None):
     r2 -= contract("ma,mbij->ijab", t1, eri_ovoo)
     r2 = r2 + r2.transpose(1, 0, 3, 2)
     return r1, r2
+
+
+# ---------------------------------------------------------------------------
+# CCSD residual as host-sequenced device programs (the at-scale path)
+# ---------------------------------------------------------------------------
+#
+# The ONE-program residuals_ccsd_df holds ~11 simultaneous o^2v^2 temps
+# (assembled ERI layouts, the two ring W's, tau, dot outputs): measured
+# 21.6 GB of 15.75 GB HBM at (48,432) f32 ((H2O)_12/aug-cc-pVDZ) and
+# 17.7 GB at (32,512) f32 — no knob fixes a temp COUNT.  The same wall
+# hit Lambda at (40,360) and was solved by a five-program split sized
+# with the compiler's own HBM accounting (cclambda.py); this is the
+# CCSD residual's version: each program re-assembles only the factor
+# blocks it consumes (a naux*o^2v^2 matmul — tens of ms against the
+# o^3v^3 iteration), peaks at <= ~4 o^2v^2 temps, and the o^2v^2 r2
+# accumulator is DONATED through the sequence.  The reference cannot
+# represent these systems at all (/root/reference/pycc/hamiltonian.py:36).
+
+@partial(jax.jit, static_argnames="no")
+def _rs_r1(F, df, t1, t2, no):
+    """r1 plus the (small) dressed one-particle intermediates."""
+    eri_oovv = _eri_oovv(df)
+    Loovv = 2.0 * eri_oovv - eri_oovv.swapaxes(2, 3)
+    eri_ooov = _eri_ooov(df)
+    Looov = 2.0 * eri_ooov - contract("Pme,Pni->mnie", df.Bov, df.Boo)
+    Fae = build_Fae_df(F, df, Loovv, t1, t2, no)
+    Fmi = build_Fmi_df(F, Looov, Loovv, t1, t2, no)
+    Fme = build_Fme_df(F, Loovv, t1, no)
+    r1 = _r_T1_df(F, df, eri_oovv, Loovv, eri_ooov, t1, t2,
+                  Fae, Fme, Fmi, no)
+    return r1, Fae, Fmi, Fme
+
+
+@partial(jax.jit, static_argnames="no")
+def _rs_seed(F, df, t1, t2, Fae, Fmi, Fme, no):
+    """r2 seed: the oovv driver, the Fae/Fmi ladders, the t1 ov^3/o^3v
+    terms."""
+    r2 = 0.5 * _eri_oovv(df)
+    r2 += contract("ijae,be->ijab", t2,
+                   Fae - 0.5 * contract("mb,me->be", t1, Fme))
+    r2 -= contract("imab,mj->ijab", t2,
+                   Fmi + 0.5 * contract("je,me->mj", t1, Fme))
+    # contract('ie,abej->ijab', t1, <ab|ej>=(ae|bj)) without the vvvo tensor
+    Eia = contract("Pae,ie->Pia", df.Bvv, t1)
+    r2 += contract("Pia,Pjb->ijab", Eia, df.Bov)
+    r2 -= contract("ma,mbij->ijab", t1, _eri_ovoo(df))
+    return r2
+
+
+@partial(jax.jit, static_argnames=("no", "nblocks"), donate_argnums=(3,))
+def _rs_ladder(df, t1, t2, r2, no, nblocks):
+    """Woooo ladder (shares tau) + the dressed vvvv ladder."""
+    eri_oovv = _eri_oovv(df)
+    Wmnij = build_Wmnij_df(_eri_oooo(df), _eri_ooov(df), eri_oovv, t1, t2)
+    r2 += 0.5 * contract("mnij,mnab->ijab", Wmnij, _tau(t1, t2))
+    r2 += ladder_df(df, t1, t2, nblocks=nblocks)
+    return r2
+
+
+@jax.jit
+def _rs_ring_ej_a(df, t1, t2):
+    """t2-quadratic part of Wmbej (its own program: the oovv pair plus
+    tau_x plus the accumulating W is already ~4 o^2v^2 temps)."""
+    eri_oovv = _eri_oovv(df)
+    Loovv = 2.0 * eri_oovv - eri_oovv.swapaxes(2, 3)
+    tau_x = _tau(t1, t2, 0.5, 1.0)
+    return (-contract("jnfb,mnef->mbej", tau_x, eri_oovv)
+            + 0.5 * contract("njfb,mnef->mbej", t2, Loovv))
+
+
+@partial(jax.jit, donate_argnums=(3, 4))
+def _rs_ring_ej_b(df, t1, t2, W, r2):
+    """Complete Wmbej (integral + t1-dressings), contract both Wmbej ring
+    terms, and fold the t1^2 ovvo term through small intermediates."""
+    eri_ovvo = _eri_ovvo(df)
+    Cbj = contract("Pbf,jf->Pbj", df.Bvv, t1)
+    W = W + eri_ovvo + contract("Pme,Pbj->mbej", df.Bov, Cbj)
+    W -= contract("nb,nmje->mbej", t1, _eri_ooov(df))
+    r2 += contract("imae,mbej->ijab", 2.0 * t2 - t2.swapaxes(2, 3), W)
+    # -contract('imea,mbej->ijab', t1 x t1, <mb|ej>): sum e first (o^3 v)
+    Y = contract("ie,mbej->imbj", t1, eri_ovvo)
+    r2 -= contract("imbj,ma->ijab", Y, t1)
+    return r2
+
+
+@partial(jax.jit, donate_argnums=(3,))
+def _rs_ring_je(df, t1, t2, r2):
+    """Wmbje ring terms + the t1^2 ovov term.  The quadratic W term reads
+    the oovv assembly in its (mnfe) layout, so assemble it THAT way once
+    instead of assembling (mnef) and paying a transposed copy."""
+    e2 = contract("Pmf,Pne->mnfe", df.Bov, df.Bov)
+    eri_ovov = _eri_ovov(df)
+    eri_ooov = _eri_ooov(df)
+    Dmj = contract("Pmf,jf->Pmj", df.Bov, t1)
+    W = (-eri_ovov
+         - contract("Pmj,Pbe->mbje", Dmj, df.Bvv)
+         + contract("nb,mnje->mbje", t1, eri_ooov)
+         + contract("jnfb,mnfe->mbje", _tau(t1, t2, 0.5, 1.0), e2))
+    # W.swapaxes(2,3) enters as a relabeled read - no explicit copy
+    r2 += contract("imae,mbje->ijab", t2, W)
+    r2 += contract("mjae,mbie->ijab", t2, W)
+    # -contract('imeb,maje->ijab', t1 x t1, <ma|je>): sum e first (o^3 v)
+    Z = contract("ie,maje->maji", t1, eri_ovov)
+    r2 -= contract("maji,mb->ijab", Z, t1)
+    return r2
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _rs_sym(r2):
+    return r2 + r2.transpose(1, 0, 3, 2)
+
+
+def residuals_ccsd_df_split(F, df, t1, t2, no, nblocks=None):
+    """Host-sequenced DF-CCSD residuals: identical fixed point to
+    residuals_ccsd_df, evaluated as seven short device programs with a
+    host sync between them so no two programs' temps coexist.  NOT
+    jittable — call from a host-level solver loop (ccwfn.solve_cc wires
+    it as the _host_residual_fn past the one-program HBM wall)."""
+    import jax as _jax
+
+    if nblocks is None:
+        nblocks = _ladder_blocks(t2.shape[-1], df.Bvv.shape[0])
+    r1, Fae, Fmi, Fme = _rs_r1(F, df, t1, t2, no=no)
+    _jax.block_until_ready(r1)
+    r2 = _rs_seed(F, df, t1, t2, Fae, Fmi, Fme, no=no)
+    _jax.block_until_ready(r2)
+    r2 = _rs_ladder(df, t1, t2, r2, no=no, nblocks=nblocks)
+    _jax.block_until_ready(r2)
+    W = _rs_ring_ej_a(df, t1, t2)
+    _jax.block_until_ready(W)
+    r2 = _rs_ring_ej_b(df, t1, t2, W, r2)
+    _jax.block_until_ready(r2)
+    r2 = _rs_ring_je(df, t1, t2, r2)
+    _jax.block_until_ready(r2)
+    return r1, _rs_sym(r2)
+
+
+def residuals_ccsd_df_split_host(F, ERI, L, t1, t2, no, dfb=None,
+                                 nblocks=None):
+    """Adapter matching ccwfn's _host_residual_fn signature (ERI/L unused
+    — everything assembles from the factors)."""
+    return residuals_ccsd_df_split(F, dfb, t1, t2, no, nblocks=nblocks)
 
 
 def residuals_ccd_df(F, df, t1, t2, no, nblocks=None):

@@ -73,7 +73,17 @@ def main():
     jax.block_until_ready(F)
 
     jr = jax.jit(resid, static_argnums=(4,))
-    r1f, r2f, ef = jr(F, df, t1, t2, jnp.float32)
+    if no * no * nv * nv * 4 > 9e8:
+        # the ONE-program f32 residual exceeds HBM past ~1 GB of o^2v^2
+        # (measured 17.7 G at (32,512)); evaluate the f32 side through
+        # the host-sequenced split programs instead (same fixed point,
+        # tested to 1e-13 — tests/test_017)
+        r1f, r2f = dfq.residuals_ccsd_df_split(F, df, t1, t2, no,
+                                               nblocks=args.nblocks)
+        ef = jax.jit(dfq.cc_energy_df, static_argnames="no")(
+            F, df, t1, t2, no=no)
+    else:
+        r1f, r2f, ef = jr(F, df, t1, t2, jnp.float32)
     jax.block_until_ready(r2f)
     r1b, r2b, eb = jr(F, df, t1, t2, jnp.bfloat16)
     # device-side reductions: the full r2 pair is 2 x 1 GB at (32,512)

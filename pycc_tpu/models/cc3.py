@@ -846,6 +846,61 @@ def _cc3_lambda_row_t3(l, carry, Wabei_o, Wmbij_t, t2, l2, eps, Lo, Eo,
     return jax.lax.fori_loop(0, no, body, carry)
 
 
+@partial(jax.jit, static_argnames=("no", "real_time", "kc"))
+def _cc3_lambda_row_t3_chunked(l, carry, Wabei_o, Wmbij_t, t2, l2, eps,
+                               Lo, Eo, Vov, no, real_time, kc):
+    """_cc3_lambda_row_t3 with the slab's free occupied index n windowed
+    into kc-chunks: peak slab memory kc*v^3 instead of no*v^3 (the
+    unchunked row compile-OOM'd at 18.8 GB at uracil/aug-cc-pVDZ)."""
+    from ..triples import _dslice, _t3c_chunk_ij
+    eps_o, eps_v = eps[:no], eps[no:]
+    nv = eps_v.shape[0]
+    k0s = jnp.arange(0, no, kc)
+
+    def body(m, carry):
+        Zmndi, Zmdfa, Znf = carry
+
+        def chunk(cr, k0):
+            zndp, zdfa, znf = cr
+            s = _t3c_chunk_ij(l, m, k0, kc, Wabei_o, Wmbij_t, t2,
+                              eps_o, eps_v)
+            if real_time:
+                tmp = contract("ld,ad->al", Vov, t2[l, m])
+                t3p = contract("al,klcb->kabc", tmp, _dslice(t2, k0, kc))
+                eo = jax.lax.dynamic_slice(eps_o, (k0,), (kc,))
+                denom = (eps_o[l] + eps_o[m] + eo[:, None, None, None]
+                         - eps_v[None, :, None, None]
+                         - eps_v[None, None, :, None]
+                         - eps_v[None, None, None, :])
+                s = s - t3p / denom
+            # s = the n-window of the (n,d,e,f) slab
+            c_ndp = (contract("ndef,pef->ndp", s, Eo[:, l])
+                     - contract("nfed,pef->ndp", s, Lo[:, l]))
+            zndp = jax.lax.dynamic_update_slice(
+                zndp, jax.lax.dynamic_slice(
+                    zndp, (k0, 0, 0), (kc, nv, no)) + c_ndp, (k0, 0, 0))
+            zdfa = zdfa + (contract("ndef,nea->dfa", s,
+                                    _dslice(Eo[:, l], k0, kc))
+                           - contract("ndfe,nea->dfa", s,
+                                      _dslice(Lo[:, l], k0, kc)))
+            c_nf = contract("de,ndef->nf", l2[l, m], s - (s).swapaxes(1, 3))
+            znf = jax.lax.dynamic_update_slice(
+                znf, jax.lax.dynamic_slice(znf, (k0, 0), (kc, nv)) + c_nf,
+                (k0, 0))
+            return (zndp, zdfa, znf), 0.0
+
+        z = (jnp.zeros((no, nv, no), t2.dtype),
+             jnp.zeros((nv, nv, nv), t2.dtype),
+             jnp.zeros((no, nv), t2.dtype))
+        (zndp, zdfa, znf), _ = jax.lax.scan(chunk, z, k0s)
+        Zmndi = Zmndi.at[m].add(zndp)
+        Zmdfa = Zmdfa.at[m].add(zdfa)
+        Znf = Znf + znf
+        return (Zmndi, Zmdfa, Znf)
+
+    return jax.lax.fori_loop(0, no, body, carry)
+
+
 @partial(jax.jit, static_argnames="no")
 def _cc3_lambda_row_l3(k, carry, t2, l1, l2, Fov, Wamef, Wmnie, Wabei_o,
                        Wmbij_t, eps, Lo, no):
@@ -908,10 +963,24 @@ def cc3_lambda_extra_rows(F, ERI, L, t1, t2, l1, l2, no, real_time=False,
 
     carry = (_zeros((no, no, nv, no)), _zeros((no, nv, nv, nv)),
              _zeros((no, nv)))
-    for l in range(no):
-        carry = _cc3_lambda_row_t3(jnp.asarray(l), carry, Wabei_o, Wmbij_t,
-                                   t2, l2, eps, Lo, Eo, Vov, no=no,
-                                   real_time=real_time)
+    # past ~2^27 elements of no*v^3 slab the unchunked t3-side row
+    # compile-OOMs (18.8 GB at uracil/aug-cc-pVDZ); the CTensor (RT)
+    # path keeps the unchunked row (dynamic_slice does not dispatch
+    # through the CTensor layer)
+    chunked = (no * nv ** 3 > 2 ** 27 and not isinstance(t2, CTensor)
+               and not isinstance(l2, CTensor))
+    if chunked:
+        from ..triples import _t_df_kc
+        kc = _t_df_kc(no, nv)
+        for l in range(no):
+            carry = _cc3_lambda_row_t3_chunked(
+                jnp.asarray(l), carry, Wabei_o, Wmbij_t, t2, l2, eps, Lo,
+                Eo, Vov, no=no, real_time=real_time, kc=kc)
+    else:
+        for l in range(no):
+            carry = _cc3_lambda_row_t3(jnp.asarray(l), carry, Wabei_o,
+                                       Wmbij_t, t2, l2, eps, Lo, Eo, Vov,
+                                       no=no, real_time=real_time)
     Zmndi, Zmdfa, Znf = carry
 
     Y1 = contract("imdf,mdfa->ia", l2, Zmdfa)

@@ -220,3 +220,33 @@ def test_cc3_rows_chunked_equals_unchunked(setup):
                                           real_time=rt, kc=2)
         assert _close(Xa[0], Xb[0], 1e-12), rt
         assert _close(Xa[1], Xb[1], 1e-12), rt
+
+
+def test_cc3_lambda_t3_row_chunked_equals_unchunked(setup):
+    """The k-chunked t3-side Lambda-CC3 row (auto-selected past 2^27
+    no*v^3 elements; the unchunked row compile-OOM'd at 18.8 GB at
+    uracil/aug-cc-pVDZ) accumulates identical Zmndi/Zmdfa/Znf."""
+    import jax
+
+    wfn, F, rec, L, df, t1, t2, no = setup
+    rng = np.random.default_rng(23)
+    nv = t2.shape[-1]
+    l2 = jnp.asarray(0.05 * rng.standard_normal((no, no, nv, nv)))
+    prep = jax.jit(cc3q.cc3_lambda_prep_df,
+                   static_argnames=("no", "real_time"))
+    (Fov, Wmnij, Wmnie, Wamef, Wabei_o, Wmbij_t, _, _, _,
+     eps, Lo, Eo, Vov) = prep(F, df, t1, t2, no=no, real_time=False,
+                              F_ref=F)
+    for rt, vov in ((False, Vov), (True, 0.01 * jnp.ones_like(Vov))):
+        z = lambda sh: jnp.zeros(sh, t2.dtype)
+        ca = (z((no, no, nv, no)), z((no, nv, nv, nv)), z((no, nv)))
+        cb = (z((no, no, nv, no)), z((no, nv, nv, nv)), z((no, nv)))
+        for l in range(no):
+            ca = cc3q._cc3_lambda_row_t3(jnp.asarray(l), ca, Wabei_o,
+                                         Wmbij_t, t2, l2, eps, Lo, Eo,
+                                         vov, no=no, real_time=rt)
+            cb = cc3q._cc3_lambda_row_t3_chunked(
+                jnp.asarray(l), cb, Wabei_o, Wmbij_t, t2, l2, eps, Lo,
+                Eo, vov, no=no, real_time=rt, kc=2)
+        for x, y in zip(ca, cb):
+            assert _close(x, y, 1e-12), rt

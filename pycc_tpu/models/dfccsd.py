@@ -315,15 +315,42 @@ def residuals_ccsd_df(F, df, t1, t2, no, nblocks=None):
 
 @partial(jax.jit, static_argnames="no")
 def _rs_r1(F, df, t1, t2, no):
-    """r1 plus the (small) dressed one-particle intermediates."""
-    eri_oovv = _eri_oovv(df)
-    Loovv = 2.0 * eri_oovv - eri_oovv.swapaxes(2, 3)
+    """r1 plus the (small) dressed one-particle intermediates, with every
+    Loovv contraction RE-ASSOCIATED through the factors: at (32,512) XLA
+    lowered contract('mnaf,mnef->ae', tau, Loovv) as an 8-way split-K
+    with a broadcast 8x o^2v^2 accumulator (45 GB requested — measured);
+    the factor form never builds an o^2v^2 operand at all (largest
+    intermediate naux*o*v)."""
+    o, v = slice(0, no), slice(no, None)
+    tau_h = _tau(t1, t2, 1.0, 0.5)
+    dP = contract("Pmf,mf->P", df.Bov, t1)
+
+    # Fae: -contract('mnaf,mnef->ae', tau_h, 2(me|nf)-(mf|ne))
+    Cam = contract("Paf,mf->Pam", df.Bvv, t1)
+    ovvv_term = (2.0 * contract("P,Pae->ae", dP, df.Bvv)
+                 - contract("Pam,Pme->ae", Cam, df.Bov))
+    Y = contract("mnaf,Pnf->Pma", tau_h, df.Bov)
+    Z = contract("mnaf,Pmf->Pna", tau_h, df.Bov)
+    Fae = (F[v, v] - 0.5 * contract("me,ma->ae", F[o, v], t1) + ovvv_term
+           - 2.0 * contract("Pma,Pme->ae", Y, df.Bov)
+           + contract("Pna,Pne->ae", Z, df.Bov))
+
+    # Fmi: +contract('inef,mnef->mi', tau_h, Loovv)
     eri_ooov = _eri_ooov(df)
     Looov = 2.0 * eri_ooov - contract("Pme,Pni->mnie", df.Bov, df.Boo)
-    Fae = build_Fae_df(F, df, Loovv, t1, t2, no)
-    Fmi = build_Fmi_df(F, Looov, Loovv, t1, t2, no)
-    Fme = build_Fme_df(F, Loovv, t1, no)
-    r1 = _r_T1_df(F, df, eri_oovv, Loovv, eri_ooov, t1, t2,
+    U = contract("inef,Pnf->Pie", tau_h, df.Bov)
+    V = contract("inef,Pne->Pif", tau_h, df.Bov)
+    Fmi = (F[o, o] + 0.5 * contract("ie,me->mi", t1, F[o, v])
+           + contract("ne,mnie->mi", t1, Looov)
+           + 2.0 * contract("Pie,Pme->mi", U, df.Bov)
+           - contract("Pif,Pmf->mi", V, df.Bov))
+
+    # Fme: +contract('nf,mnef->me', t1, Loovv)
+    S = contract("nf,Pmf->Pnm", t1, df.Bov)
+    Fme = (F[o, v] + 2.0 * contract("P,Pme->me", dP, df.Bov)
+           - contract("Pnm,Pne->me", S, df.Bov))
+
+    r1 = _r_T1_df(F, df, None, None, eri_ooov, t1, t2,
                   Fae, Fme, Fmi, no)
     return r1, Fae, Fmi, Fme
 
@@ -344,13 +371,42 @@ def _rs_seed(F, df, t1, t2, Fae, Fmi, Fme, no):
     return r2
 
 
-@partial(jax.jit, static_argnames=("no", "nblocks"), donate_argnums=(3,))
-def _rs_ladder(df, t1, t2, r2, no, nblocks):
-    """Woooo ladder (shares tau) + the dressed vvvv ladder."""
+@partial(jax.jit, static_argnames="no", donate_argnums=(3,))
+def _rs_oooo(df, t1, t2, r2, no):
+    """The Woooo ladder term (its own program: it needs the oovv assembly
+    AND tau simultaneously)."""
     eri_oovv = _eri_oovv(df)
     Wmnij = build_Wmnij_df(_eri_oooo(df), _eri_ooov(df), eri_oovv, t1, t2)
     r2 += 0.5 * contract("mnij,mnab->ijab", Wmnij, _tau(t1, t2))
-    r2 += ladder_df(df, t1, t2, nblocks=nblocks)
+    return r2
+
+
+@partial(jax.jit, static_argnames=("no", "nblocks"), donate_argnums=(3,))
+def _rs_ladder(df, t1, t2, r2, no, nblocks):
+    """The dressed vvvv ladder, a-blocked with dynamic BL slices: unlike
+    ladder_df's pre-transposed scan xs (a SECOND full (naux, v, v) copy —
+    3 GB at (48,432) naux=4019, the runtime-OOM margin), each block
+    slices the one resident BL."""
+    naux, nv = df.Bvv.shape[0], df.Bvv.shape[2]
+    tau = _tau(t1, t2)
+    BL = 0.5 * df.Bvv - contract("ma,Pme->Pae", t1, df.Bov)
+    blk = -(-nv // nblocks)
+    if nblocks * blk != nv:
+        BL = jnp.concatenate(
+            [BL, jnp.zeros((naux, nblocks * blk - nv, nv), BL.dtype)], 1)
+    tau2 = tau.reshape(no * no, nv, nv)
+    BR2 = df.Bvv.reshape(naux, nv * nv)
+
+    def body(carry, a0):
+        BLb = jax.lax.dynamic_slice(BL, (0, a0, 0), (naux, blk, nv))
+        W = jnp.matmul(BLb.reshape(naux, blk * nv).T, BR2,
+                       preferred_element_type=tau.dtype)
+        z = contract("xef,aebf->xab", tau2, W.reshape(blk, nv, nv, nv))
+        return carry, z
+
+    _, zs = jax.lax.scan(body, 0, jnp.arange(nblocks) * blk)
+    z = zs.transpose(1, 0, 2, 3).reshape(no, no, nblocks * blk, nv)
+    r2 += z[:, :, :nv, :]
     return r2
 
 
@@ -420,6 +476,8 @@ def residuals_ccsd_df_split(F, df, t1, t2, no, nblocks=None):
     r1, Fae, Fmi, Fme = _rs_r1(F, df, t1, t2, no=no)
     _jax.block_until_ready(r1)
     r2 = _rs_seed(F, df, t1, t2, Fae, Fmi, Fme, no=no)
+    _jax.block_until_ready(r2)
+    r2 = _rs_oooo(df, t1, t2, r2, no=no)
     _jax.block_until_ready(r2)
     r2 = _rs_ladder(df, t1, t2, r2, no=no, nblocks=nblocks)
     _jax.block_until_ready(r2)

@@ -263,7 +263,9 @@ class cclambda:
             else:
                 lecc = pseudoenergy(ERIa, l2n, no)
             if not use_diis:
-                return l1n, l2n, l1n, l2n, state, lecc, rms
+                # single-pair return: duplicated jit outputs get DISTINCT
+                # buffers (an extra l2-sized copy at scale)
+                return l1n, l2n, state, lecc, rms
             state = diis.push(state, (l1n, l2n), (l1, l2))
             l1e, l2e = jax.lax.cond(
                 do_extrap,
@@ -387,9 +389,15 @@ class cclambda:
                     hb, Fj, r1x, r2x, l1, l2, state, jnp.asarray(do_ext))
                 l1n, l2n = l1, l2
             else:
-                l1n, l2n, l1, l2, state, lecc_j, rms = step(
-                    hb, Fj, ERI0, La0, t1, t2, S1x, S2x, l1, l2, state,
-                    jnp.asarray(do_ext))
+                if use_diis:
+                    l1n, l2n, l1, l2, state, lecc_j, rms = step(
+                        hb, Fj, ERI0, La0, t1, t2, S1x, S2x, l1, l2, state,
+                        jnp.asarray(do_ext))
+                else:
+                    l1n, l2n, state, lecc_j, rms = step(
+                        hb, Fj, ERI0, La0, t1, t2, S1x, S2x, l1, l2, state,
+                        jnp.asarray(do_ext))
+                    l1, l2 = l1n, l2n
             lecc = float(jnp.real(lecc_j))
             rms = float(rms)
             # rebind to the fresh outputs: the donated step consumed the

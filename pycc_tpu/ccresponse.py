@@ -419,7 +419,9 @@ class ccresponse:
                 rms = jnp.sqrt(jnp.sum(jnp.abs(inc1) ** 2)
                                + jnp.sum(jnp.abs(inc2) ** 2))
                 if not use_diis:
-                    return X1n, X2n, X1n, X2n, state, rms
+                    # single-pair return: duplicated jit outputs get
+                    # DISTINCT buffers (an extra o^2v^2 copy at scale)
+                    return X1n, X2n, state, rms
                 state = diis.push(state, (X1n, X2n), (X1, X2))
                 X1e, X2e = jax.lax.cond(
                     do_extrap, lambda s: diis.extrapolate(s, (X1n, X2n)),
@@ -436,7 +438,9 @@ class ccresponse:
                 rms = jnp.sqrt(jnp.sum(jnp.abs(inc1) ** 2)
                                + jnp.sum(jnp.abs(inc2) ** 2))
                 if not use_diis:
-                    return X1n, X2n, X1n, X2n, state, rms
+                    # single-pair return: duplicated jit outputs get
+                    # DISTINCT buffers (an extra o^2v^2 copy at scale)
+                    return X1n, X2n, state, rms
                 state = diis.push(state, (X1n, X2n), (X1, X2))
                 X1e, X2e = jax.lax.cond(
                     do_extrap, lambda s: diis.extrapolate(s, (X1n, X2n)),
@@ -452,13 +456,16 @@ class ccresponse:
             pseudo_last = pseudo
             do_ext = (max_diis > 0) and (niter >= start_diis)
             if self._df:
-                X1n, X2n, X1, X2, state, rms = step(
-                    hb, self._Loovv, cc.t1, t2, Ad, X1, X2, state,
-                    jnp.asarray(do_ext))
+                out = step(hb, self._Loovv, cc.t1, t2, Ad, X1, X2, state,
+                           jnp.asarray(do_ext))
             else:
-                X1n, X2n, X1, X2, state, rms = step(hb, self._aux, L.block,
-                                                    t2, X1, X2, state,
-                                                    jnp.asarray(do_ext))
+                out = step(hb, self._aux, L.block, t2, X1, X2, state,
+                           jnp.asarray(do_ext))
+            if use_diis:
+                X1n, X2n, X1, X2, state, rms = out
+            else:
+                X1n, X2n, state, rms = out
+                X1, X2 = X1n, X2n
             pseudo = complex(self.pseudoresponse(A, X1n, X2n))
             rms = float(rms)
             # working-precision noise floor (same policy as the CC/Lambda
@@ -551,7 +558,9 @@ class ccresponse:
                 rms = jnp.sqrt(jnp.sum(jnp.abs(inc1) ** 2)
                                + jnp.sum(jnp.abs(inc2) ** 2))
                 if not use_diis:
-                    return Y1n, Y2n, Y1n, Y2n, state, rms
+                    # single-pair return: duplicated jit outputs get
+                    # DISTINCT buffers (an extra o^2v^2 copy at scale)
+                    return Y1n, Y2n, state, rms
                 state = diis.push(state, (Y1n, Y2n), (Y1, Y2))
                 Y1e, Y2e = jax.lax.cond(
                     do_extrap, lambda s: diis.extrapolate(s, (Y1n, Y2n)),
@@ -569,7 +578,9 @@ class ccresponse:
                 rms = jnp.sqrt(jnp.sum(jnp.abs(inc1) ** 2)
                                + jnp.sum(jnp.abs(inc2) ** 2))
                 if not use_diis:
-                    return Y1n, Y2n, Y1n, Y2n, state, rms
+                    # single-pair return: duplicated jit outputs get
+                    # DISTINCT buffers (an extra o^2v^2 copy at scale)
+                    return Y1n, Y2n, state, rms
                 state = diis.push(state, (Y1n, Y2n), (Y1, Y2))
                 Y1e, Y2e = jax.lax.cond(
                     do_extrap, lambda s: diis.extrapolate(s, (Y1n, Y2n)),
@@ -585,14 +596,16 @@ class ccresponse:
             pseudo_last = pseudo
             do_ext = (max_diis > 0) and (niter >= start_diis)
             if self._df:
-                Y1n, Y2n, Y1, Y2, state, rms = step(
-                    hb, self._Loovv, cc.t1, t2, imY1, imY2, Y1, Y2, state,
-                    jnp.asarray(do_ext))
+                out = step(hb, self._Loovv, cc.t1, t2, imY1, imY2, Y1, Y2,
+                           state, jnp.asarray(do_ext))
             else:
-                Y1n, Y2n, Y1, Y2, state, rms = step(hb, self._aux, L.block,
-                                                    t2, imY1, imY2, Y1, Y2,
-                                                    state,
-                                                    jnp.asarray(do_ext))
+                out = step(hb, self._aux, L.block, t2, imY1, imY2, Y1, Y2,
+                           state, jnp.asarray(do_ext))
+            if use_diis:
+                Y1n, Y2n, Y1, Y2, state, rms = out
+            else:
+                Y1n, Y2n, state, rms = out
+                Y1, Y2 = Y1n, Y2n
             pseudo = complex(self.pseudoresponse(A, Y1n, Y2n))
             rms = float(rms)
             # noise-floor stall detection — see solve_right

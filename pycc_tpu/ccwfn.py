@@ -558,7 +558,10 @@ class ccwfn:
                 ecc = (ecc + 2.0 * contract("ijab,ijab->", tau, e)
                        - contract("ijab,ijba->", tau, e))
                 if not use_diis:
-                    return t1n, t2n, t1n, t2n, state, ecc, rms
+                    # return the pair ONCE: duplicated jit outputs get
+                    # DISTINCT buffers (an extra t2-sized copy at scale -
+                    # the measured w12 iteration-2 runtime OOM)
+                    return t1n, t2n, state, ecc, rms
                 state = diis.push(state, (t1n, t2n), (t1, t2))
                 t1e, t2e = jax.lax.cond(
                     do_extrap,
@@ -583,7 +586,10 @@ class ccwfn:
                                + jnp.sum(jnp.abs(inc2) ** 2))
                 ecc = energy_fn(F, LoovvOnly(Loovv, no), t1n, t2n, no)
                 if not use_diis:
-                    return t1n, t2n, t1n, t2n, state, ecc, rms
+                    # return the pair ONCE: duplicated jit outputs get
+                    # DISTINCT buffers (an extra t2-sized copy at scale -
+                    # the measured w12 iteration-2 runtime OOM)
+                    return t1n, t2n, state, ecc, rms
                 state = diis.push(state, (t1n, t2n), (t1, t2))
                 t1e, t2e = jax.lax.cond(
                     do_extrap,
@@ -646,7 +652,10 @@ class ccwfn:
                                + jnp.sum(jnp.abs(inc2) ** 2))
                 ecc = energy_fn(F, L, t1n, t2n, no)
                 if not use_diis:
-                    return t1n, t2n, t1n, t2n, state, ecc, rms
+                    # return the pair ONCE: duplicated jit outputs get
+                    # DISTINCT buffers (an extra t2-sized copy at scale -
+                    # the measured w12 iteration-2 runtime OOM)
+                    return t1n, t2n, state, ecc, rms
                 state = diis.push(state, (t1n, t2n), (t1, t2))
                 t1e, t2e = jax.lax.cond(
                     do_extrap,
@@ -689,7 +698,7 @@ class ccwfn:
                            + jnp.sum(jnp.abs(inc2) ** 2))
             ecc = energy_fn(F, L, t1n, t2n, no)
             if not use_diis:
-                return t1n, t2n, t1n, t2n, state, ecc, rms
+                return t1n, t2n, state, ecc, rms
             # DIIS error = the Jacobi increment (new - the amplitudes this
             # iteration actually started from, i.e. post-extrapolation).
             state = diis.push(state, (t1n, t2n), (t1, t2))
@@ -722,8 +731,15 @@ class ccwfn:
                 bf16_active = False
             if bf16_active:
                 prev = (rms, t1, t2, state)
-                t1n, t2n, t1, t2, state, ecc_j, rms = step16(
-                    H.F, H16, Loovv32, t1, t2, state, jnp.asarray(do_ext))
+                if use_diis:
+                    t1n, t2n, t1, t2, state, ecc_j, rms = step16(
+                        H.F, H16, Loovv32, t1, t2, state,
+                        jnp.asarray(do_ext))
+                else:
+                    t1n, t2n, state, ecc_j, rms = step16(
+                        H.F, H16, Loovv32, t1, t2, state,
+                        jnp.asarray(do_ext))
+                    t1, t2 = t1n, t2n
                 rms = float(rms)
                 # bf16 noise floor: once the residual stops improving (or
                 # goes non-finite), DIIS would be extrapolating on noise
@@ -740,24 +756,48 @@ class ccwfn:
                 if df_mode:
                     r1, r2 = host_res(Fj, None, None, t1, t2, no,
                                       dfb=self.dfb)
-                    t1n, t2n, t1, t2, state, ecc_j, rms = apply_update_df(
-                        Fj, self.dfb, t1, t2, r1, r2, state,
-                        jnp.asarray(do_ext))
+                    if use_diis:
+                        (t1n, t2n, t1, t2, state, ecc_j,
+                         rms) = apply_update_df(Fj, self.dfb, t1, t2, r1,
+                                                r2, state,
+                                                jnp.asarray(do_ext))
+                    else:
+                        t1n, t2n, state, ecc_j, rms = apply_update_df(
+                            Fj, self.dfb, t1, t2, r1, r2, state,
+                            jnp.asarray(do_ext))
+                        t1, t2 = t1n, t2n
                 elif blocked:
                     r1, r2 = host_res(Fj, None, None, t1, t2, no,
                                       blocks=self.blocks)
-                    t1n, t2n, t1, t2, state, ecc_j, rms = apply_update(
-                        Fj, Loovv_f, Dia, Dijab, t1, t2, r1, r2, state,
-                        jnp.asarray(do_ext))
+                    if use_diis:
+                        t1n, t2n, t1, t2, state, ecc_j, rms = apply_update(
+                            Fj, Loovv_f, Dia, Dijab, t1, t2, r1, r2, state,
+                            jnp.asarray(do_ext))
+                    else:
+                        t1n, t2n, state, ecc_j, rms = apply_update(
+                            Fj, Loovv_f, Dia, Dijab, t1, t2, r1, r2, state,
+                            jnp.asarray(do_ext))
+                        t1, t2 = t1n, t2n
                 else:
                     r1, r2 = host_res(Fj, H.ERI, H.L, t1, t2, no)
-                    t1n, t2n, t1, t2, state, ecc_j, rms = apply_update(
-                        Fj, Loovv_f, Dia, Dijab, t1, t2, r1, r2, state,
-                        jnp.asarray(do_ext))
+                    if use_diis:
+                        t1n, t2n, t1, t2, state, ecc_j, rms = apply_update(
+                            Fj, Loovv_f, Dia, Dijab, t1, t2, r1, r2, state,
+                            jnp.asarray(do_ext))
+                    else:
+                        t1n, t2n, state, ecc_j, rms = apply_update(
+                            Fj, Loovv_f, Dia, Dijab, t1, t2, r1, r2, state,
+                            jnp.asarray(do_ext))
+                        t1, t2 = t1n, t2n
             elif not bf16_active:
                 ERIa, La = self._solver_H()
-                t1n, t2n, t1, t2, state, ecc_j, rms = step(
-                    H.F, ERIa, La, t1, t2, state, jnp.asarray(do_ext))
+                if use_diis:
+                    t1n, t2n, t1, t2, state, ecc_j, rms = step(
+                        H.F, ERIa, La, t1, t2, state, jnp.asarray(do_ext))
+                else:
+                    t1n, t2n, state, ecc_j, rms = step(
+                        H.F, ERIa, La, t1, t2, state, jnp.asarray(do_ext))
+                    t1, t2 = t1n, t2n
             ecc = float(jnp.real(ecc_j))
             rms = float(rms)
             self.t1, self.t2 = t1n, t2n

@@ -725,6 +725,85 @@ def _l3_slab_ij(i, j, L4, l1, l2, Fov, Wvovv, Wooov, eps_o, eps_v):
     return l3 / denom
 
 
+def _l3_slab_ij_chunk(i, j, k0, kc, L4, l1, l2, Fov, Wvovv, Wooov,
+                      eps_o, eps_v):
+    """_l3_slab_ij restricted to a k-window: every k-carrying operand is
+    dynamic-sliced, every term otherwise verbatim.  Peak slab memory
+    kc*v^3 instead of no*v^3 (the full slab's ~6 simultaneous permutation
+    temps compile-OOM the Lambda-CC3 l3 row at uracil/aug-cc-pVDZ)."""
+    import jax
+
+    from ..triples import _dslice
+    nv = eps_v.shape[0]
+    Lo = L4
+    Loi = Lo[i]
+    LoTi = Lo[:, i]
+    l2i = l2[i]
+    l2Ti = l2[:, i]
+    sl = lambda x: _dslice(x, k0, kc)
+    l1k, Fovk = sl(l1), sl(Fov)
+    Loik, LoTik = sl(Loi), sl(LoTi)
+    Lojk, LoTjk = sl(Lo[j]), sl(Lo[:, j])
+    l2k = sl(l2)
+    l2ik, l2Tik = sl(l2i), sl(l2Ti)
+    l2jk, l2Tjk = sl(l2[j]), sl(l2[:, j])
+
+    l3 = contract("ab,kc->kabc", Loi[j], l1k) - contract("ac,kb->kabc", Loi[j], l1k)
+    l3 += contract("kac,b->kabc", Loik, l1[j]) - contract("kab,c->kabc", Loik, l1[j])
+    l3 += contract("ba,kc->kabc", LoTi[j], l1k) - contract("bc,ka->kabc", LoTi[j], l1k)
+    l3 += contract("kca,b->kabc", LoTik, l1[j]) - contract("kcb,a->kabc", LoTik, l1[j])
+    l3 += contract("kbc,a->kabc", Lojk, l1[i]) - contract("kba,c->kabc", Lojk, l1[i])
+    l3 += contract("kcb,a->kabc", LoTjk, l1[i]) - contract("kca,b->kabc", LoTjk, l1[i])
+
+    l3 += contract("a,kbc->kabc", Fov[i], l2jk) - contract("b,kac->kabc", Fov[i], l2jk)
+    l3 += contract("a,kcb->kabc", Fov[i], l2Tjk) - contract("c,kab->kabc", Fov[i], l2Tjk)
+    l3 += contract("b,kac->kabc", Fov[j], l2ik) - contract("a,kbc->kabc", Fov[j], l2ik)
+    l3 += contract("kc,ab->kabc", Fovk, l2i[j]) - contract("ka,cb->kabc", Fovk, l2i[j])
+    l3 += contract("b,kca->kabc", Fov[j], l2Tik) - contract("c,kba->kabc", Fov[j], l2Tik)
+    l3 += contract("kc,ba->kabc", Fovk, l2Ti[j]) - contract("kb,ca->kabc", Fovk, l2Ti[j])
+
+    tW = 2.0 * Wvovv - Wvovv.swapaxes(2, 3)
+    tWk = jax.lax.dynamic_slice(tW, (0, k0, 0, 0),
+                                (nv, kc, nv, nv))
+    Wvk = jax.lax.dynamic_slice(Wvovv, (0, k0, 0, 0),
+                                (nv, kc, nv, nv))
+    l3 += contract("eab,kce->kabc", tW[:, j], l2Tik)
+    l3 += contract("ekac,be->kabc", tWk, l2Ti[j])
+    l3 += contract("eba,kce->kabc", tW[:, i], l2Tjk)
+    l3 += contract("eca,kbe->kabc", tW[:, i], l2jk)
+    l3 += contract("ekbc,ae->kabc", tWk, l2i[j])
+    l3 += contract("ecb,kae->kabc", tW[:, j], l2ik)
+
+    l3 -= contract("ebc,kea->kabc", Wvovv[:, i], l2jk)
+    l3 -= contract("ecb,kea->kabc", Wvovv[:, i], l2Tjk)
+    l3 -= contract("ekba,ec->kabc", Wvk, l2Ti[j])
+    l3 -= contract("eac,keb->kabc", Wvovv[:, j], l2ik)
+    l3 -= contract("eca,keb->kabc", Wvovv[:, j], l2Tik)
+    l3 -= contract("ekab,ec->kabc", Wvk, l2i[j])
+
+    tW2 = 2.0 * Wooov - Wooov.swapaxes(0, 1)
+    l3 -= contract("ma,kmcb->kabc", tW2[j, i], l2k)
+    l3 -= contract("kma,mbc->kabc", sl(tW2[:, i]), l2[j])
+    l3 -= contract("mb,kmca->kabc", tW2[i, j], l2k)
+    l3 -= contract("kmc,mba->kabc", sl(tW2[i]), l2[j])
+    l3 -= contract("kmb,mac->kabc", sl(tW2[:, j]), l2i)
+    l3 -= contract("kmc,mab->kabc", sl(tW2[j]), l2i)
+
+    l3 += contract("mc,kmba->kabc", Wooov[i, j], l2k)
+    l3 += contract("kmb,mca->kabc", sl(Wooov[i]), l2[j])
+    l3 += contract("kma,mbc->kabc", sl(Wooov[:, j]), l2i)
+    l3 += contract("mc,kmab->kabc", Wooov[j, i], l2k)
+    l3 += contract("kma,mcb->kabc", sl(Wooov[j]), l2i)
+    l3 += contract("kmb,mac->kabc", sl(Wooov[:, i]), l2[j])
+
+    eo = jax.lax.dynamic_slice(eps_o, (k0,), (kc,))
+    denom = (eps_o[i] + eps_o[j] + eo[:, None, None, None]
+             - eps_v[None, :, None, None]
+             - eps_v[None, None, :, None]
+             - eps_v[None, None, None, :])
+    return l3 / denom
+
+
 def _cc3_t3_slab(i, F, Wabei_o, Wmbij_t, t2, eps_o, eps_v, real_time,
                  F_ref, no):
     """Takes the occupied-major layouts from triples.slab_layouts."""
@@ -925,6 +1004,66 @@ def _cc3_lambda_row_l3(k, carry, t2, l1, l2, Fov, Wamef, Wmnie, Wabei_o,
     return jax.lax.fori_loop(0, no, body, carry)
 
 
+@partial(jax.jit, static_argnames=("no", "kc"))
+def _cc3_lambda_row_l3_chunked(k, carry, t2, l1, l2, Fov, Wamef, Wmnie,
+                               Wabei_o, Wmbij_t, eps, Lo, no, kc):
+    """_cc3_lambda_row_l3 with the slab's free occupied index windowed
+    into kc-chunks (see _l3_slab_ij_chunk): identical accumulations with
+    peak slab memory kc*v^3."""
+    from ..triples import _dslice
+    eps_o, eps_v = eps[:no], eps[no:]
+    nv = eps_v.shape[0]
+    k0s = jnp.arange(0, no, kc)
+
+    def body(i, carry):
+        (Zbide, Zblad1, Zblad2, Zjlma, Zjlid1, Zjlid2, Y2) = carry
+        tk = t2[:, k]
+
+        def chunk(cr, k0):
+            (zbde, zbad1, zbad2, zpja, zpjd1, zpjd2, yjab, ylab) = cr
+            s = _l3_slab_ij_chunk(k, i, k0, kc, Lo, l1, l2, Fov, Wamef,
+                                  Wmnie, eps_o, eps_v)
+            tkw = _dslice(tk, k0, kc)
+            zbde = zbde + contract("jbc,jcde->bde", tkw, s)
+            zbad1 = zbad1 + contract("jbc,jcad->bad", tkw, s)
+            zbad2 = zbad2 + contract("jbc,jcda->bad", tkw, s)
+
+            def wadd(buf, c):
+                return jax.lax.dynamic_update_slice(
+                    buf, jax.lax.dynamic_slice(
+                        buf, (0, k0, 0), (buf.shape[0], kc, buf.shape[2]))
+                    + c, (0, k0, 0))
+
+            zpja = wadd(zpja, contract("pbc,jcab->pja", tk, s))
+            zpjd1 = wadd(zpjd1, contract("pbc,jcbd->pjd", tk, s))
+            zpjd2 = wadd(zpjd2, contract("pbc,jcdb->pjd", tk, s))
+            yjab = jax.lax.dynamic_update_slice(
+                yjab, jax.lax.dynamic_slice(yjab, (k0, 0, 0), (kc, nv, nv))
+                + contract("jdeb,eda->jab", s, Wabei_o[k]), (k0, 0, 0))
+            ylab = ylab + contract("jdab,jld->lab", s,
+                                   _dslice(Wmbij_t[:, k], k0, kc))
+            return (zbde, zbad1, zbad2, zpja, zpjd1, zpjd2,
+                    yjab, ylab), 0.0
+
+        D = t2.dtype
+        z0 = (jnp.zeros((nv, nv, nv), D), jnp.zeros((nv, nv, nv), D),
+              jnp.zeros((nv, nv, nv), D), jnp.zeros((no, no, nv), D),
+              jnp.zeros((no, no, nv), D), jnp.zeros((no, no, nv), D),
+              jnp.zeros((no, nv, nv), D), jnp.zeros((no, nv, nv), D))
+        (zbde, zbad1, zbad2, zpja, zpjd1, zpjd2,
+         yjab, ylab), _ = jax.lax.scan(chunk, z0, k0s)
+        Zbide = Zbide.at[:, i].add(zbde)
+        Zblad1 = Zblad1.at[:, i].add(zbad1)
+        Zblad2 = Zblad2.at[:, i].add(zbad2)
+        Zjlma = Zjlma.at[:, i].add(zpja)
+        Zjlid1 = Zjlid1.at[:, i].add(zpjd1)
+        Zjlid2 = Zjlid2.at[:, i].add(zpjd2)
+        Y2 = Y2.at[i].add(yjab - ylab)
+        return (Zbide, Zblad1, Zblad2, Zjlma, Zjlid1, Zjlid2, Y2)
+
+    return jax.lax.fori_loop(0, no, body, carry)
+
+
 def cc3_lambda_extra_rows(F, ERI, L, t1, t2, l1, l2, no, real_time=False,
                           F_ref=None, blocks=None, dfb=None):
     """Host-orchestrated Lambda-CC3 extras: one short jitted device program
@@ -991,10 +1130,16 @@ def cc3_lambda_extra_rows(F, ERI, L, t1, t2, l1, l2, no, real_time=False,
              _zeros((nv, no, nv, nv)), _zeros((no, no, no, nv)),
              _zeros((no, no, no, nv)), _zeros((no, no, no, nv)),
              _zeros((no, no, nv, nv)))
-    for k in range(no):
-        carry = _cc3_lambda_row_l3(jnp.asarray(k), carry, t2, l1, l2, Fov,
-                                   Wamef, Wmnie, Wabei_o, Wmbij_t, eps, Lo,
-                                   no=no)
+    if chunked:
+        for k in range(no):
+            carry = _cc3_lambda_row_l3_chunked(
+                jnp.asarray(k), carry, t2, l1, l2, Fov, Wamef, Wmnie,
+                Wabei_o, Wmbij_t, eps, Lo, no=no, kc=kc)
+    else:
+        for k in range(no):
+            carry = _cc3_lambda_row_l3(jnp.asarray(k), carry, t2, l1, l2,
+                                       Fov, Wamef, Wmnie, Wabei_o, Wmbij_t,
+                                       eps, Lo, no=no)
     Zbide, Zblad1, Zblad2, Zjlma, Zjlid1, Zjlid2, Y2 = carry
 
     if dfb is not None:

@@ -250,3 +250,34 @@ def test_cc3_lambda_t3_row_chunked_equals_unchunked(setup):
                 Eo, vov, no=no, real_time=rt, kc=2)
         for x, y in zip(ca, cb):
             assert _close(x, y, 1e-12), rt
+
+
+def test_cc3_lambda_l3_row_chunked_equals_unchunked(setup):
+    """The j-chunked l3-side Lambda-CC3 row (the unchunked slab's ~6
+    simultaneous permutation temps compile-OOM at uracil/aug-cc-pVDZ)."""
+    import jax
+
+    wfn, F, rec, L, df, t1, t2, no = setup
+    rng = np.random.default_rng(29)
+    nv = t2.shape[-1]
+    l1 = jnp.asarray(0.05 * rng.standard_normal((no, nv)))
+    l2 = jnp.asarray(0.05 * rng.standard_normal((no, no, nv, nv)))
+    prep = jax.jit(cc3q.cc3_lambda_prep_df,
+                   static_argnames=("no", "real_time"))
+    (Fov, Wmnij, Wmnie, Wamef, Wabei_o, Wmbij_t, _, _, _,
+     eps, Lo, Eo, Vov) = prep(F, df, t1, t2, no=no, real_time=False,
+                              F_ref=F)
+    z = lambda sh: jnp.zeros(sh, t2.dtype)
+    ca = (z((nv, no, nv, nv)), z((nv, no, nv, nv)), z((nv, no, nv, nv)),
+          z((no, no, no, nv)), z((no, no, no, nv)), z((no, no, no, nv)),
+          z((no, no, nv, nv)))
+    cb = tuple(ca)
+    for k in range(no):
+        ca = cc3q._cc3_lambda_row_l3(jnp.asarray(k), ca, t2, l1, l2, Fov,
+                                     Wamef, Wmnie, Wabei_o, Wmbij_t, eps,
+                                     Lo, no=no)
+        cb = cc3q._cc3_lambda_row_l3_chunked(
+            jnp.asarray(k), cb, t2, l1, l2, Fov, Wamef, Wmnie, Wabei_o,
+            Wmbij_t, eps, Lo, no=no, kc=2)
+    for x, y in zip(ca, cb):
+        assert _close(x, y, 1e-12)

@@ -436,25 +436,36 @@ def _rs_ring_ej_b(df, t1, t2, W, r2):
     return r2
 
 
-@partial(jax.jit, donate_argnums=(3,))
-def _rs_ring_je(df, t1, t2, r2):
-    """Wmbje ring terms + the t1^2 ovov term.  The quadratic W term reads
-    the oovv assembly in its (mnfe) layout, so assemble it THAT way once
-    instead of assembling (mnef) and paying a transposed copy."""
-    e2 = contract("Pmf,Pne->mnfe", df.Bov, df.Bov)
-    eri_ovov = _eri_ovov(df)
-    eri_ooov = _eri_ooov(df)
+@partial(jax.jit, donate_argnums=(2,))
+def _rs_ring_je_a(df, t1, r2):
+    """Integral + t1-rank-1 part of Wmbje as ONE folded assembly (the Boo
+    factor absorbs the Dmj dressing), plus the t1^2 ovov r2 term (it
+    shares the ovov assembly)."""
     Dmj = contract("Pmf,jf->Pmj", df.Bov, t1)
-    W = (-eri_ovov
-         - contract("Pmj,Pbe->mbje", Dmj, df.Bvv)
-         + contract("nb,mnje->mbje", t1, eri_ooov)
-         + contract("jnfb,mnfe->mbje", _tau(t1, t2, 0.5, 1.0), e2))
-    # W.swapaxes(2,3) enters as a relabeled read - no explicit copy
-    r2 += contract("imae,mbje->ijab", t2, W)
-    r2 += contract("mjae,mbie->ijab", t2, W)
+    eri_ovov = _eri_ovov(df)
+    W = -eri_ovov - contract("Pmj,Pbe->mbje", Dmj, df.Bvv)
+    W += contract("nb,mnje->mbje", t1, _eri_ooov(df))
     # -contract('imeb,maje->ijab', t1 x t1, <ma|je>): sum e first (o^3 v)
     Z = contract("ie,maje->maji", t1, eri_ovov)
     r2 -= contract("maji,mb->ijab", Z, t1)
+    return W, r2
+
+
+@partial(jax.jit, donate_argnums=(3,))
+def _rs_ring_je_b(df, t1, t2, W):
+    """Quadratic part of Wmbje.  The term reads the oovv assembly in its
+    (mnfe) layout, so assemble it THAT way (no transposed copy)."""
+    e2 = contract("Pmf,Pne->mnfe", df.Bov, df.Bov)
+    W += contract("jnfb,mnfe->mbje", _tau(t1, t2, 0.5, 1.0), e2)
+    return W
+
+
+@partial(jax.jit, donate_argnums=(1, 2))
+def _rs_ring_je_c(t2, W, r2):
+    """Consume Wmbje: both ring dots (the swapped read enters as a
+    relabeled contraction - no explicit copy)."""
+    r2 += contract("imae,mbje->ijab", t2, W)
+    r2 += contract("mjae,mbie->ijab", t2, W)
     return r2
 
 
@@ -485,7 +496,11 @@ def residuals_ccsd_df_split(F, df, t1, t2, no, nblocks=None):
     _jax.block_until_ready(W)
     r2 = _rs_ring_ej_b(df, t1, t2, W, r2)
     _jax.block_until_ready(r2)
-    r2 = _rs_ring_je(df, t1, t2, r2)
+    W, r2 = _rs_ring_je_a(df, t1, r2)
+    _jax.block_until_ready(W)
+    W = _rs_ring_je_b(df, t1, t2, W)
+    _jax.block_until_ready(W)
+    r2 = _rs_ring_je_c(t2, W, r2)
     _jax.block_until_ready(r2)
     return r1, _rs_sym(r2)
 

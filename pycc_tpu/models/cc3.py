@@ -551,10 +551,13 @@ def residuals_cc3_rows(F, ERI, L, t1, t2, no, real_time=False, F_ref=None,
     from ..ops.ctensor import CTensor
     if _cc3_row_xs_jit is None:
         _cc3_row_xs_jit = jax.jit(
-            _cc3_row_xs, static_argnames=("no", "real_time"))
+            _cc3_row_xs, static_argnames=("no", "real_time"),
+            donate_argnums=(1,))
     if _cc3_row_xs_chunked_jit is None:
         _cc3_row_xs_chunked_jit = jax.jit(
-            _cc3_row_xs_chunked, static_argnames=("no", "real_time", "kc"))
+            _cc3_row_xs_chunked,
+            static_argnames=("no", "real_time", "kc"),
+            donate_argnums=(1,))
     # past ~2^27 elements of no*v^3 slab the unchunked row's simultaneous
     # slab temps compile-OOM (same wall as triples.t_vikings_scan); the
     # CTensor (RT re/im) path keeps the unchunked row — dynamic_slice
@@ -904,7 +907,7 @@ def cc3_lambda_prep(F, ERI, L, t1, t2, no, real_time=False, F_ref=None):
             Wvvvv, eps, L[o, o, v, v], ERI[o, o, v, v], Vov)
 
 
-@partial(jax.jit, static_argnames=("no", "real_time"))
+@partial(jax.jit, static_argnames=("no", "real_time"), donate_argnums=(1,))
 def _cc3_lambda_row_t3(l, carry, Wabei_o, Wmbij_t, t2, l2, eps, Lo, Eo,
                        Vov, no, real_time):
     """t3-side Z accumulations for one leading index l (fori over m)."""
@@ -925,7 +928,7 @@ def _cc3_lambda_row_t3(l, carry, Wabei_o, Wmbij_t, t2, l2, eps, Lo, Eo,
     return jax.lax.fori_loop(0, no, body, carry)
 
 
-@partial(jax.jit, static_argnames=("no", "real_time", "kc"))
+@partial(jax.jit, static_argnames=("no", "real_time", "kc"), donate_argnums=(1,))
 def _cc3_lambda_row_t3_chunked(l, carry, Wabei_o, Wmbij_t, t2, l2, eps,
                                Lo, Eo, Vov, no, real_time, kc):
     """_cc3_lambda_row_t3 with the slab's free occupied index n windowed
@@ -980,7 +983,7 @@ def _cc3_lambda_row_t3_chunked(l, carry, Wabei_o, Wmbij_t, t2, l2, eps,
     return jax.lax.fori_loop(0, no, body, carry)
 
 
-@partial(jax.jit, static_argnames="no")
+@partial(jax.jit, static_argnames="no", donate_argnums=(1,))
 def _cc3_lambda_row_l3(k, carry, t2, l1, l2, Fov, Wamef, Wmnie, Wabei_o,
                        Wmbij_t, eps, Lo, no):
     """l3-side Z/Y2 accumulations for one leading index k (fori over i)."""
@@ -1004,7 +1007,7 @@ def _cc3_lambda_row_l3(k, carry, t2, l1, l2, Fov, Wamef, Wmnie, Wabei_o,
     return jax.lax.fori_loop(0, no, body, carry)
 
 
-@partial(jax.jit, static_argnames=("no", "kc"))
+@partial(jax.jit, static_argnames=("no", "kc"), donate_argnums=(1,))
 def _cc3_lambda_row_l3_chunked(k, carry, t2, l1, l2, Fov, Wamef, Wmnie,
                                Wabei_o, Wmbij_t, eps, Lo, no, kc):
     """_cc3_lambda_row_l3 with the slab's free occupied index windowed
@@ -1305,7 +1308,7 @@ def cc3_lambda_extra_scan_df(F, dfb, t1, t2, l1, l2, no, real_time=False,
     return Y1, Y2 + Y2.transpose(1, 0, 3, 2)
 
 
-@partial(jax.jit, static_argnames=("no", "real_time"))
+@partial(jax.jit, static_argnames=("no", "real_time"), donate_argnums=(1,))
 def _cc3_onepdm_row(i, carry, Wabei_o, Wmbij_t, t2, l1, l2, Fov, Wamef,
                     Wmnie, eps, Lo, Vov, no, real_time):
     """One leading-index row of the CC3 one-pdm triples corrections."""

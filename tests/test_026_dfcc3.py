@@ -268,10 +268,12 @@ def test_cc3_lambda_l3_row_chunked_equals_unchunked(setup):
      eps, Lo, Eo, Vov) = prep(F, df, t1, t2, no=no, real_time=False,
                               F_ref=F)
     z = lambda sh: jnp.zeros(sh, t2.dtype)
-    ca = (z((nv, no, nv, nv)), z((nv, no, nv, nv)), z((nv, no, nv, nv)),
-          z((no, no, no, nv)), z((no, no, no, nv)), z((no, no, no, nv)),
-          z((no, no, nv, nv)))
-    cb = tuple(ca)
+    shapes = ((nv, no, nv, nv), (nv, no, nv, nv), (nv, no, nv, nv),
+              (no, no, no, nv), (no, no, no, nv), (no, no, no, nv),
+              (no, no, nv, nv))
+    # independent buffers: the row programs DONATE the carry
+    ca = tuple(z(sh) for sh in shapes)
+    cb = tuple(z(sh) for sh in shapes)
     for k in range(no):
         ca = cc3q._cc3_lambda_row_l3(jnp.asarray(k), ca, t2, l1, l2, Fov,
                                      Wamef, Wmnie, Wabei_o, Wmbij_t, eps,

@@ -1,16 +1,19 @@
-"""Real-time CC RHS at the north-star scale, from DF factors, on the TPU.
+"""Real-time CC RHS at scale, from DF factors, on the TPU.
 
 Round 3 gave rtcc a storage='df' mode (RHS, field-dressed DF-HBAR Lambda
 residuals, observables) and the re/im-split CTensor path that the
-complex-free axon runtime requires.  This script captures the wall-clock
-of one RHS evaluation at (o, v) = (32, 512), naux = 1632 — a 544-bf
-system whose dense ERI (~1.4 TB) the reference's RT driver cannot even
-hold (/root/reference/pycc/rt/rtcc.py consumes the dense MO ERI via
+complex-free axon runtime requires.  The FUSED ri-split RHS compile-OOMs
+at (32,256) naux=1024 (26 GB requested — T residual + rebuilt Lambda
+HBAR in one program); the host-split RHS (rtcc rhs_split=True, auto past
+100 MB of o^2v^2) sequences ~14 short programs instead.  This script
+captures the wall-clock of one split RHS evaluation at sizes whose dense
+ERI the reference's RT driver cannot even hold
+(/root/reference/pycc/rt/rtcc.py consumes the dense MO ERI via
 hamiltonian.py:36-39).  Synthetic spectrally-sane factors (bench.py
 measurement rules); the timed loop ends in a finite-checked fetch.
 
-Usage: python examples/rt_df_at_scale.py [--no 32] [--nv 512]
-       [--naux 1632] [--evals 5]
+Usage: python examples/rt_df_at_scale.py [--no 32] [--nv 256]
+       [--naux 1024] [--evals 3]
 """
 
 import argparse
@@ -24,9 +27,12 @@ import time
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--no", type=int, default=32)
-    ap.add_argument("--nv", type=int, default=512)
-    ap.add_argument("--naux", type=int, default=1632)
-    ap.add_argument("--evals", type=int, default=5)
+    ap.add_argument("--nv", type=int, default=256)
+    ap.add_argument("--naux", type=int, default=1024)
+    ap.add_argument("--evals", type=int, default=3)
+    ap.add_argument("--fused", action="store_true",
+                    help="force the one-program RHS (compile-OOMs at the "
+                         "default size; the HBM-wall probe)")
     ap.add_argument("--cc-iters", type=int, default=2)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke tests; the env var "
@@ -87,35 +93,38 @@ def main():
     # 17 GB o v^3 temp at this size (measured OOM in build_Doovv)
     dens = ccdensity(cc, lam, onlyone=True)
     V = gaussian_laser(0.05, 0.0, 0.01, center=0.05)
-    rt = rtcc(cc, lam, dens, V, ri_split=True)
+    rt = rtcc(cc, lam, dens, V, ri_split=True,
+              rhs_split=False if args.fused else None)
+    mode = "fused" if args.fused else ("split" if rt.df_split else "fused")
 
     # complex packing happens on the HOST (the axon runtime has no
-    # complex ops); the device sees only the (2, len) re/im stack
+    # complex ops); rt.f unpacks to the (re, im) CTensor pair per program
     y0 = rt.collect_amps(cc.t1, cc.t2, lam.l1, lam.l2,
                          np.zeros((), "complex64"))
     y = np.asarray(y0)
-    yri = jnp.stack([jnp.asarray(y.real), jnp.asarray(y.imag)])
 
-    print("compiling the ri-split RHS...")
+    print("compiling the %s ri-split RHS..." % mode)
     sys.stdout.flush()
     t0 = time.time()
-    out = rt._f_ri_jit(jnp.asarray(0.02), yri, *rt._H_args)
-    jax.block_until_ready(out)
+    out = rt.f(0.02, y)
     t_compile = time.time() - t0
+    probe0 = complex(out[0])
+    assert np.isfinite(probe0.real), "RHS produced non-finite output"
     print("first eval (compile+run): %.1f s" % t_compile)
     sys.stdout.flush()
 
     t0 = time.time()
     for k in range(args.evals):
-        out = rt._f_ri_jit(jnp.asarray(0.02 + 0.001 * k), yri, *rt._H_args)
-    # async dispatch: a failed execution returns instantly from
-    # block_until_ready — end with a finite-checked element fetch
-    probe = float(np.asarray(out[0, 0]))
+        out = rt.f(0.02 + 0.001 * k, y)
+    # rt.f host-syncs every program and returns host data, so the loop
+    # timing is honest; still end with a finite check
+    probe = complex(out[0])
     dt = (time.time() - t0) / args.evals
-    assert np.isfinite(probe), "RHS produced non-finite output"
+    assert np.isfinite(probe.real), "RHS produced non-finite output"
 
     print(json.dumps({
-        "config": "(%d,%d) naux=%d SP df ri_split RHS" % (no, nv, naux),
+        "config": "(%d,%d) naux=%d SP df ri_split %s RHS"
+                  % (no, nv, naux, mode),
         "rhs_s_per_eval": round(dt, 3),
         "first_eval_s": round(t_compile, 1),
         "finite": True,

@@ -386,21 +386,38 @@ def _rs_ladder(df, t1, t2, r2, no, nblocks):
     """The dressed vvvv ladder, a-blocked with dynamic BL slices: unlike
     ladder_df's pre-transposed scan xs (a SECOND full (naux, v, v) copy —
     3 GB at (48,432) naux=4019, the runtime-OOM margin), each block
-    slices the one resident BL."""
+    slices the one resident BL.
+
+    Representation-uniform: CTensor amplitudes (the RT re/im split)
+    dress BL complex; the slice/pad/matmul apply componentwise via
+    ct_dot and the _ct helpers, so the split residual doubles as the
+    at-scale RT T-side (rt/rtcc.py _f_host_df)."""
+    from ..ops.ctensor import CTensor, ct_dot
+
     naux, nv = df.Bvv.shape[0], df.Bvv.shape[2]
     tau = _tau(t1, t2)
     BL = 0.5 * df.Bvv - contract("ma,Pme->Pae", t1, df.Bov)
     blk = -(-nv // nblocks)
     if nblocks * blk != nv:
-        BL = jnp.concatenate(
-            [BL, jnp.zeros((naux, nblocks * blk - nv, nv), BL.dtype)], 1)
+        pad = jnp.zeros((naux, nblocks * blk - nv, nv), df.Bvv.dtype)
+        if isinstance(BL, CTensor):
+            BL = CTensor(jnp.concatenate([BL.re, pad], axis=1),
+                         jnp.concatenate([BL.im, pad], axis=1))
+        else:
+            BL = jnp.concatenate([BL, pad], 1)
     tau2 = tau.reshape(no * no, nv, nv)
     BR2 = df.Bvv.reshape(naux, nv * nv)
 
+    def _dslice(X, a0):
+        sl = lambda x: jax.lax.dynamic_slice(x, (0, a0, 0), (naux, blk, nv))
+        if isinstance(X, CTensor):
+            return CTensor(sl(X.re), sl(X.im))
+        return sl(X)
+
     def body(carry, a0):
-        BLb = jax.lax.dynamic_slice(BL, (0, a0, 0), (naux, blk, nv))
-        W = jnp.matmul(BLb.reshape(naux, blk * nv).T, BR2,
-                       preferred_element_type=tau.dtype)
+        BLb = _dslice(BL, a0)
+        W = ct_dot(BLb.reshape(naux, blk * nv).T, BR2,
+                   preferred_element_type=tau.dtype)
         z = contract("xef,aebf->xab", tau2, W.reshape(blk, nv, nv, nv))
         return carry, z
 

@@ -670,6 +670,209 @@ def lambda_r1_r2_finish_df(dfh, t1, t2, l1, l2, r2_seed, no, S1=None,
 
 
 # ---------------------------------------------------------------------------
+# Host-sequenced Lambda residual with the HBAR built ON THE FLY
+# (the RT-at-scale path: rt/rtcc.py _f_host_df)
+# ---------------------------------------------------------------------------
+#
+# The solve-side five-program split (lambda_r2_small_a_df ... lambda_r1_df)
+# consumes a PREBUILT DFHBar — fine when the 11 blocks are real and the
+# build is amortized over a whole Lambda solve.  The RT RHS rebuilds the
+# HBAR from the field-dressed F EVERY evaluation, and with CTensor re/im
+# amplitudes every dressed block doubles: the fused RHS requested 26 GB at
+# (32,256) naux=1024 (measured compile OOM).  These programs therefore
+# assemble only the HBAR pieces they consume and release them at the
+# program boundary; Hovvo/Hovov/Hovoo never coexist.  The l1-ring r1
+# contributions are computed WHERE the ring blocks are resident (programs
+# 4/5 return them as (o, v) extras) so the r1 program never rebuilds them.
+# Equality with lambda_residuals_df(build_hbar_df(...)) is exact (same
+# contractions, regrouped); tested in tests/test_025_rt_df.py.
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames="no")
+def _lrs_small(F, dfb, t1, t2, no):
+    """Program 1: every <= o^3 v block plus the dressed factors."""
+    o, v = slice(0, no), slice(no, None)
+    df = dfb
+    tau = _tau(t1, t2)
+    Bd_ae, Bd_mi = dress_factors(df, t1)
+
+    eri_oovv = _eri_oovv(df)
+    Loovv = 2.0 * eri_oovv - eri_oovv.swapaxes(2, 3)
+    eri_ooov = _eri_ooov(df)
+    Looov = 2.0 * eri_ooov - contract("Pme,Pni->mnie", df.Bov, df.Boo)
+
+    Hov = F[o, v] + contract("nf,mnef->me", t1, Loovv)
+    dP = contract("Pmf,mf->P", df.Bov, t1)
+    Cam = contract("Paf,mf->Pam", df.Bvv, t1)
+    ovvv_t = (2.0 * contract("P,Pae->ae", dP, df.Bvv)
+              - contract("Pam,Pme->ae", Cam, df.Bov))
+    Hvv = (F[v, v]
+           - contract("me,ma->ae", F[o, v], t1)
+           + ovvv_t
+           - contract("mnfa,mnfe->ae", tau, Loovv))
+    Hoo = (F[o, o]
+           + contract("ie,me->mi", t1, F[o, v])
+           + contract("ne,mnie->mi", t1, Looov)
+           + contract("inef,mnef->mi", tau, Loovv))
+    tmp = contract("je,mnie->mnij", t1, eri_ooov)
+    Hoooo = (_eri_oooo(df) + tmp + tmp.transpose(1, 0, 3, 2)
+             + contract("ijef,mnef->mnij", tau, eri_oovv))
+    Hooov = contract("Pmi,Pne->mnie", Bd_mi, df.Bov)
+    return Hov, Hvv, Hoo, Hoooo, Hooov, Bd_ae, Bd_mi
+
+
+@_partial(jax.jit, static_argnames="no")
+def _lrs_r2_small(dfb, Bd_ae, Hov, Hvv, Hoo, Hoooo, Hooov, l1, l2, no):
+    """Program 2: the r2 seed — Loovv driver, l1-driven Hov/Hooov/Hvovv
+    terms, and the one-index Hvv/Hoo/Hoooo l2 contractions."""
+    df = dfb
+    r2 = loovv_df(df)
+    r2 = r2 + 2.0 * contract("ia,jb->ijab", l1, Hov)
+    r2 -= contract("ja,ib->ijab", l1, Hov)
+    # r2_l1_hvovv inline (needs only Bd_ae + Bov)
+    A = contract("ie,Pea->Pia", l1, Bd_ae)
+    r2 += 2.0 * contract("Pia,Pjb->ijab", A, df.Bov)
+    A2 = contract("ie,Peb->Pib", l1, Bd_ae)
+    r2 -= contract("Pib,Pja->ijab", A2, df.Bov)
+    r2 -= 2.0 * contract("mb,jima->ijab", l1, Hooov)
+    r2 += contract("mb,ijma->ijab", l1, Hooov)
+    r2 += contract("ijeb,ea->ijab", l2, Hvv)
+    r2 -= contract("mjab,im->ijab", l2, Hoo)
+    r2 += 0.5 * contract("mnab,ijmn->ijab", l2, Hoooo)
+    return r2
+
+
+@_partial(jax.jit, static_argnames=("no", "nblocks"), donate_argnums=(4,))
+def _lrs_r2_ladder(dfb, Bd_ae, t2, l2, r2, no, nblocks):
+    """Program 3: the implicit-Hvvvv ladder on l2 (hvvvv_x2_df content)."""
+    BL = _ea_layout(Bd_ae)
+    r2 += 0.5 * ladder_apply(BL, BL, l2, nblocks=nblocks)
+    X = contract("ijef,mnef->ijmn", l2, t2)
+    r2 += 0.5 * contract("ijmn,mnab->ijab", X, _eri_oovv(dfb))
+    return r2
+
+
+@_partial(jax.jit, static_argnames="no", donate_argnums=(5,))
+def _lrs_r2_ovvo(dfb, t1, t2, l1, l2, r2, no):
+    """Program 4: build Hovvo on the fly, consume its two r2 ring dots
+    and the l1 r1 ring term (returned as a small (o, v) extra)."""
+    df = dfb
+    eri_oovv = _eri_oovv(df)
+    Loovv = 2.0 * eri_oovv - eri_oovv.swapaxes(2, 3)
+    tau = _tau(t1, t2)
+    Cbj = contract("Pbf,jf->Pbj", df.Bvv, t1)
+    eri_oovo = contract("Pme,Pni->mnei", df.Bov, df.Boo)
+    Hovvo = (_eri_ovvo(df)
+             + contract("Pme,Pbj->mbej", df.Bov, Cbj)
+             - contract("nb,mnej->mbej", t1, eri_oovo)
+             - contract("jnfb,mnef->mbej", tau, eri_oovv)
+             + contract("njfb,mnef->mbej", t2, Loovv))
+    r2 += 2.0 * contract("mjeb,ieam->ijab", l2, Hovvo)
+    r2 -= contract("mieb,jeam->ijab", l2, Hovvo)
+    r1x = 2.0 * contract("me,ieam->ia", l1, Hovvo)
+    return r2, r1x
+
+
+@_partial(jax.jit, static_argnames="no", donate_argnums=(5,))
+def _lrs_r2_ovov_fin(dfb, t1, t2, l1, l2, r2, no):
+    """Program 5: build Hovov on the fly, consume its two r2 ring dots
+    and l1 r1 term, add the G-intermediate terms, symmetrize."""
+    df = dfb
+    eri_oovv = _eri_oovv(df)
+    Loovv = 2.0 * eri_oovv - eri_oovv.swapaxes(2, 3)
+    tau = _tau(t1, t2)
+    Dmj = contract("Pmf,jf->Pmj", df.Bov, t1)
+    Hovov = (_eri_ovov(df)
+             + contract("Pmj,Pbe->mbje", Dmj, df.Bvv)
+             - contract("nb,mnje->mbje", t1, _eri_ooov(df))
+             - contract("jnfb,nmef->mbje", tau, eri_oovv))
+    r2 -= contract("mjeb,iema->ijab", l2, Hovov)
+    r2 -= contract("mibe,jema->ijab", l2, Hovov)
+    r1x = -1.0 * contract("me,iema->ia", l1, Hovov)
+    Goo = contract("mjab,ijab->mi", t2, l2)
+    Gvv = -1.0 * contract("ijeb,ijab->ae", t2, l2)
+    r2 += contract("ae,ijeb->ijab", Gvv, Loovv)
+    r2 -= contract("mi,mjab->ijab", Goo, Loovv)
+    return r2 + r2.transpose(1, 0, 3, 2), r1x
+
+
+@_partial(jax.jit, static_argnames="no")
+def _lrs_r1(F, dfb, Bd_ae, Bd_mi, Hov, Hvv, Hoo, Hoooo, Hooov,
+            t1, t2, l1, l2, no):
+    """Program 6: the full r1 EXCEPT the l1 ring terms (programs 4/5
+    return those); builds Hovoo on the fly and releases it."""
+    df = dfb
+    dfh = DFHBar(Hov=Hov, Hvv=Hvv, Hoo=Hoo, Hoooo=Hoooo, Hooov=Hooov,
+                 Hovvo=None, Hovov=None, Hovoo=None,
+                 df=df, Bd_ae=Bd_ae, Bd_mi=Bd_mi)
+    tau = _tau(t1, t2)
+    eri_oovv = _eri_oovv(df)
+    Loovv = 2.0 * eri_oovv - eri_oovv.swapaxes(2, 3)
+    eri_ooov = _eri_ooov(df)
+    Looov = 2.0 * eri_ooov - contract("Pme,Pni->mnie", df.Bov, df.Boo)
+
+    Goo = contract("mjab,ijab->mi", t2, l2)
+    Gvv = -1.0 * contract("ijeb,ijab->ae", t2, l2)
+
+    r1 = 2.0 * Hov
+    r1 += contract("ie,ea->ia", l1, Hvv)
+    r1 -= contract("ma,im->ia", l1, Hoo)
+    r1 += r1_l2_hvvvo(dfh, t1, t2, l2, Hov)
+    r1 += r1_gvv_hvovv(dfh, Gvv)
+    r1 -= 2.0 * contract("mn,mina->ia", Goo, Hooov)
+    r1 += contract("mn,imna->ia", Goo, Hooov)
+
+    # Hovoo (cchbar.py:152-164 forms), built and consumed here
+    Hovoo = (_eri_ovoo(df)
+             + contract("me,ijeb->mbij", Hov, t2)
+             - contract("nb,mnij->mbij", t1, Hoooo)
+             + _tau_ovvv_ovoo(df, tau))
+    tmpo = _eri_ovov(df) - contract("infb,mnfe->mbie", t2, eri_oovv)
+    Hovoo = (Hovoo
+             - contract("ineb,nmje->mbij", t2, eri_ooov)
+             - contract("jneb,mnie->mbij", t2, eri_ooov)
+             + contract("njeb,mnie->mbij", t2, Looov)
+             + contract("je,mbie->mbij", t1, tmpo))
+    tmpv = (contract("Pjb,Pme->bmje", df.Bov, df.Bov)
+            - contract("jnfb,mnef->bmje", t2, eri_oovv)
+            + contract("njfb,mnef->bmje", t2, Loovv))
+    Hovoo = Hovoo + contract("ie,bmje->mbij", t1, tmpv)
+    r1 -= contract("mnae,iemn->ia", l2, Hovoo)
+    return r1
+
+
+def lambda_residuals_df_split(F, dfb, t1, t2, l1, l2, no, nblocks=None):
+    """Host-sequenced CCSD Lambda residuals with the (field-dressed) HBAR
+    built on the fly: identical fixed point to
+    lambda_residuals_df(build_hbar_df(F, ...), ...), evaluated as six
+    short device programs with a host sync between them.  NOT jittable —
+    the RT driver calls it from _f_host_df past the fused-RHS HBM wall."""
+    import jax as _jax
+
+    if nblocks is None:
+        nblocks = _ladder_nblocks(t2.shape[-1], dfb.Bvv.shape[0])
+    Hov, Hvv, Hoo, Hoooo, Hooov, Bd_ae, Bd_mi = _lrs_small(
+        F, dfb, t1, t2, no=no)
+    _jax.block_until_ready(Hooov)
+    r2 = _lrs_r2_small(dfb, Bd_ae, Hov, Hvv, Hoo, Hoooo, Hooov, l1, l2,
+                       no=no)
+    _jax.block_until_ready(r2)
+    r2 = _lrs_r2_ladder(dfb, Bd_ae, t2, l2, r2, no=no, nblocks=nblocks)
+    _jax.block_until_ready(r2)
+    r2, r1a = _lrs_r2_ovvo(dfb, t1, t2, l1, l2, r2, no=no)
+    _jax.block_until_ready(r2)
+    r2, r1b = _lrs_r2_ovov_fin(dfb, t1, t2, l1, l2, r2, no=no)
+    _jax.block_until_ready(r2)
+    r1 = _lrs_r1(F, dfb, Bd_ae, Bd_mi, Hov, Hvv, Hoo, Hoooo, Hooov,
+                 t1, t2, l1, l2, no=no)
+    r1 = r1 + r1a + r1b
+    _jax.block_until_ready(r1)
+    return r1, r2
+
+
+# ---------------------------------------------------------------------------
 # EOM sigmas over the DF-HBAR (cceom.sigma1/sigma2)
 # ---------------------------------------------------------------------------
 

@@ -29,7 +29,7 @@ class rtcc:
     """Real-time CC object providing data for an ODE propagator."""
 
     def __init__(self, ccwfn, cclambda, ccdensity, V, magnetic=False,
-                 kick=None, ri_split=False):
+                 kick=None, ri_split=False, rhs_split=None):
         self.ccwfn = ccwfn
         self.cclambda = cclambda
         self.ccdensity = ccdensity
@@ -276,6 +276,42 @@ class rtcc:
 
             self._f_rows = _f_rows
 
+        # Host-split DF-CCSD RHS: the fused _f_core/_f_core_ri holds the
+        # T residual's ~11 o^2v^2 temps AND the Lambda side's rebuilt
+        # HBAR in ONE program — 26 GB requested at (32,256) naux=1024
+        # ri_split (measured compile OOM).  Past ~100 MB of o^2v^2 the
+        # RHS runs as host-sequenced programs instead: the seven-program
+        # split CCSD residual (models/dfccsd.residuals_ccsd_df_split,
+        # CTensor-polymorphic), the six-program on-the-fly Lambda split
+        # (models/dfhbar.lambda_residuals_df_split), and a factor-
+        # reassociated phase program.  rhs_split=True/False forces it.
+        self.df_split = False
+        if dfmode and model == "CCSD" and not self.host_stepped:
+            o2v2 = (no * nv) ** 2 * jnp.dtype(ccwfn.t1.dtype).itemsize
+            self.df_split = (o2v2 > 1e8 if rhs_split is None
+                             else bool(rhs_split))
+
+        if dfmode:
+            @jax.jit
+            def _phase_df_prog(F, t1, t2, dfb):
+                """The _phase scalar with tau.Loovv RE-ASSOCIATED through
+                the factors (largest temp (naux, o, v); the o^2v^2 Loovv
+                assembly never exists)."""
+                eref = 2.0 * jnp.trace(F[o, o]) - loooo_tr
+                if model == "CCD":
+                    tau, ecc = t2, 0.0
+                else:
+                    tau = build_tau(t1, t2)
+                    ecc = 2.0 * contract("ia,ia->", F[o, v], t1)
+                Y = contract("ijab,Pia->Pjb", tau, dfb.Bov)
+                s1 = contract("Pjb,Pjb->", Y, dfb.Bov)
+                Z = contract("ijab,Pib->Pja", tau, dfb.Bov)
+                s2 = contract("Pja,Pja->", Z, dfb.Bov)
+                ecc = ecc + 2.0 * s1 - s2
+                return (eref + ecc) * (-1.0j)
+
+            self._phase_df_prog = _phase_df_prog
+
         def _lagrangian(t, t1, t2, l1, l2, *Hargs):
             F = Fj.astype(t1.dtype) + mu_tot.astype(t1.dtype) * self.V(t)
             if dfmode:
@@ -344,6 +380,8 @@ class rtcc:
         """ODE right-hand side; numpy-compatible for scipy.complex_ode."""
         if getattr(self, "host_stepped", False):
             return self._f_host(t, y)
+        if getattr(self, "df_split", False):
+            return self._f_host_df(t, y)
         if self.ri_split:
             y = np.asarray(y)
             yri = jnp.stack([jnp.asarray(y.real), jnp.asarray(y.imag)])
@@ -377,6 +415,60 @@ class rtcc:
         if self.ccwfn.local is not None:
             # the pair-space projection is real-linear, so it commutes with
             # the +-1j factors below and applies componentwise to CTensors
+            filter_res = self.ccwfn.Local.filter_res
+            if self.ri_split:
+                def _filt(r1, r2):
+                    fr1, fr2 = filter_res(r1.re, r2.re)
+                    fi1, fi2 = filter_res(r1.im, r2.im)
+                    return CTensor(fr1, fi1), CTensor(fr2, fi2)
+            else:
+                _filt = filter_res
+            rt1, rt2 = _filt(rt1, rt2)
+            rl1, rl2 = _filt(rl1, rl2)
+        rt1, rt2 = rt1 * (-1.0j), rt2 * (-1.0j)
+        rl1, rl2 = rl1 * (1.0j), rl2 * (1.0j)
+        if self.ri_split:
+            cx = lambda a: (np.asarray(a.re) + 1.0j * np.asarray(a.im)).ravel()
+            return np.concatenate([cx(rt1), cx(rt2), cx(rl1), cx(rl2),
+                                   cx(ph).reshape(1)])
+        return np.concatenate([np.asarray(rt1).ravel(),
+                               np.asarray(rt2).ravel(),
+                               np.asarray(rl1).ravel(),
+                               np.asarray(rl2).ravel(),
+                               np.asarray(ph).reshape(1)])
+
+    def _f_host_df(self, t, y):
+        """Host-sequenced DF-CCSD RHS at scale (see __init__'s df_split
+        note): ~14 short device programs, each <= ~4 o^2v^2 temps, with
+        host syncs so no two programs' temps coexist in HBM."""
+        from ..models.dfccsd import residuals_ccsd_df_split
+        from ..models.dfhbar import lambda_residuals_df_split
+        from ..ops.ctensor import CTensor
+        no, nv = self.no, self.nv
+        len1, len2 = no * nv, (no * nv) ** 2
+        y = np.asarray(y)
+        Fj = jnp.asarray(self.ccwfn.H.F)
+        if self.ri_split:
+            def amp(lo, hi, shape):
+                blk = y[lo:hi].reshape(shape)
+                return CTensor(jnp.asarray(blk.real), jnp.asarray(blk.imag))
+            F = Fj + self.mu_tot.real * self.V(t)  # real field
+        else:
+            def amp(lo, hi, shape):
+                return jnp.asarray(y[lo:hi].reshape(shape))
+            F = Fj.astype(y.dtype) + self.mu_tot.astype(y.dtype) * self.V(t)
+        t1 = amp(0, len1, (no, nv))
+        t2 = amp(len1, len1 + len2, (no, no, nv, nv))
+        l1 = amp(len1 + len2, 2 * len1 + len2, (no, nv))
+        l2 = amp(2 * len1 + len2, 2 * (len1 + len2), (no, no, nv, nv))
+        dfb = self._H_args[0]
+        nblocks = getattr(self.ccwfn, "_df_nblocks", None)
+        rt1, rt2 = residuals_ccsd_df_split(F, dfb, t1, t2, no,
+                                           nblocks=nblocks)
+        rl1, rl2 = lambda_residuals_df_split(F, dfb, t1, t2, l1, l2, no,
+                                             nblocks=nblocks)
+        ph = self._phase_df_prog(F, t1, t2, dfb)
+        if self.ccwfn.local is not None:
             filter_res = self.ccwfn.Local.filter_res
             if self.ri_split:
                 def _filt(r1, r2):

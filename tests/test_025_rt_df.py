@@ -73,6 +73,29 @@ def test_rhs_ri_split_df(setup):
     assert np.abs(np.asarray(f_f) - np.asarray(f_r)).max() < 1e-12
 
 
+def test_rhs_df_split(setup):
+    """The host-sequenced at-scale RHS (rhs_split=True: seven-program
+    split T residual + six-program on-the-fly Lambda split + factor-
+    reassociated phase) equals the fused RHS exactly, in both complex
+    and re/im-split modes — including off the fixed point (perturbed y,
+    so every residual term is exercised with nonzero imaginary parts)."""
+    rt_d, rt_f, rt_fr, y0_d, y0_f = setup
+    cc, lam, dens = rt_f.ccwfn, rt_f.cclambda, rt_f.ccdensity
+    V = rt_f.V
+    with contextlib.redirect_stdout(io.StringIO()):
+        rt_s = pycc_tpu.rtcc(cc, lam, dens, V, rhs_split=True)
+        rt_sr = pycc_tpu.rtcc(cc, lam, dens, V, ri_split=True,
+                              rhs_split=True)
+    assert rt_s.df_split and rt_sr.df_split
+    rng = np.random.default_rng(7)
+    y = y0_f + 0.01 * (rng.standard_normal(y0_f.shape)
+                       + 1j * rng.standard_normal(y0_f.shape))
+    f_f = np.asarray(rt_f.f(0.02, y))
+    assert np.abs(f_f - np.asarray(rt_s.f(0.02, y))).max() < 1e-12
+    f_fr = np.asarray(rt_fr.f(0.02, y))
+    assert np.abs(f_fr - np.asarray(rt_sr.f(0.02, y))).max() < 1e-12
+
+
 def test_rhs_df_cc2_equals_dense():
     """RT-CC2 over factors: the CC2 DF-HBAR/Lambda forms
     (models/dfhbar.py build_hbar_df(model='CC2') /

@@ -372,7 +372,17 @@ class cceom:
         return eps[:M], guesses
 
     def solve_eom(self, N=1, e_conv=1e-5, r_conv=1e-5, maxiter=100,
-                  guess="HBAR_SS", maxM=None):
+                  guess="HBAR_SS", maxM=None, chk=None, chk_every=1,
+                  resume=False):
+        """chk=<path.npz> checkpoints the Davidson subspace C (+ energies
+        and iteration counter) every chk_every iterations; resume=True
+        reloads it and rebuilds the sigma block S with ONE batched sigma
+        evaluation (S is not stored — at (32,128) it is as large as the
+        subspace itself, and one sigma pass is exactly what an iteration
+        would have spent anyway).  Survival infrastructure for the
+        hour-class at-scale Davidson runs (PERF.md: 3923 s at (32,128));
+        the reference has no solver checkpointing at all."""
+        import os
         t_init = time.time()
         no, nv = self.no, self.nv
         D = self.D
@@ -383,10 +393,19 @@ class cceom:
         if maxM is None:
             maxM = N * 10
 
-        _, C1 = self.guess(M, guess)
-        C = np.hstack((C1.reshape(M, s1_len), np.zeros((M, s2_len))))
-        # orthonormalize the initial guesses
-        C = np.linalg.qr(C.T)[0].T.copy()
+        niter0 = 0
+        if resume and chk is not None and os.path.exists(chk):
+            from .utils.checkpoint import load_amps
+            d = load_amps(chk, as_jax=False)
+            C = np.asarray(d["C"])
+            niter0 = int(d["niter"])
+            log.info("CCEOM resumed from %s at iteration %d (M=%d); "
+                     "rebuilding sigma block" % (chk, niter0, C.shape[0]))
+        else:
+            _, C1 = self.guess(M, guess)
+            C = np.hstack((C1.reshape(M, s1_len), np.zeros((M, s2_len))))
+            # orthonormalize the initial guesses
+            C = np.linalg.qr(C.T)[0].T.copy()
         S = np.asarray(self._sigma(jnp.asarray(C)))
         E = np.zeros(N)
 
@@ -402,9 +421,12 @@ class cceom:
         self.residual_floor = None
         best_r = np.inf
         stalled = 0
-        for niter in range(1, maxiter + 1):
+        for niter in range(niter0 + 1, maxiter + 1):
             E_old = E
             M = C.shape[0]
+            if chk is not None and (niter - 1) % chk_every == 0:
+                from .utils.checkpoint import save_amps
+                save_amps(chk, C=C, E=E, niter=niter - 1)
 
             G = C @ S.T
             E, a = np.linalg.eig(G)

@@ -7,6 +7,7 @@ DIIS/Jacobi scaffold as the T-amplitude solver.  The standalone
 field-dressed) Fock matrix for the real-time module.
 """
 
+import os
 import time
 import warnings
 from functools import partial
@@ -162,7 +163,12 @@ class cclambda:
                                        t1, t2, l1, l2, cc.no)
 
     def solve_lambda(self, e_conv=1e-7, r_conv=1e-7, maxiter=100, max_diis=8,
-                     start_diis=1, stall_limit=10):
+                     start_diis=1, stall_limit=10,
+                     chk=None, chk_every=10, chk_ring=False, resume=False):
+        """chk/chk_every/chk_ring/resume: solver checkpointing with the
+        same semantics as ccwfn.solve_cc — atomic .npz snapshots of the
+        post-extrapolation iterate (+ optional DIIS ring for an exact
+        trajectory resume) every chk_every iterations."""
         tstart = time.time()
         cc = self.ccwfn
         no = cc.no
@@ -336,17 +342,38 @@ class cclambda:
             ERI0, La0, bE0 = H.ERI, H.L, H.ERI
         Fj = jnp.asarray(H.F)
         l1, l2 = self.l1, self.l2
+        niter0 = 0
+        chk_state = None
+        if resume and chk is not None and os.path.exists(chk):
+            from .utils.checkpoint import load_amps
+            d = load_amps(chk)
+            wdt = l1.dtype
+            l1 = d["l1"].astype(wdt)
+            l2 = d["l2"].astype(wdt)
+            self.l1, self.l2 = l1, l2
+            niter0 = int(d["niter"])
+            if "diis_amps" in d and use_diis:
+                chk_state = d
+            log.info("Lambda-CC resumed from %s at iteration %d%s"
+                     % (chk, niter0,
+                        " (with DIIS ring)" if chk_state else ""))
         if dfmode:
             hbar_df = hb
             lecc = float(jnp.real(
                 0.5 * jnp.sum(df_eri_oovv(hbar_df.df) * l2)))
         else:
             lecc = float(jnp.real(pseudoenergy(bE0, l2, no)))
-        log.info("\nLCC Iter %3d: LCC PseudoE = %.15f  dE = % .5E" % (0, lecc, -lecc))
+        log.info("\nLCC Iter %3d: LCC PseudoE = %.15f  dE = % .5E" % (niter0, lecc, -lecc))
         state = diis.init() if use_diis else None
+        if chk_state is not None:
+            from .ops.diis import DIISState
+            state = DIISState(
+                amps=jnp.asarray(chk_state["diis_amps"]).astype(state.amps.dtype),
+                errs=jnp.asarray(chk_state["diis_errs"]).astype(state.errs.dtype),
+                count=jnp.asarray(int(chk_state["diis_count"]), jnp.int32))
         best_rms = float("inf")
         stalled = 0
-        for niter in range(1, maxiter + 1):
+        for niter in range(niter0 + 1, maxiter + 1):
           with timers.time("lambda.iteration"):
             lecc_last = lecc
             do_ext = (max_diis > 0) and (niter >= start_diis)
@@ -406,6 +433,13 @@ class cclambda:
             ediff = lecc - lecc_last
             log.info("LCC Iter %3d: LCC PseudoE = %.15f  dE = % .5E  rms = % .5E"
                   % (niter, lecc, ediff, rms))
+            if chk is not None and niter % chk_every == 0:
+                from .utils.checkpoint import save_amps
+                data = dict(l1=l1, l2=l2, niter=niter, lecc=lecc)
+                if chk_ring and use_diis:
+                    data.update(diis_amps=state.amps, diis_errs=state.errs,
+                                diis_count=int(state.count))
+                save_amps(chk, **data)
             # working-precision noise floor (see ccwfn.solve_cc): stop
             # when the rms has not improved for stall_limit iterations
             if rms < 0.98 * best_rms:

@@ -11,6 +11,7 @@ the residual function at trace time.  There is no CPU/GPU split and no
 per-contraction data migration.
 """
 
+import os
 import time
 import warnings
 from functools import partial
@@ -209,28 +210,7 @@ class ccwfn:
                                       pair_cutoff=self.pair_cutoff,
                                       mesh=self.mesh)
 
-        self._residual_fn = _RESIDUALS.get(self.model)
-        self._energy_fn = _ENERGY[self.model]
-        self._host_residual_fn = None
-        if self.model == "CC3":
-            from .models.cc3 import (residuals_cc3, residuals_cc3_rows,
-                                     residuals_cc3_scan)
-            # pick the occupied-slab T3 path when the full (no^3 nv^3)
-            # tensor would be large
-            big = (self.no ** 3) * (self.nv ** 3) > 2e8
-            fn = residuals_cc3_scan if big else residuals_cc3
-            self._residual_fn = partial(fn, real_time=self.real_time,
-                                        F_ref=self.H.F)
-            # host-orchestrated per-row residual for solve_cc: required on
-            # the remote TPU at big sizes (minute-long single dispatches
-            # are killed); t3_scan=True/False forces it on/off
-            use_rows = big if self.t3_scan is None else bool(self.t3_scan)
-            if use_rows:
-                self._host_residual_fn = partial(
-                    residuals_cc3_rows, real_time=self.real_time,
-                    F_ref=self.H.F,
-                    nblocks=(self._df_nblocks if self.storage == "df"
-                             else None))
+        self._bind_residual_fns()
 
         if self.storage == "blocked":
             from .models.blocked import ERIBlocks, blocks_from_full
@@ -398,21 +378,56 @@ class ccwfn:
               % (self.naux, precision))
         return self
 
+    def _bind_residual_fns(self):
+        """(Re)bind the model-dispatch residual functions to the CURRENT
+        self.H — called at construction and again by solve_cc_mixed after
+        each precision cast (the CC3 partials bake F_ref in, and a stale
+        f64 F_ref inside an f32 stage would silently upcast the whole
+        residual graph)."""
+        self._residual_fn = _RESIDUALS.get(self.model)
+        self._energy_fn = _ENERGY[self.model]
+        self._host_residual_fn = None
+        if self.model == "CC3":
+            from .models.cc3 import (residuals_cc3, residuals_cc3_rows,
+                                     residuals_cc3_scan)
+            # pick the occupied-slab T3 path when the full (no^3 nv^3)
+            # tensor would be large
+            big = (self.no ** 3) * (self.nv ** 3) > 2e8
+            fn = residuals_cc3_scan if big else residuals_cc3
+            self._residual_fn = partial(fn, real_time=self.real_time,
+                                        F_ref=self.H.F)
+            # host-orchestrated per-row residual for solve_cc: required on
+            # the remote TPU at big sizes (minute-long single dispatches
+            # are killed); t3_scan=True/False forces it on/off
+            use_rows = big if self.t3_scan is None else bool(self.t3_scan)
+            if use_rows:
+                self._host_residual_fn = partial(
+                    residuals_cc3_rows, real_time=self.real_time,
+                    F_ref=self.H.F,
+                    nblocks=(self._df_nblocks if self.storage == "df"
+                             else None))
+
     def _maybe_split_df_residual(self, dtype):
         """Past ~1 GB of o^2v^2 the ONE-program DF-CCSD residual compile-
         OOMs (~11 simultaneous o^2v^2 temps: 21.6 GB at (48,432) f32,
         17.7 GB at (32,512) f32 — measured); switch solve_cc to the
         host-sequenced seven-program split (models/dfccsd.py).  The
-        (40,360) f32 and (32,512) bf16 steps fit fused and stay fused."""
+        (40,360) f32 and (32,512) bf16 steps fit fused and stay fused.
+        Re-evaluated per precision stage by solve_cc_mixed (the o^2v^2
+        byte count doubles between the f32 floor stage and the f64
+        refinement), so a CCSD-family decision may be SET or CLEARED;
+        CC3's host-rows binding is never touched (first guard)."""
         if self.model not in ("CCSD", "CCSD(T)"):
             return
-        if self._host_residual_fn is not None or self.mesh is not None:
+        if self.mesh is not None:
             return
         from .models import dfccsd as dfq
         nbytes = (self.no * self.nv) ** 2 * jnp.dtype(dtype).itemsize
         if nbytes > 9e8 or getattr(self, "_force_split_df", False):
             self._host_residual_fn = partial(
                 dfq.residuals_ccsd_df_split_host, nblocks=self._df_nblocks)
+        else:
+            self._host_residual_fn = None
 
     def _make_df_residual_fn(self):
         """Model -> factor-residual dispatch for storage='df'.  CC3 uses
@@ -493,8 +508,22 @@ class ccwfn:
 
     # ------------------------------------------------------------------
     def solve_cc(self, e_conv=1e-7, r_conv=1e-7, maxiter=100, max_diis=8,
-                 start_diis=1, bf16_until=0.0, stall_limit=10):
+                 start_diis=1, bf16_until=0.0, stall_limit=10,
+                 chk=None, chk_every=10, chk_ring=False, resume=False):
         """Iterate the CC amplitude equations to the requested tolerances.
+
+        chk=<path.npz> auto-saves the solver state every `chk_every`
+        iterations (atomically — a kill mid-write never corrupts the last
+        good checkpoint); resume=True reloads it and continues from the
+        saved iteration.  chk_ring=True also persists the DIIS ring, so a
+        resumed solve retraces the uninterrupted trajectory EXACTLY (the
+        checkpoint holds the post-extrapolation iterate the next step
+        would have consumed); without the ring, DIIS re-warms from empty
+        and reaches the same fixed point a few iterations later.  This
+        generalizes the reference's RT-only pickle checkpoints
+        (/root/reference/pycc/rt/rtcc.py:439-556) to the iterative
+        solvers — survival infrastructure for hour-class at-scale runs
+        on a runtime whose worker kills/crashes are routine (PERF.md).
 
         bf16_until > 0 (requires storage='blocked' or 'df', canonical
         CCD/CC2/CCSD) runs the residual contractions from bfloat16
@@ -709,21 +738,44 @@ class ccwfn:
                 state)
             return t1n, t2n, t1e, t2e, state, ecc, rms
 
+        # checkpoint resume: reload the saved post-extrapolation iterate
+        # (and, when present, the DIIS ring) and continue the counter
+        niter0 = 0
+        chk_state = None
+        if resume and chk is not None and os.path.exists(chk):
+            from .utils.checkpoint import load_amps
+            d = load_amps(chk)
+            wdt = self.t1.dtype
+            self.t1 = d["t1"].astype(wdt)
+            self.t2 = d["t2"].astype(wdt)
+            niter0 = int(d["niter"])
+            if "diis_amps" in d and use_diis:
+                chk_state = d
+            log.info("CCWFN resumed from %s at iteration %d%s"
+                     % (chk, niter0,
+                        " (with DIIS ring)" if chk_state else ""))
+
         # The first donated step call consumes the self.t1/self.t2 buffers
         # themselves (a defensive copy would be another t2-sized buffer at
         # scale); the attributes are rebound to the fresh outputs every
         # iteration below, so they stay valid across stalls and re-solves.
         t1, t2 = self.t1, self.t2
         ecc = float(jnp.real(self.cc_energy(t1, t2)))
-        log.info("CC Iter %3d: CC Ecorr = %.15f  dE = % .5E  MP2" % (0, ecc, -ecc))
+        log.info("CC Iter %3d: CC Ecorr = %.15f  dE = % .5E  MP2" % (niter0, ecc, -ecc))
         # None is an empty pytree: with DIIS disabled the step functions
         # never touch it and no ring buffer ever reaches the device
         state = diis.init() if use_diis else None
+        if chk_state is not None:
+            from .ops.diis import DIISState
+            state = DIISState(
+                amps=jnp.asarray(chk_state["diis_amps"]).astype(state.amps.dtype),
+                errs=jnp.asarray(chk_state["diis_errs"]).astype(state.errs.dtype),
+                count=jnp.asarray(int(chk_state["diis_count"]), jnp.int32))
         rms = float("inf")
         bf16_active = use_bf16
         best_rms = float("inf")
         stalled = 0
-        for niter in range(1, maxiter + 1):
+        for niter in range(niter0 + 1, maxiter + 1):
           with timers.time("ccwfn.iteration"):
             ecc_last = ecc
             do_ext = (max_diis > 0) and (niter >= start_diis)
@@ -804,6 +856,13 @@ class ccwfn:
             ediff = ecc - ecc_last
             log.info("CC Iter %3d: CC Ecorr = %.15f  dE = % .5E  rms = % .5E"
                   % (niter, ecc, ediff, rms))
+            if chk is not None and niter % chk_every == 0:
+                from .utils.checkpoint import save_amps
+                data = dict(t1=t1, t2=t2, niter=niter, ecc=ecc)
+                if chk_ring and use_diis:
+                    data.update(diis_amps=state.amps, diis_errs=state.errs,
+                                diis_count=int(state.count))
+                save_amps(chk, **data)
             # working-precision noise floor: when the residual rms stops
             # improving for `stall_limit` straight iterations (common for
             # SP runs on big systems, where the unnormalized rms over
@@ -866,33 +925,94 @@ class ccwfn:
         return t3_density_energy(self)
 
     # ------------------------------------------------------------------
+    def _cast_stage(self, dtype):
+        """Re-point every solver-facing representation (F; and, per
+        storage mode, the full ERI/L tensors, the Dirac blocks, or the
+        Cholesky factors) at `dtype` device copies of the f64 host
+        masters stashed by solve_cc_mixed, cast the amplitudes, purge the
+        dtype-derived caches, and rebind the model partials.  The
+        previous stage's device buffers drop their last reference here,
+        so the two precisions never coexist in HBM (the f64 factors at
+        (40,360) naux=2592 are 3.5 GB; holding them THROUGH the f32
+        stage would waste a quarter of the chip)."""
+        m = self._mixed_masters
+        put = lambda x: None if x is None else jnp.asarray(x).astype(dtype)
+        self.H = Hamiltonian(F=put(m["F"]),
+                             ERI=(put(m["ERI"]) if self.storage == "full"
+                                  else self.H.ERI),
+                             L=(put(m["L"]) if self.storage == "full"
+                                else self.H.L),
+                             mu=self.H.mu, m=self.H.m, p=self.H.p,
+                             Q=self.H.Q, no=self.H.no)
+        if self.storage == "blocked":
+            self.blocks = jax.tree_util.tree_map(put, m["blocks"])
+        if self.storage == "df":
+            self.dfb = jax.tree_util.tree_map(put, m["dfb"])
+        self.t1 = self.t1.astype(dtype)
+        self.t2 = self.t2.astype(dtype)
+        # denominators rematerialize lazily at the new dtype (__getattr__);
+        # the bf16 factor/block caches are derived from the stage buffers
+        self.__dict__.pop("Dia", None)
+        self.__dict__.pop("Dijab", None)
+        self.__dict__.pop("_dfb16", None)
+        self.__dict__.pop("_blocks16", None)
+        self._bind_residual_fns()
+        if self.storage == "df":
+            self._df_residual_fn = self._make_df_residual_fn()
+            self._maybe_split_df_residual(dtype)
+
     def solve_cc_mixed(self, e_conv=1e-10, r_conv=1e-10, maxiter=100,
-                       sp_conv=1e-6, **kw):
-        """Mixed-precision solve: pre-converge the amplitudes in float32
-        (fast on TPU, where f64 is emulated), then refine in float64 to the
-        requested tolerances.  The fixed point is dtype-independent, so the
-        refined result equals a pure-f64 solve.  No reference counterpart
-        (the reference's SP mode stops at single precision)."""
-        H64 = self.H
-        D64 = (self.Dia, self.Dijab)
-        t64 = (self.t1, self.t2)
-        # SP stage
-        self.H = Hamiltonian(F=H64.F.astype(jnp.float32),
-                             ERI=H64.ERI.astype(jnp.float32),
-                             L=H64.L.astype(jnp.float32),
-                             mu=H64.mu, m=H64.m, p=H64.p, Q=H64.Q, no=H64.no)
-        self.Dia = D64[0].astype(jnp.float32)
-        self.Dijab = D64[1].astype(jnp.float32)
-        self.t1 = t64[0].astype(jnp.float32)
-        self.t2 = t64[1].astype(jnp.float32)
-        self.solve_cc(sp_conv, sp_conv, maxiter, **kw)
-        t1_sp, t2_sp = self.t1, self.t2
-        # DP refinement from the SP amplitudes
-        self.H = H64
-        self.Dia, self.Dijab = D64
-        self.t1 = t1_sp.astype(t64[0].dtype)
-        self.t2 = t2_sp.astype(t64[1].dtype)
-        return self.solve_cc(e_conv, r_conv, maxiter, **kw)
+                       sp_conv=1e-6, sp_dtype=jnp.float32,
+                       refine_maxiter=None, sp_kwargs=None, **kw):
+        """Mixed-precision solve for ANY canonical storage mode (full /
+        blocked / df, incl. integral-direct factors): pre-converge the
+        amplitudes in float32 — fast on TPU, where f64 is emulated — then
+        refine in float64 to the requested tolerances.  The fixed point
+        is dtype-independent, so the refined result equals a pure-f64
+        solve; the f32 stage typically stops at its noise floor (the
+        stall detector fires) and the f64 stage needs only a handful of
+        iterations to pull the energy from the ~1e-5 f32 floor down to
+        e_conv.  This is the at-scale accuracy-recovery path: the
+        reference delivers 1e-11 double-precision energies on everything
+        it can hold (/root/reference/pycc/ccwfn.py:177-196) and its SP
+        mode is all-or-nothing; here the expensive iterations run f32
+        and only the final ones pay the f64-emulation tax.
+
+        sp_kwargs: extra solve_cc kwargs for the f32 stage only (e.g.
+        bf16_until); **kw goes to both stages.  Requires a DP-constructed
+        solver (the f64 masters must exist)."""
+        if self.local is not None:
+            raise Exception("solve_cc_mixed supports canonical storage "
+                            "modes (the local filters hold their own "
+                            "f64 stacks).")
+        if self.precision != "DP":
+            raise Exception("solve_cc_mixed needs a precision='DP' "
+                            "construction (the f64 masters are the "
+                            "refinement-stage Hamiltonian).")
+        # f64 host masters: the per-stage device copies are cast from
+        # these, and the device never holds both precisions at once
+        if not hasattr(self, "_mixed_masters"):
+            self._mixed_masters = dict(
+                F=np.asarray(self.H.F),
+                ERI=(np.asarray(self.H.ERI)
+                     if self.storage == "full" else None),
+                L=(np.asarray(self.H.L)
+                   if self.storage == "full" else None),
+                blocks=(jax.tree_util.tree_map(np.asarray, self.blocks)
+                        if self.storage == "blocked" else None),
+                dfb=(jax.tree_util.tree_map(np.asarray, self.dfb)
+                     if self.storage == "df" else None))
+        # ---- low-precision floor stage ----
+        self._cast_stage(sp_dtype)
+        kw_sp = dict(kw)
+        kw_sp.update(sp_kwargs or {})
+        self.solve_cc(sp_conv, sp_conv, maxiter, **kw_sp)
+        # ---- f64 refinement from the floor amplitudes ----
+        self._cast_stage(jnp.float64)
+        ecc = self.solve_cc(e_conv, r_conv,
+                            refine_maxiter if refine_maxiter else maxiter,
+                            **kw)
+        return ecc
 
     # ------------------------------------------------------------------
     def solve_cc_fused(self, e_conv=1e-7, r_conv=1e-7, maxiter=100,

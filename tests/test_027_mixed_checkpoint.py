@@ -1,0 +1,177 @@
+"""Mixed-precision refinement across storage modes + solver checkpointing.
+
+Round-4 depth items: (1) the at-scale accuracy-recovery path — an f32
+floor stage followed by an f64 refinement stage — must work for EVERY
+canonical storage mode (full / blocked / df, split residual included)
+and land on the pure-f64 fixed point, because the reference delivers
+double-precision energies on everything it can hold
+(/root/reference/pycc/ccwfn.py:177-196, oracles at 1e-11 e.g.
+pycc/tests/test_002_ccsd_energy.py:32-41); (2) kill-and-resume
+checkpointing for solve_cc / solve_lambda / solve_eom (the reference
+checkpoints RT propagation only, rt/rtcc.py:439-556 — the oracle
+pattern here follows its test_016_chk.py restart-equality test).
+"""
+
+import contextlib
+import io
+
+import numpy as np
+import pytest
+
+import pycc_tpu
+from .common import scf
+
+E_CCSD_STO3G = -0.070616830152761   # frozen Psi4 (reference test_002)
+
+
+def _quiet():
+    return contextlib.redirect_stdout(io.StringIO())
+
+
+# ---------------------------------------------------------------------------
+# mixed-precision refinement, per storage mode
+# ---------------------------------------------------------------------------
+
+def test_mixed_full_matches_oracle():
+    wfn = scf("H2O", "sto-3g")
+    with _quiet():
+        e = pycc_tpu.ccwfn(wfn).solve_cc_mixed(1e-12, 1e-12)
+    assert abs(e - E_CCSD_STO3G) < 1e-11
+
+
+def test_mixed_blocked_matches_oracle():
+    wfn = scf("H2O", "sto-3g")
+    with _quiet():
+        e = pycc_tpu.ccwfn(wfn, storage="blocked").solve_cc_mixed(1e-12,
+                                                                  1e-12)
+    assert abs(e - E_CCSD_STO3G) < 1e-11
+
+
+def test_mixed_df_matches_pure_f64():
+    """storage='df': the f32-floor + f64-refine solve must land on the
+    SAME fixed point as a pure-f64 solve of the identical factors (and,
+    with tight df_tol, on the frozen dense oracle)."""
+    wfn = scf("H2O", "sto-3g")
+    with _quiet():
+        e64 = pycc_tpu.ccwfn(wfn, storage="df",
+                             df_tol=1e-12).solve_cc(1e-12, 1e-12)
+        emx = pycc_tpu.ccwfn(wfn, storage="df",
+                             df_tol=1e-12).solve_cc_mixed(1e-12, 1e-12)
+    assert abs(emx - e64) < 1e-11
+    assert abs(emx - E_CCSD_STO3G) < 1e-9
+
+
+def test_mixed_df_split_residual():
+    """The at-scale composition: mixed precision THROUGH the
+    host-sequenced split DF residual (both stages re-evaluate the split
+    decision at their own dtype)."""
+    wfn = scf("H2O", "sto-3g")
+    with _quiet():
+        cc = pycc_tpu.ccwfn(wfn, storage="df", df_tol=1e-12)
+        cc._force_split_df = True
+        emx = cc.solve_cc_mixed(1e-12, 1e-12)
+    assert cc._host_residual_fn is not None  # the split was really active
+    assert abs(emx - E_CCSD_STO3G) < 1e-9
+
+
+def test_mixed_cc3_df():
+    """CC3 over factors through the mixed solver (the CC3 partials bake
+    F_ref in and must be rebound per precision stage)."""
+    wfn = scf("H2O", "sto-3g")
+    with _quiet():
+        e64 = pycc_tpu.ccwfn(wfn, model="CC3", storage="df",
+                             df_tol=1e-12).solve_cc(1e-12, 1e-12)
+        emx = pycc_tpu.ccwfn(wfn, model="CC3", storage="df",
+                             df_tol=1e-12).solve_cc_mixed(1e-12, 1e-12)
+    assert abs(emx - e64) < 1e-11
+
+
+def test_mixed_requires_dp():
+    wfn = scf("H2O", "sto-3g")
+    with _quiet():
+        cc = pycc_tpu.ccwfn(wfn, precision="SP")
+    with pytest.raises(Exception, match="DP"):
+        cc.solve_cc_mixed()
+
+
+# ---------------------------------------------------------------------------
+# checkpoint / resume
+# ---------------------------------------------------------------------------
+
+def test_solve_cc_kill_and_resume(tmp_path):
+    """Interrupt solve_cc after 4 iterations (simulated kill: maxiter=4),
+    resume from the checkpoint in a FRESH solver object, and match the
+    uninterrupted energy; with the DIIS ring checkpointed the resumed
+    trajectory must equal the uninterrupted one iterate-for-iterate."""
+    wfn = scf("H2O", "sto-3g")
+    pa = tmp_path / "full.npz"
+    pb = tmp_path / "killed.npz"
+    with _quiet():
+        cca = pycc_tpu.ccwfn(wfn)
+        with pytest.warns(UserWarning):   # maxiter=8 "non-convergence"
+            cca.solve_cc(1e-12, 1e-12, maxiter=8, chk=str(pa),
+                         chk_every=1, chk_ring=True)
+
+        ccb = pycc_tpu.ccwfn(wfn)
+        with pytest.warns(UserWarning):   # maxiter=4 simulated kill
+            ccb.solve_cc(1e-12, 1e-12, maxiter=4, chk=str(pb),
+                         chk_every=1, chk_ring=True)
+        ccb2 = pycc_tpu.ccwfn(wfn)       # fresh object = a real restart
+        with pytest.warns(UserWarning):
+            ccb2.solve_cc(1e-12, 1e-12, maxiter=8, chk=str(pb),
+                          chk_every=1, chk_ring=True, resume=True)
+    da = np.load(pa)
+    db = np.load(pb)
+    assert int(da["niter"]) == int(db["niter"]) == 8
+    # exact trajectory equality at iteration 8 (ring + counter restored)
+    assert np.abs(da["t2"] - db["t2"]).max() < 1e-12
+    assert abs(float(da["ecc"]) - float(db["ecc"])) < 1e-12
+
+    # and resuming to convergence lands on the uninterrupted fixed point
+    with _quiet():
+        ccc = pycc_tpu.ccwfn(wfn)
+        ec = ccc.solve_cc(1e-12, 1e-12, chk=str(pb), resume=True)
+    with _quiet():
+        e_full = pycc_tpu.ccwfn(wfn).solve_cc(1e-12, 1e-12)
+    assert abs(ec - e_full) < 1e-11
+    assert abs(e_full - E_CCSD_STO3G) < 1e-11
+
+
+def test_solve_lambda_resume(tmp_path):
+    wfn = scf("H2O", "sto-3g")
+    p = tmp_path / "lam.npz"
+    with _quiet():
+        cc = pycc_tpu.ccwfn(wfn)
+        cc.solve_cc(1e-12, 1e-12)
+        hbar = pycc_tpu.cchbar(cc)
+        lam_full = pycc_tpu.cclambda(cc, hbar)
+        le_full = lam_full.solve_lambda(1e-12, 1e-12)
+
+        lam_a = pycc_tpu.cclambda(cc, hbar)
+        with pytest.warns(UserWarning):
+            lam_a.solve_lambda(1e-12, 1e-12, maxiter=3, chk=str(p),
+                               chk_every=1, chk_ring=True)
+        lam_b = pycc_tpu.cclambda(cc, hbar)
+        le_res = lam_b.solve_lambda(1e-12, 1e-12, chk=str(p),
+                                    chk_ring=True, resume=True)
+    assert abs(le_res - le_full) < 1e-11
+
+
+def test_solve_eom_resume(tmp_path):
+    wfn = scf("H2O", "sto-3g", freeze_core=False)
+    p = tmp_path / "eom.npz"
+    with _quiet():
+        cc = pycc_tpu.ccwfn(wfn)
+        cc.solve_cc(1e-12, 1e-12)
+        hbar = pycc_tpu.cchbar(cc)
+        eom = pycc_tpu.cceom(hbar)
+        E_full, _ = eom.solve_eom(N=2, e_conv=1e-8, r_conv=1e-6)
+
+        eom_a = pycc_tpu.cceom(hbar)
+        with pytest.warns(UserWarning):
+            eom_a.solve_eom(N=2, e_conv=1e-8, r_conv=1e-6, maxiter=2,
+                            chk=str(p))
+        eom_b = pycc_tpu.cceom(hbar)
+        E_res, _ = eom_b.solve_eom(N=2, e_conv=1e-8, r_conv=1e-6,
+                                   chk=str(p), resume=True)
+    assert np.allclose(E_res, E_full, atol=1e-8)

@@ -334,6 +334,115 @@ class Local:
         """Pair-pair overlap stack S[ij,kl] = QL_ij^T QL_kl (padded)."""
         self.Sp = jnp.einsum("pva,qvb->pqab", self.QLp, self.QLp)
 
+    # ------------------------------------------------------------------
+    # DLPNO-MP2 (Pinski, Riplinger, Valeev et al. 2015, Eqn. 13)
+    # ------------------------------------------------------------------
+    def local_mp2(self, maxiter=100, e_conv=None, r_conv=None):
+        """Iterative local MP2 entirely in the truncated semicanonical
+        pair spaces.  Working redesign of the reference's experimental
+        (never-invoked) ``_local_MP2_loop``
+        (/root/reference/pycc/local.py:700-787): the no^2-pair Python
+        loop with two inner k-loops of per-pair overlap builds becomes
+        one jitted batched residual over the padded stacks.  The
+        k != i / k != j exclusions ARE the off-diagonal occupied Fock
+        (the diagonal lives in the semicanonical denominator), so the
+        couplings reduce to two einsums against the (no,no,no,D2,D2)
+        shared-index overlap stacks S_{ij,kj} / S_{ij,ik} — only no^3
+        of the no^4 pair-pair overlaps ever exist.
+
+        Returns (emp2, e_pair, t2loc): the converged local-MP2 energy,
+        the (no, no) pair-energy matrix, and the padded local-basis
+        amplitudes (no, no, D2, D2).
+        """
+        e_conv = self.e_conv if e_conv is None else e_conv
+        r_conv = self.r_conv if r_conv is None else r_conv
+        no, nv = self.no, self.nv
+        npair = no * no
+        o, v = slice(0, no), slice(no, no + nv)
+        QLp = self.QLp
+        G = QLp.reshape(no, no, nv, self.D2)
+        ERIoovv = jnp.asarray(self.H.ERI)[o, o, v, v].reshape(npair, nv, nv)
+        ERIl = jnp.einsum("pva,pvw,pwb->pab", QLp, ERIoovv,
+                          QLp).reshape(no, no, self.D2, self.D2)
+        fo = jnp.diag(jnp.asarray(self.H.F))[:no]
+        Focc = jnp.asarray(self.H.F)[o, o]
+        F_od = Focc - jnp.diag(jnp.diag(Focc))
+        epsij = self.epsp.reshape(no, no, self.D2)
+        # (eps_a + eps_b - F_ii - F_jj): padded slots carry the 1e8
+        # sentinel, so every padded amplitude/residual divides to zero
+        De = (epsij[:, :, :, None] + epsij[:, :, None, :]
+              - fo[:, None, None, None] - fo[None, :, None, None])
+        # shared-occupied-index overlap stacks
+        S_kj = jnp.einsum("ijva,kjvb->ijkab", G, G)
+        S_ik = jnp.einsum("ijva,ikvb->ijkab", G, G)
+
+        @jax.jit
+        def step(T):
+            r = ERIl + De * T
+            r -= jnp.einsum("ik,ijkar,kjrs,ijkbs->ijab", F_od, S_kj, T, S_kj)
+            r -= jnp.einsum("kj,ijkar,ikrs,ijkbs->ijab", F_od, S_ik, T, S_ik)
+            Tn = T - r / De
+            Tt = 2.0 * Tn - Tn.swapaxes(2, 3)
+            e_pair = jnp.einsum("ijab,ijab->ij", ERIl, Tt)
+            return Tn, e_pair, jnp.sum(r * r)
+
+        T = -ERIl / De
+        e_pair = jnp.einsum("ijab,ijab->ij",
+                            ERIl, 2.0 * T - T.swapaxes(2, 3))
+        emp2 = float(jnp.sum(e_pair))
+        log.info("LMP2 Iter %3d: LMP2 Ecorr = %.15f" % (0, emp2))
+        for niter in range(1, maxiter + 1):
+            elast = emp2
+            T, e_pair, rr = step(T)
+            emp2 = float(jnp.sum(e_pair))
+            rmsd = float(jnp.sqrt(rr))
+            log.info("LMP2 Iter %3d: LMP2 Ecorr = %.15f  dE = % .5E  "
+                     "rmsd = % .5E" % (niter, emp2, emp2 - elast, rmsd))
+            if abs(emp2 - elast) < e_conv and rmsd < r_conv:
+                break
+        return emp2, np.asarray(e_pair), T
+
+    def sim_mp2(self, maxiter=100, e_conv=None, r_conv=None):
+        """Simulation-path local MP2: iterate the full-space residual and
+        project every update through the pair filters (the reference's
+        experimental ``_sim_MP2_loop``, /root/reference/pycc/local.py:
+        638-698, minus its double-division init bug).  The projected
+        fixed point is identical to :meth:`local_mp2` — the Fvv term is
+        pair-diagonal in the semicanonical basis and the Foo couplings
+        ARE the overlap terms — so the two converged energies agreeing
+        is the pair of methods testing each other."""
+        e_conv = self.e_conv if e_conv is None else e_conv
+        r_conv = self.r_conv if r_conv is None else r_conv
+        no, nv = self.no, self.nv
+        o, v = slice(0, no), slice(no, no + nv)
+        F = jnp.asarray(self.H.F)
+        ERI = jnp.asarray(self.H.ERI)[o, o, v, v]
+        Lt = jnp.asarray(self.H.L)[o, o, v, v]
+
+        @jax.jit
+        def step(t2):
+            r2 = 0.5 * ERI
+            r2 += jnp.einsum("ijae,be->ijab", t2, F[v, v])
+            r2 -= jnp.einsum("imab,mj->ijab", t2, F[o, o])
+            r2 = r2 + r2.transpose(1, 0, 3, 2)
+            dt = self._filter_t2_jit(r2)
+            t2n = t2 + dt
+            return t2n, jnp.einsum("ijab,ijab->", t2n, Lt), jnp.sum(dt * dt)
+
+        t2 = self.filter_t2amps(ERI)
+        emp2 = float(jnp.einsum("ijab,ijab->", t2, Lt))
+        log.info("simMP2 Iter %3d: MP2 Ecorr = %.15f" % (0, emp2))
+        for niter in range(1, maxiter + 1):
+            elast = emp2
+            t2, e, rr = step(t2)
+            emp2 = float(e)
+            rmsd = float(jnp.sqrt(rr))
+            log.info("simMP2 Iter %3d: MP2 Ecorr = %.15f  dE = % .5E  "
+                     "rmsd = % .5E" % (niter, emp2, emp2 - elast, rmsd))
+            if abs(emp2 - elast) < e_conv and rmsd < r_conv:
+                break
+        return emp2, t2
+
     def filter_amps(self, r1, r2):
         return self._filter_amps_jit(r1, r2)
 

@@ -46,6 +46,11 @@ CPU_S_PER_FLOP = 6.596 / 3.0314522624e10
 DF_CFG = dict(no=32, nv=512, naux=1632, nblocks=64)  # 544-bf, naux=3*nact
 BLK_CFG = dict(no=32, nv=128)
 T_CFG = dict(no=32, nv=128)
+# scaling curves (the literal BASELINE.json metric: s/iter and (T) wall
+# vs (o, v)).  naux = 3*nact throughout; nblocks from the same HBM rule
+# production uses.
+DF_CURVE = [(16, 128), (32, 128), (32, 256)]  # + DF_CFG's (32, 512)
+T_CURVE = [(16, 128), (32, 192)]              # + T_CFG's (32, 128)
 # real-molecule factors prepared by examples/prepare_df_molecule.py
 # ((H2O)_10 aug-cc-pVDZ, 410 bf): the row is emitted only when cached
 REAL_NPZ = "/root/repo/df_cache/w10aug.npz"
@@ -253,11 +258,15 @@ def bench_blocked(no, nv, n=10):
 
 
 def bench_triples(no, nv):
-    """(T) slab-scan wall time (one full energy evaluation), f32."""
+    """(T) slab-scan wall time (one full energy evaluation), f32.
+    flops from the analytic count (triples.t_scan_flops) — XLA's
+    cost_analysis charges the fori_loop body once, so the analytic count
+    is the only honest sustained-rate basis for the scan."""
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from pycc_tpu.triples import slab_layouts, t_vikings_scan_core
+    from pycc_tpu.triples import (slab_layouts, t_scan_flops,
+                                  t_vikings_scan_core)
 
     @jax.jit
     def synth(key):
@@ -284,7 +293,7 @@ def bench_triples(no, nv):
     t0 = time.time()
     e = t_vikings_scan_core(*args, no)
     assert np.isfinite(float(e))
-    return time.time() - t0, None
+    return time.time() - t0, t_scan_flops(no, nv)
 
 
 def _row(metric, dt, flops, unit="s/iter"):
@@ -312,11 +321,31 @@ def _child():
     except Exception as exc:
         print("# blocked extra failed: %s" % exc, file=sys.stderr)
     try:
-        dtt, _ = bench_triples(**T_CFG)
-        extra.append(_row("triples_T_scan_wall_o32_v128_f32", dtt, None,
+        dtt, ft = bench_triples(**T_CFG)
+        extra.append(_row("triples_T_scan_wall_o32_v128_f32", dtt, ft,
                           unit="s"))
     except Exception as exc:
         print("# triples extra failed: %s" % exc, file=sys.stderr)
+    # scaling curves: DF-CCSD s/iter and (T) wall vs (o, v)
+    from pycc_tpu.models.dfccsd import _ladder_blocks
+    for no_, nv_ in DF_CURVE:
+        try:
+            naux_ = 3 * (no_ + nv_)
+            dtc, fc = bench_df(no=no_, nv=nv_, naux=naux_,
+                               nblocks=_ladder_blocks(nv_, naux_))
+            extra.append(_row("dfccsd_iteration_o%d_v%d_bf16" % (no_, nv_),
+                              dtc, fc))
+        except Exception as exc:
+            print("# df curve (%d,%d) failed: %s" % (no_, nv_, exc),
+                  file=sys.stderr)
+    for no_, nv_ in T_CURVE:
+        try:
+            dtc, fc = bench_triples(no=no_, nv=nv_)
+            extra.append(_row("triples_T_scan_wall_o%d_v%d_f32"
+                              % (no_, nv_), dtc, fc, unit="s"))
+        except Exception as exc:
+            print("# (T) curve (%d,%d) failed: %s" % (no_, nv_, exc),
+                  file=sys.stderr)
     if os.path.exists(REAL_NPZ):
         try:
             dtr, fr, cfg = bench_real_molecule(REAL_NPZ)

@@ -471,6 +471,21 @@ def t_vikings_scan(cc):
                                t1, t2, no)
 
 
+def _slab_pair_energy(t3, i, j, Evovv, Eooov, Loovv, Fov, t1, t2w):
+    """(T) energy contribution of one external pair (i, j) from its
+    (k,a,b,c) connected-T3 slab."""
+    td = t3 - (t3).swapaxes(1, 3)
+    T = 2.0 * t3 - (t3).swapaxes(2, 3) - (t3).swapaxes(1, 3)
+    X1 = contract("kabc,kbc->a", td, Loovv[j])
+    X2 = contract("kabc,kc->ab", td, Fov)
+    X2 += contract("kabc,dkbc->ad", T, Evovv)
+    X2l = contract("kabc,klc->lab", T, Eooov[j])
+    e = 2.0 * contract("a,a->", t1[i], X1)
+    e += contract("ab,ab->", t2w[i, j], X2)
+    e -= contract("lab,lab->", t2w[i], X2l)
+    return e
+
+
 @partial(jax.jit, static_argnames="no")
 def _t_vikings_row(i, Wvvvo_o, Wovoo_t, Evovv, Eooov, Loovv, Fov, eps,
                    t1, t2, no):
@@ -480,22 +495,156 @@ def _t_vikings_row(i, Wvvvo_o, Wovoo_t, Evovv, Eooov, Loovv, Fov, eps,
 
     def body(j, acc):
         t3 = _t3c_slab_ij(i, j, Wvvvo_o, Wovoo_t, t2, eps_o, eps_v)
-        td = t3 - (t3).swapaxes(1, 3)
-        T = 2.0 * t3 - (t3).swapaxes(2, 3) - (t3).swapaxes(1, 3)
-        X1 = contract("kabc,kbc->a", td, Loovv[j])
-        X2 = contract("kabc,kc->ab", td, Fov)
-        X2 += contract("kabc,dkbc->ad", T, Evovv)
-        X2l = contract("kabc,klc->lab", T, Eooov[j])
-        e = 2.0 * contract("a,a->", t1[i], X1)
-        e += contract("ab,ab->", t2w[i, j], X2)
-        e -= contract("lab,lab->", t2w[i], X2l)
-        return acc + e
+        return acc + _slab_pair_energy(t3, i, j, Evovv, Eooov, Loovv,
+                                       Fov, t1, t2w)
 
     return jax.lax.fori_loop(0, no, body, jnp.asarray(0.0, Fov.dtype))
 
 
+@partial(jax.jit, static_argnames="no")
+def _t_vikings_row_sym(i, Wvvvo_o, Wovoo_t, Evovv, Eooov, Loovv, Fov, eps,
+                       t1, t2, no):
+    """Fixed-i (T) row exploiting pair-permutation symmetry: the connected
+    T3 satisfies t3[j,i,k]^{abc} = t3[i,j,k]^{bac} (simultaneous swap of
+    the first two occupied/virtual index pairs), so one slab built for
+    j >= i serves BOTH the (i,j) and (j,i) energy contributions — the
+    12-contraction slab build (the n^7 cost) runs once per unordered
+    pair.  The reference evaluates every ordered pair independently
+    (/root/reference/pycc/cctriples.py:106-152)."""
+    eps_o, eps_v = eps[:no], eps[no:]
+    t2w = 4.0 * t2 - 2.0 * t2.swapaxes(2, 3)
+
+    def body(j, acc):
+        t3 = _t3c_slab_ij(i, j, Wvvvo_o, Wovoo_t, t2, eps_o, eps_v)
+        e = _slab_pair_energy(t3, i, j, Evovv, Eooov, Loovv, Fov, t1, t2w)
+        ep = _slab_pair_energy(t3.swapaxes(1, 2), j, i, Evovv, Eooov,
+                               Loovv, Fov, t1, t2w)
+        return acc + e + jnp.where(j > i, ep, 0.0)
+
+    return jax.lax.fori_loop(i, no, body, jnp.asarray(0.0, Fov.dtype))
+
+
+def _ax_slice(x, ax, j0, n):
+    """Dynamic window [j0:j0+n) along axis ax."""
+    starts = [0] * x.ndim
+    starts[ax] = j0
+    sizes = list(x.shape)
+    sizes[ax] = n
+    return jax.lax.dynamic_slice(x, tuple(starts), tuple(sizes))
+
+
+def _t3c_slab_iJ(i, j0, jc, Wvvvo_o, Wovoo_t, t2, eps_o, eps_v):
+    """t3[i, j0:j0+jc] chunk (j,k,a,b,c): the j-batched production tiling.
+
+    Identical arithmetic to jc stacked `_t3c_slab_ij` slabs, but each of
+    the twelve contractions is ONE matmul with an N-dimension jc times
+    larger — better MXU utilization and a fraction of the per-slab
+    fusion/layout overhead."""
+    Wi = Wvvvo_o[i]
+    t2i = t2[i]
+    t2_i2 = t2[:, i]
+    WJ = _ax_slice(Wvvvo_o, 0, j0, jc)
+    t2J = _ax_slice(t2, 0, j0, jc)
+    t2_J2 = _ax_slice(t2, 1, j0, jc)
+    t3 = contract("bae,kjce->jkabc", Wi, t2_J2)
+    t3 += contract("cae,jkbe->jkabc", Wi, t2J)
+    t3 += contract("kace,jbe->jkabc", Wvvvo_o, _ax_slice(t2_i2, 0, j0, jc))
+    t3 += contract("kbce,jae->jkabc", Wvvvo_o, _ax_slice(t2i, 0, j0, jc))
+    t3 += contract("jcbe,kae->jkabc", WJ, t2i)
+    t3 += contract("jabe,kce->jkabc", WJ, t2_i2)
+    t3 -= contract("jkmc,mab->jkabc", _ax_slice(Wovoo_t, 0, j0, jc), t2i)
+    t3 -= contract("kjmb,mac->jkabc", _ax_slice(Wovoo_t, 1, j0, jc), t2i)
+    t3 -= contract("jmb,kmca->jkabc", _ax_slice(Wovoo_t[i], 0, j0, jc), t2)
+    t3 -= contract("jma,kmcb->jkabc", _ax_slice(Wovoo_t[:, i], 0, j0, jc),
+                   t2)
+    t3 -= contract("kma,jmbc->jkabc", Wovoo_t[:, i], t2J)
+    t3 -= contract("kmc,jmba->jkabc", Wovoo_t[i], t2J)
+    eJ = jax.lax.dynamic_slice(eps_o, (j0,), (jc,))
+    denom = (eps_o[i] + eJ[:, None, None, None, None]
+             + eps_o[None, :, None, None, None]
+             - eps_v[None, None, :, None, None]
+             - eps_v[None, None, None, :, None]
+             - eps_v[None, None, None, None, :])
+    return t3 / denom
+
+
+def _chunk_pair_energies(t3, Lext, Eext, Fov, Evovv, t1e, t2we, t2wr):
+    """Per-j (T) energies of a (j,k,a,b,c) chunk against one set of
+    external operands.  Lext/Eext/t1e/t2we are either j-windows (for the
+    (i,j) role, leading axis j) or the fixed-i row broadcast to the
+    chunk.  Returns e[j]."""
+    td = t3 - t3.swapaxes(2, 4)
+    T = 2.0 * t3 - t3.swapaxes(3, 4) - t3.swapaxes(2, 4)
+    X1 = contract("jkabc,jkbc->ja", td, Lext)
+    X2 = contract("jkabc,kc->jab", td, Fov)
+    X2 += contract("jkabc,dkbc->jad", T, Evovv)
+    X2l = contract("jkabc,jklc->jlab", T, Eext)
+    e = 2.0 * contract("ja,ja->j", t1e, X1)
+    e += contract("jab,jab->j", t2we, X2)
+    e -= contract("jlab,jlab->j", t2wr, X2l)
+    return e
+
+
+@partial(jax.jit, static_argnames=("no", "jc"))
+def _t_vikings_row_sym_jc(i, Wvvvo_o, Wovoo_t, Evovv, Eooov, Loovv, Fov,
+                          eps, t1, t2, no, jc):
+    """Fixed-i (T) row, j-chunked AND pair-symmetric: jc j-values per
+    fori_loop trip (chunks tile [0,no); the triangle j>=i is enforced by
+    per-j masks on the energies, so partial chunks cost nothing extra).
+    Requires jc | no."""
+    eps_o, eps_v = eps[:no], eps[no:]
+    t2w = 4.0 * t2 - 2.0 * t2.swapaxes(2, 3)
+
+    def body(c, acc):
+        j0 = c * jc
+        jj = j0 + jnp.arange(jc)
+        # barrier: materialize the chunk ONCE.  Without it XLA remats the
+        # twelve-dot assembly into every energy consumer — all 12 chunk-
+        # sized dot outputs plus their layout copies live at once (44.9 GB
+        # at (32,128) jc=4)
+        t3 = jax.lax.optimization_barrier(
+            _t3c_slab_iJ(i, j0, jc, Wvvvo_o, Wovoo_t, t2, eps_o, eps_v))
+        # (i,j) role: external pair (i, j) for each j in the window
+        e_ij = _chunk_pair_energies(
+            t3, _ax_slice(Loovv, 0, j0, jc),
+            _ax_slice(Eooov, 0, j0, jc), Fov, Evovv,
+            jnp.broadcast_to(t1[i], (jc,) + t1[i].shape),
+            _ax_slice(t2w[i], 0, j0, jc),
+            jnp.broadcast_to(t2w[i], (jc,) + t2w[i].shape))
+        # (j,i) role from the SAME chunk: t3[j,i,k]^{abc} = t3[i,j,k]^{bac}
+        t3p = t3.swapaxes(2, 3)
+        e_ji = _chunk_pair_energies(
+            t3p, jnp.broadcast_to(Loovv[i], (jc,) + Loovv[i].shape),
+            jnp.broadcast_to(Eooov[i], (jc,) + Eooov[i].shape), Fov,
+            Evovv, _ax_slice(t1, 0, j0, jc),
+            _ax_slice(t2w, 0, j0, jc)[:, i],
+            _ax_slice(t2w, 0, j0, jc))
+        e = jnp.sum(jnp.where(jj >= i, e_ij, 0.0))
+        e += jnp.sum(jnp.where(jj > i, e_ji, 0.0))
+        return acc + e
+
+    return jax.lax.fori_loop(i // jc, no // jc, body,
+                             jnp.asarray(0.0, Fov.dtype))
+
+
+def t_scan_flops(no, nv, sym=True):
+    """Analytic flop count of the slab-scan (T) energy.  Per (i,j) slab:
+    six 2*no*nv^4 W-terms + six 2*no^2*nv^3 Wovoo terms + the no*nv^3
+    denominator; per consumed external pair: the 2*no*nv^4 Evovv dot +
+    td/T assembly + the small X contractions.  Used for roofline
+    reporting (bench.py) — XLA's cost_analysis charges a fori_loop body
+    once, so the analytic count is the honest sustained-rate basis."""
+    pairs = no * (no + 1) // 2 if sym else no * no
+    per_slab = (12.0 * no * nv ** 4 + 12.0 * no ** 2 * nv ** 3
+                + no * nv ** 3)
+    per_energy = (2.0 * no * nv ** 4 + 2.0 * no ** 2 * nv ** 3
+                  + 10.0 * no * nv ** 3)
+    n_energy = no * no  # every ordered pair is consumed exactly once
+    return pairs * per_slab + n_energy * per_energy
+
+
 def t_vikings_scan_core(Wvvvo_o, Wovoo_t, Evovv, Eooov, Loovv, Fov, eps,
-                        t1, t2, no):
+                        t1, t2, no, sym=True):
     """Slice-fed (T) energy core: callable directly when the full ERI/L are
     never materialized (sliced-H storage, probes).
 
@@ -504,11 +653,23 @@ def t_vikings_scan_core(Wvvvo_o, Wovoo_t, Evovv, Eooov, Loovv, Fov, eps,
     which the axon TPU worker watchdog kills ("worker crashed/restarted").
     The host-side i loop keeps each dispatch a few seconds with identical
     arithmetic.  Do NOT wrap this function in jax.jit (that would unroll
-    the host loop back into one long program)."""
+    the host loop back into one long program).
+
+    sym=True (default) builds each T3 slab once per unordered pair
+    (_t_vikings_row_sym_jc) — ~1.7x fewer flops, identical energy — and
+    chunks jc j-values per trip behind an optimization_barrier.  The
+    barrier is the decisive piece: without it XLA REMATERIALIZES the
+    twelve-dot slab assembly into every energy consumer, and the scan
+    runs ~5.6x slower (60.9 s vs 10.8 s at (32,128) f32)."""
+    if sym:
+        jc = 2 if no % 2 == 0 else 1
+        row = partial(_t_vikings_row_sym_jc, jc=jc)
+    else:
+        row = _t_vikings_row
     e = jnp.asarray(0.0, Fov.dtype)
     for i in range(no):
-        e = e + _t_vikings_row(jnp.asarray(i), Wvvvo_o, Wovoo_t, Evovv,
-                               Eooov, Loovv, Fov, eps, t1, t2, no=no)
+        e = e + row(jnp.asarray(i), Wvvvo_o, Wovoo_t, Evovv,
+                    Eooov, Loovv, Fov, eps, t1, t2, no=no)
     return e
 
 
@@ -551,13 +712,27 @@ def _t3c_chunk_ij(i, j, k0, kc, W, Wovoo_t, t2, eps_o, eps_v):
     return t3 / denom
 
 
+def _chunk_X(t3, WK, Lj_k, Fov_k, Ej_k):
+    """X1/X2/X2l increments of one k-chunk slab for one external pair.
+    Evovv[d,k,b,c] = (db|kc) == (db|ck) = W[k,d,c,b], a label permutation
+    of the SAME resident tensor — XLA materializes one kc*v^3 layout copy
+    per chunk instead of a second no*v^3 resident."""
+    td = t3 - t3.swapaxes(1, 3)
+    T = 2.0 * t3 - t3.swapaxes(2, 3) - t3.swapaxes(1, 3)
+    X1 = contract("kabc,kbc->a", td, Lj_k)
+    X2 = contract("kabc,kc->ab", td, Fov_k)
+    X2 += contract("kabc,kdcb->ad", T, WK)
+    X2l = contract("kabc,klc->lab", T, Ej_k)
+    return X1, X2, X2l
+
+
 @partial(jax.jit, static_argnames=("no", "kc"))
 def _t_df_row_chunked(i, W, Wovoo_t, Eooov, Loovv, Fov, eps, t1, t2,
                       no, kc):
-    """One fixed-i row of the (T) energy with k-chunked slabs and NO
-    separate Evovv: Evovv[d,k,b,c] = (db|kc) == (db|ck) = W[k,d,c,b], a
-    label permutation of the SAME resident tensor — XLA materializes one
-    kc*v^3 layout copy per chunk instead of a second no*v^3 resident."""
+    """One fixed-i row of the (T) energy with k-chunked slabs, exploiting
+    the pair-permutation symmetry (see _t_vikings_row_sym): each chunk
+    slab built for j >= i feeds BOTH the (i,j) and (j,i) X-accumulators;
+    the n^7 slab build runs once per unordered pair."""
     eps_o, eps_v = eps[:no], eps[no:]
     nv = eps_v.shape[0]
     t2w = 4.0 * t2 - 2.0 * t2.swapaxes(2, 3)
@@ -565,32 +740,42 @@ def _t_df_row_chunked(i, W, Wovoo_t, Eooov, Loovv, Fov, eps, t1, t2,
 
     def body(j, acc):
         def chunk(carry, k0):
-            X1, X2, X2l = carry
-            t3 = _t3c_chunk_ij(i, j, k0, kc, W, Wovoo_t, t2, eps_o, eps_v)
-            td = t3 - t3.swapaxes(1, 3)
-            T = 2.0 * t3 - t3.swapaxes(2, 3) - t3.swapaxes(1, 3)
-            X1 = X1 + contract("kabc,kbc->a", td, _dslice(Loovv[j], k0, kc))
-            X2 = X2 + contract("kabc,kc->ab", td, _dslice(Fov, k0, kc))
+            Xij, Xji = carry
+            # barrier: materialize the chunk once instead of letting XLA
+            # remat the assembly into both energy consumers (see
+            # t_vikings_scan_core)
+            t3 = jax.lax.optimization_barrier(
+                _t3c_chunk_ij(i, j, k0, kc, W, Wovoo_t, t2, eps_o, eps_v))
             WK = jax.lax.dynamic_slice(W, (k0, 0, 0, 0), (kc, nv, nv, nv))
-            X2 = X2 + contract("kabc,kdcb->ad", T, WK)
-            X2l = X2l + contract("kabc,klc->lab", T,
-                                 _dslice(Eooov[j], k0, kc))
-            return (X1, X2, X2l), 0.0
+            Fk = _dslice(Fov, k0, kc)
+            dij = _chunk_X(t3, WK, _dslice(Loovv[j], k0, kc), Fk,
+                           _dslice(Eooov[j], k0, kc))
+            dji = _chunk_X(t3.swapaxes(1, 2), WK,
+                           _dslice(Loovv[i], k0, kc), Fk,
+                           _dslice(Eooov[i], k0, kc))
+            Xij = tuple(x + d for x, d in zip(Xij, dij))
+            Xji = tuple(x + d for x, d in zip(Xji, dji))
+            return (Xij, Xji), 0.0
 
         z = (jnp.zeros((nv,), Fov.dtype), jnp.zeros((nv, nv), Fov.dtype),
              jnp.zeros((no, nv, nv), Fov.dtype))
-        (X1, X2, X2l), _ = jax.lax.scan(chunk, z, k0s)
+        ((X1, X2, X2l), (Y1, Y2, Y2l)), _ = jax.lax.scan(chunk, (z, z), k0s)
         e = 2.0 * contract("a,a->", t1[i], X1)
         e += contract("ab,ab->", t2w[i, j], X2)
         e -= contract("lab,lab->", t2w[i], X2l)
-        return acc + e
+        ep = 2.0 * contract("a,a->", t1[j], Y1)
+        ep += contract("ab,ab->", t2w[j, i], Y2)
+        ep -= contract("lab,lab->", t2w[j], Y2l)
+        return acc + e + jnp.where(j > i, ep, 0.0)
 
-    return jax.lax.fori_loop(0, no, body, jnp.asarray(0.0, Fov.dtype))
+    return jax.lax.fori_loop(i, no, body, jnp.asarray(0.0, Fov.dtype))
 
 
-def _t_df_kc(no, nv, max_elems=2 ** 27):
+def _t_df_kc(no, nv, max_elems=2 ** 26):
     """Largest divisor of no whose chunk slab (kc, v, v, v) stays under
-    max_elems elements (512 MB f32 by default)."""
+    max_elems elements (256 MB f32 by default — the symmetric row carries
+    ~7 simultaneous chunk-sized temps: t3, its pair transpose, and both
+    td/T sets)."""
     cap = max(1, int(max_elems // max(1, nv ** 3)))
     kc = 1
     for d in range(1, no + 1):

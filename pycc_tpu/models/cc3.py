@@ -664,7 +664,10 @@ def l3_slab(i, L4, l1, l2, Fov, Wvovv, Wooov, eps_o, eps_v):
              - eps_v[None, None, :, None, None]
              - eps_v[None, None, None, :, None]
              - eps_v[None, None, None, None, :])
-    return l3 / denom
+    # barrier: materialize the slab once instead of letting XLA remat the
+    # ~40-dot assembly into every permuted consumer (see
+    # triples._t3c_slab — the same pathology cost the (T) scan 5.6x)
+    return jax.lax.optimization_barrier(l3 / denom)
 
 
 def _l3_slab_ij(i, j, L4, l1, l2, Fov, Wvovv, Wooov, eps_o, eps_v):
@@ -725,7 +728,7 @@ def _l3_slab_ij(i, j, L4, l1, l2, Fov, Wvovv, Wooov, eps_o, eps_v):
              - eps_v[None, :, None, None]
              - eps_v[None, None, :, None]
              - eps_v[None, None, None, :])
-    return l3 / denom
+    return jax.lax.optimization_barrier(l3 / denom)  # see l3_slab
 
 
 def _l3_slab_ij_chunk(i, j, k0, kc, L4, l1, l2, Fov, Wvovv, Wooov,
@@ -804,7 +807,7 @@ def _l3_slab_ij_chunk(i, j, k0, kc, L4, l1, l2, Fov, Wvovv, Wooov,
              - eps_v[None, :, None, None]
              - eps_v[None, None, :, None]
              - eps_v[None, None, None, :])
-    return l3 / denom
+    return jax.lax.optimization_barrier(l3 / denom)  # see l3_slab
 
 
 def _cc3_t3_slab(i, F, Wabei_o, Wmbij_t, t2, eps_o, eps_v, real_time,
@@ -822,7 +825,7 @@ def _cc3_t3_slab(i, F, Wabei_o, Wmbij_t, t2, eps_o, eps_v, real_time,
                  - eps_v[None, None, :, None, None]
                  - eps_v[None, None, None, :, None]
                  - eps_v[None, None, None, None, :])
-        t3 = t3 - t3p / denom
+        t3 = jax.lax.optimization_barrier(t3 - t3p / denom)
     return t3
 
 
@@ -838,7 +841,7 @@ def _cc3_t3_slab_pair(i, j, Vov, Wabei_o, Wmbij_t, t2, eps_o, eps_v,
                  - eps_v[None, :, None, None]
                  - eps_v[None, None, :, None]
                  - eps_v[None, None, None, :])
-        t3 = t3 - t3p / denom
+        t3 = jax.lax.optimization_barrier(t3 - t3p / denom)
     return t3
 
 

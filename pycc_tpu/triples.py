@@ -372,7 +372,11 @@ def _t3c_slab(i, Wvvvo_o, Wovoo_t, t2, eps_o, eps_v):
              - eps_v[None, None, :, None, None]
              - eps_v[None, None, None, :, None]
              - eps_v[None, None, None, None, :])
-    return t3 / denom
+    # barrier: materialize the slab once.  Without it XLA REMATERIALIZES
+    # the whole assembly into every downstream consumer (each permuted
+    # read re-runs the twelve dots) — the (T) scan ran 5.6x slower and
+    # the j-chunked row compile-OOM'd at 44.9 GB.
+    return jax.lax.optimization_barrier(t3 / denom)
 
 
 def _t3c_slab_ij(i, j, Wvvvo_o, Wovoo_t, t2, eps_o, eps_v):
@@ -398,7 +402,7 @@ def _t3c_slab_ij(i, j, Wvvvo_o, Wovoo_t, t2, eps_o, eps_v):
              - eps_v[None, :, None, None]
              - eps_v[None, None, :, None]
              - eps_v[None, None, None, :])
-    return t3 / denom
+    return jax.lax.optimization_barrier(t3 / denom)  # see _t3c_slab
 
 
 def t_vikings_scan(cc):
@@ -565,7 +569,7 @@ def _t3c_slab_iJ(i, j0, jc, Wvvvo_o, Wovoo_t, t2, eps_o, eps_v):
              - eps_v[None, None, :, None, None]
              - eps_v[None, None, None, :, None]
              - eps_v[None, None, None, None, :])
-    return t3 / denom
+    return jax.lax.optimization_barrier(t3 / denom)  # see _t3c_slab
 
 
 def _chunk_pair_energies(t3, Lext, Eext, Fov, Evovv, t1e, t2we, t2wr):
@@ -598,12 +602,7 @@ def _t_vikings_row_sym_jc(i, Wvvvo_o, Wovoo_t, Evovv, Eooov, Loovv, Fov,
     def body(c, acc):
         j0 = c * jc
         jj = j0 + jnp.arange(jc)
-        # barrier: materialize the chunk ONCE.  Without it XLA remats the
-        # twelve-dot assembly into every energy consumer — all 12 chunk-
-        # sized dot outputs plus their layout copies live at once (44.9 GB
-        # at (32,128) jc=4)
-        t3 = jax.lax.optimization_barrier(
-            _t3c_slab_iJ(i, j0, jc, Wvvvo_o, Wovoo_t, t2, eps_o, eps_v))
+        t3 = _t3c_slab_iJ(i, j0, jc, Wvvvo_o, Wovoo_t, t2, eps_o, eps_v)
         # (i,j) role: external pair (i, j) for each j in the window
         e_ij = _chunk_pair_energies(
             t3, _ax_slice(Loovv, 0, j0, jc),
@@ -709,7 +708,7 @@ def _t3c_chunk_ij(i, j, k0, kc, W, Wovoo_t, t2, eps_o, eps_v):
              - eps_v[None, :, None, None]
              - eps_v[None, None, :, None]
              - eps_v[None, None, None, :])
-    return t3 / denom
+    return jax.lax.optimization_barrier(t3 / denom)  # see _t3c_slab
 
 
 def _chunk_X(t3, WK, Lj_k, Fov_k, Ej_k):
@@ -741,11 +740,7 @@ def _t_df_row_chunked(i, W, Wovoo_t, Eooov, Loovv, Fov, eps, t1, t2,
     def body(j, acc):
         def chunk(carry, k0):
             Xij, Xji = carry
-            # barrier: materialize the chunk once instead of letting XLA
-            # remat the assembly into both energy consumers (see
-            # t_vikings_scan_core)
-            t3 = jax.lax.optimization_barrier(
-                _t3c_chunk_ij(i, j, k0, kc, W, Wovoo_t, t2, eps_o, eps_v))
+            t3 = _t3c_chunk_ij(i, j, k0, kc, W, Wovoo_t, t2, eps_o, eps_v)
             WK = jax.lax.dynamic_slice(W, (k0, 0, 0, 0), (kc, nv, nv, nv))
             Fk = _dslice(Fov, k0, kc)
             dij = _chunk_X(t3, WK, _dslice(Loovv[j], k0, kc), Fk,
@@ -847,7 +842,7 @@ def _t3d_slab_ij(i, j, t1, t2, Eoovv, Fov, eps_o, eps_v):
              - eps_v[None, :, None, None]
              - eps_v[None, None, :, None]
              - eps_v[None, None, None, :])
-    return t3 / denom
+    return jax.lax.optimization_barrier(t3 / denom)  # see _t3c_slab
 
 
 def t3_density_scan(cc):
@@ -954,7 +949,7 @@ def _t3_density_row_mn(i, acc, Wvvvo_o, Wovoo_t, Evovv, Eooov, Eoovv,
         (X2, Dvv, Dov, Goovv, S1) = acc
         M = _t3c_slab_ij(i, j, Wvvvo_o, Wovoo_t, t2, eps_o, eps_v)
         N = _t3d_slab_ij(i, j, t1, t2, Eoovv, Fov, eps_o, eps_v)
-        MN = M + N
+        MN = jax.lax.optimization_barrier(M + N)
 
         # Md = M - M^{a<->c};  T = 2M - M^{b<->c} - M^{a<->c}  (relabeled)
         x2ij = contract("kabc,kc->ab", M, Fov)
@@ -1003,7 +998,7 @@ def _t3_density_row_w(i, acc, Wvvvo_o, Wovoo_t, Evovv, Eooov, Eovvv, Eoovv,
         (Gooov, Gvvvo_t, S2) = acc
         M = _t3c_slab_ij(i, j, Wvvvo_o, Wovoo_t, t2, eps_o, eps_v)
         N = _t3d_slab_ij(i, j, t1, t2, Eoovv, Fov, eps_o, eps_v)
-        P = 2.0 * M + N
+        P = jax.lax.optimization_barrier(2.0 * M + N)
         # W = X3(P) is never materialized: distribute the 6 permutations
         # into each consumer (a 256 MB layout copy per distinct perm beats
         # holding W plus its build chain live)
@@ -1037,7 +1032,7 @@ def _t3_density_row_doo(i, Doo, Wvvvo_o, Wovoo_t, Eoovv, Fov, eps, t1, t2,
     def body(j, Doo):
         M = _t3c_slab_ij(i, j, Wvvvo_o, Wovoo_t, t2, eps_o, eps_v)
         N = _t3d_slab_ij(i, j, t1, t2, Eoovv, Fov, eps_o, eps_v)
-        MN = M + N
+        MN = jax.lax.optimization_barrier(M + N)
         for c_, o_ in _X3_TERMS:
             comb = tuple(cyc[k] for k in _order_axes(o_))
             Doo = Doo - (0.5 * c_) * contract(

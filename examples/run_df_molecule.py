@@ -30,6 +30,17 @@ def main():
                          "model runs from factors (CC3 via the dressed-W "
                          "slab scan, models/cc3.py)")
     ap.add_argument("--precision", default="SP")
+    ap.add_argument("--mixed", action="store_true",
+                    help="mixed-precision solve (solve_cc_mixed): f32 to "
+                         "its noise floor, then f64 refinement to --e-conv "
+                         "— the at-scale accuracy-recovery path (implies "
+                         "a DP construction)")
+    ap.add_argument("--sp-conv", type=float, default=1e-6,
+                    help="floor-stage tolerance for --mixed")
+    ap.add_argument("--refine-maxiter", type=int, default=12,
+                    help="f64-stage iteration cap for --mixed (each "
+                         "refinement iteration pays the TPU f64-emulation "
+                         "tax)")
     ap.add_argument("--nblocks", type=int, default=None)
     ap.add_argument("--e-conv", type=float, default=1e-7)
     ap.add_argument("--r-conv", type=float, default=1e-6)
@@ -87,20 +98,32 @@ def main():
              int(d["nbf"]), float(d["escf"])))
     sys.stdout.flush()
 
+    precision = "DP" if args.mixed else args.precision
     cc = pycc_tpu.ccwfn.from_df_factors(
         B, F, no, escf=float(d["escf"]), model=args.model,
-        precision=args.precision, df_nblocks=args.nblocks)
+        precision=precision, df_nblocks=args.nblocks)
     t0 = time.time()
-    ecc = cc.solve_cc(e_conv=args.e_conv, r_conv=args.r_conv,
-                      maxiter=args.maxiter, max_diis=args.max_diis)
+    if args.mixed:
+        ecc = cc.solve_cc_mixed(e_conv=args.e_conv, r_conv=args.r_conv,
+                                maxiter=args.maxiter, sp_conv=args.sp_conv,
+                                refine_maxiter=args.refine_maxiter,
+                                max_diis=args.max_diis)
+    else:
+        ecc = cc.solve_cc(e_conv=args.e_conv, r_conv=args.r_conv,
+                          maxiter=args.maxiter, max_diis=args.max_diis)
     t_solve = time.time() - t0
-    print(json.dumps({
+    row = {
         "molecule": str(d["molname"]), "basis": str(d["basis"]),
         "nbf": int(d["nbf"]), "no": no, "nv": B.shape[1] - no,
         "naux": int(B.shape[0]), "model": args.model,
-        "precision": args.precision,
+        "precision": precision,
         "e_corr": float(ecc), "e_total": float(d["escf"]) + float(ecc),
-        "converged": bool(cc.converged), "t_solve_s": round(t_solve, 2)}))
+        "converged": bool(cc.converged), "t_solve_s": round(t_solve, 2)}
+    if args.mixed:
+        row["mixed"] = True
+        row["e_sp_floor"] = cc.e_sp_floor
+        row["refinement_dE"] = float(ecc) - cc.e_sp_floor
+    print(json.dumps(row))
     sys.stdout.flush()
 
     if args.triples:

@@ -1006,7 +1006,10 @@ class ccwfn:
         self._cast_stage(sp_dtype)
         kw_sp = dict(kw)
         kw_sp.update(sp_kwargs or {})
-        self.solve_cc(sp_conv, sp_conv, maxiter, **kw_sp)
+        # e_sp_floor records where the low-precision stage stopped, so
+        # at-scale runs can report the refinement gap it recovered
+        self.e_sp_floor = float(self.solve_cc(sp_conv, sp_conv, maxiter,
+                                              **kw_sp))
         # ---- f64 refinement from the floor amplitudes ----
         self._cast_stage(jnp.float64)
         ecc = self.solve_cc(e_conv, r_conv,

@@ -10,6 +10,7 @@ reference's in-test Psi4 EOM run.
 
 import time
 import warnings
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -183,36 +184,37 @@ class cceom:
         def _sig_one(hb, aux, t2, c):
             return sig(hb, aux, t2, c, skip_vvvv=True)
 
-        @jax.jit
-        def _ladder_half(acc, c2h, Hh):
-            # one vector, HALF the ef contraction per dispatch: the f32
-            # MXU synthesis allocates an 8 GB temp for the full
-            # (v^2, v^2) dot at (32,128) — with everything else resident
-            # that is 2 MB over the HBM budget, so the two halves run as
-            # separate programs whose temps never coexist
-            return acc + jnp.dot(c2h, Hh,
-                                 preferred_element_type=acc.dtype)
+        @partial(jax.jit, donate_argnums=(0,))
+        def _ladder_one(s_row, c_row, Hefab):
+            # ONE program per vector: lax.scan over ef-chunks of the
+            # (v^2, v^2) ladder with a donated accumulator, so only one
+            # chunk-sized MXU temp is live at a time.  (The earlier
+            # formulation ran 4 host-sync'd quarter dispatches per vector
+            # — the full one-shot dot's f32 synthesis allocated an 8 GB
+            # temp at (32,128); the scan keeps the same q = v^2/8 split
+            # inside a single dispatch.)
+            C2 = c_row[no * nv:].reshape(no * no, nv * nv)
+            H2 = Hefab.reshape(nv * nv, nv * nv)
+            n_chunks = 8
+            q = -(-(nv * nv) // n_chunks)
+            pad = n_chunks * q - nv * nv
+            if pad:  # zero-pad the contracted axis (dynamic_slice CLAMPS
+                # an out-of-range start, which would double-count the tail)
+                H2 = jnp.pad(H2, ((0, pad), (0, 0)))
+                C2 = jnp.pad(C2, ((0, 0), (0, pad)))
 
-        @jax.jit
-        def _ladder_fin(s_row, lad):
+            def body(acc, s):
+                Hh = jax.lax.dynamic_slice(H2, (s, 0), (q, nv * nv))
+                Ch = jax.lax.dynamic_slice(C2, (0, s), (no * no, q))
+                return acc + jnp.dot(Ch, Hh,
+                                     preferred_element_type=acc.dtype), 0.0
+
+            lad, _ = jax.lax.scan(
+                body, jnp.zeros((no * no, nv * nv), c_row.dtype),
+                q * jnp.arange(n_chunks))
             lad = 0.5 * lad.reshape(no, no, nv, nv)
             lad = lad + lad.transpose(1, 0, 3, 2)
             return s_row.at[no * nv:].add(lad.ravel())
-
-        def _ladder_one(s_row, c_row, Hefab):
-            # QUARTER the ef contraction: the halved split compiled with
-            # ~2 MB of HBM headroom in isolation, then runtime-OOM'd at
-            # (32,128) once the Davidson's real residency (subspace,
-            # sigma rows, Loovv, aux) surrounded it (measured 2026-08-18).
-            # Each slice is its own dispatch so the temps never coexist.
-            C2 = c_row[no * nv:].reshape(no * no, nv * nv)
-            H2 = Hefab.reshape(nv * nv, nv * nv)
-            q = max(1, (nv * nv) // 4)
-            lad = jnp.zeros((no * no, nv * nv), c_row.dtype)
-            for s in range(0, nv * nv, q):
-                lad = _ladder_half(lad, C2[:, s:s + q], H2[s:s + q])
-                jax.block_until_ready(lad)
-            return _ladder_fin(s_row, lad)
 
         # sequential sigma on big systems (no*nv^3 heuristic); settable
         self.sigma_sequential = no * nv ** 3 > 2e7
@@ -407,6 +409,16 @@ class cceom:
             # orthonormalize the initial guesses
             C = np.linalg.qr(C.T)[0].T.copy()
         S = np.asarray(self._sigma(jnp.asarray(C)))
+        # the subspace algebra runs in the sigma's own precision: the
+        # f64-default np.hstack/np.zeros above otherwise make C (and every
+        # C @ S.T / Gram-Schmidt pass) double precision — ~4 GB of host
+        # arrays and 2x the single-core flops at (32,128) with maxM=30
+        C = np.ascontiguousarray(C, dtype=S.dtype)
+        D = D.astype(S.dtype)
+        # Gram matrix maintained INCREMENTALLY: a full C @ S.T recompute
+        # is O(M^2 dim) on the single host core every iteration (~3e10
+        # flops at (32,128) M=30) and dominated the at-scale wall
+        G = C @ S.T
         E = np.zeros(N)
 
         converged = False
@@ -428,7 +440,6 @@ class cceom:
                 from .utils.checkpoint import save_amps
                 save_amps(chk, C=C, E=E, niter=niter - 1)
 
-            G = C @ S.T
             E, a = np.linalg.eig(G)
             idx = np.real(E).argsort()[:N]
             E = np.real(E[idx])
@@ -465,8 +476,9 @@ class cceom:
 
             if M >= maxM:
                 # collapse to the current best N vectors
-                C = np.linalg.qr((a.T @ C).T)[0].T.copy()
+                C = np.linalg.qr((a.T @ C).T)[0].T.copy().astype(S.dtype)
                 S = np.asarray(self._sigma(jnp.asarray(C)))
+                G = C @ S.T
                 continue
 
             # Gram-Schmidt the corrections against the subspace; drop
@@ -498,10 +510,13 @@ class cceom:
                         "CCEOM: correction space exhausted with max residual "
                         "norm %.2e > r_conv=%.1e" % (rnorms.max(), r_conv))
                 break
-            new = np.array(added)
+            new = np.array(added, dtype=S.dtype)
             S_new = np.asarray(self._sigma(jnp.asarray(new)))
+            # incremental Gram update: only the new rows/columns
+            G_right = C @ S_new.T
             C = np.vstack((C, new))
             S = np.vstack((S, S_new))
+            G = np.vstack((np.hstack((G, G_right)), new @ S.T))
 
         self.converged = converged
         if converged:

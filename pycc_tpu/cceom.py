@@ -24,6 +24,90 @@ from .utils.log import logger as log
 HARTREE2EV = 27.211386245988
 
 
+# ----------------------------------------------------------------------
+# Device-resident Davidson subspace programs (at-scale path).
+#
+# Through the axon tunnel a 67 MB subspace vector costs ~2.5 s up and
+# 2-19 s down (measured 2026-08-19), so the host-side Davidson paid
+# ~4-40 s of pure transfer per sigma vector — the dominant share of the
+# 131 s/iter wall at (32,128).  These programs keep the subspace blocks
+# C and S resident on device (rows >= M are ZERO by invariant, so no
+# masking is ever needed) and move only M x M matrices, norms, and the
+# tiny eig coefficients across the tunnel.  The reference keeps its
+# whole Davidson in host numpy (/root/reference/pycc/cceom.py:114-174).
+# ----------------------------------------------------------------------
+
+@jax.jit
+def _dev_gram(C, S):
+    return jnp.dot(C, S.T)
+
+
+@jax.jit
+def _dev_resid(C, S, aT, E, Dd):
+    """Residual rows, their norms, and preconditioned corrections for the
+    N tracked roots.  aT is (N, maxMp) zero-padded past M."""
+    R = jnp.dot(aT, S) - E[:, None] * jnp.dot(aT, C)
+    rn = jnp.sqrt(jnp.sum(R * R, axis=1))
+    delta = R / (E[:, None] - Dd[None, :])
+    return delta, rn
+
+
+@jax.jit
+def _dev_gs(delta, C, active, rtol):
+    """DGKS Gram-Schmidt of the correction rows against the subspace AND
+    each other (sequential scan), entirely on device.  Returns the
+    orthonormalized candidate rows (zero where dropped/locked), their
+    post-projection norms and pre-projection norms; the host applies the
+    relative-dependence cutoff from the returned scalars."""
+    N, dim = delta.shape
+
+    def body(W, k):
+        d = jax.lax.dynamic_slice(delta, (k, 0), (1, dim))[0]
+        d0 = jnp.sqrt(jnp.sum(d * d))
+        for _ in range(2):
+            d = d - jnp.dot(jnp.dot(d, C.T), C)
+            d = d - jnp.dot(jnp.dot(d, W.T), W)
+        n = jnp.sqrt(jnp.sum(d * d))
+        keep = active[k] & (n > rtol * d0)
+        row = jnp.where(keep, d / jnp.where(n > 0, n, 1.0),
+                        jnp.zeros_like(d))
+        W = jax.lax.dynamic_update_slice(W, row[None], (k, 0))
+        return W, (n, d0)
+
+    W, (ns, d0s) = jax.lax.scan(body, jnp.zeros_like(delta),
+                                jnp.arange(N))
+    return W, ns, d0s
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _dev_append(C, W, src, dst):
+    row = jax.lax.dynamic_slice(W, (src, 0), (1, W.shape[1]))
+    return jax.lax.dynamic_update_slice(C, row, (dst, 0))
+
+
+@jax.jit
+def _dev_collapse_w(C, aT):
+    """Ritz-vector block W = a^T C and its (N, N) overlap for the
+    host-side Cholesky orthonormalization at subspace collapse."""
+    W = jnp.dot(aT, C)
+    return W, jnp.dot(W, W.T)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _dev_collapse_apply(C, W, T):
+    """C <- zeros with rows [0, N) = T @ W (T = inv(chol(W W^T)))."""
+    Cn = jnp.dot(T, W)
+    return jax.lax.dynamic_update_slice(jnp.zeros_like(C), Cn, (0, 0))
+
+
+_dev_zero = jax.jit(lambda X: jnp.zeros_like(X), donate_argnums=0)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _dev_set_rows(C, block, at):
+    return jax.lax.dynamic_update_slice(C, block, (at, 0))
+
+
 def sigma1(hb, C1, C2, L, no, aux=None):
     o, v = slices(no)
     s1 = contract("ie,ae->ia", C1, hb.Hvv)
@@ -184,15 +268,13 @@ class cceom:
         def _sig_one(hb, aux, t2, c):
             return sig(hb, aux, t2, c, skip_vvvv=True)
 
-        @partial(jax.jit, donate_argnums=(0,))
-        def _ladder_one(s_row, c_row, Hefab):
-            # ONE program per vector: lax.scan over ef-chunks of the
-            # (v^2, v^2) ladder with a donated accumulator, so only one
-            # chunk-sized MXU temp is live at a time.  (The earlier
-            # formulation ran 4 host-sync'd quarter dispatches per vector
-            # — the full one-shot dot's f32 synthesis allocated an 8 GB
-            # temp at (32,128); the scan keeps the same q = v^2/8 split
-            # inside a single dispatch.)
+        def _ladder_add(s_row, c_row, Hefab):
+            # lax.scan over ef-chunks of the (v^2, v^2) ladder with a
+            # donated accumulator, so only one chunk-sized MXU temp is
+            # live at a time.  (The earlier formulation ran 4 host-sync'd
+            # quarter dispatches per vector — the full one-shot dot's f32
+            # synthesis allocated an 8 GB temp at (32,128); the scan
+            # keeps the same q = v^2/8 split inside a single dispatch.)
             C2 = c_row[no * nv:].reshape(no * no, nv * nv)
             H2 = Hefab.reshape(nv * nv, nv * nv)
             n_chunks = 8
@@ -215,6 +297,10 @@ class cceom:
             lad = 0.5 * lad.reshape(no, no, nv, nv)
             lad = lad + lad.transpose(1, 0, 3, 2)
             return s_row.at[no * nv:].add(lad.ravel())
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def _ladder_one(s_row, c_row, Hefab):
+            return _ladder_add(s_row, c_row, Hefab)
 
         # sequential sigma on big systems (no*nv^3 heuristic); settable
         self.sigma_sequential = no * nv ** 3 > 2e7
@@ -264,6 +350,34 @@ class cceom:
 
         self._sigma = sigma
 
+        # --- device-resident subspace primitives (rows >= M are zero).
+        # The earlier device-resident attempt runtime-OOM'd because the
+        # one-shot ladder's 8 GB f32-synthesis temp coexisted with C+S;
+        # with the chunk-scanned ladder the residency at (32,128) is
+        # ~2x2 GB subspace + 2.4 GB aux + slim HBAR, which fits.
+        @partial(jax.jit, donate_argnums=(0,))
+        def _srow_core(Sbuf, Cbuf, i, hbS, auxS, t2):
+            c = jax.lax.dynamic_slice(
+                Cbuf, (i, 0), (1, Cbuf.shape[1]))[0]
+            s = sig(hbS, auxS, t2, c, skip_vvvv=True)
+            return jax.lax.dynamic_update_slice(Sbuf, s[None], (i, 0))
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def _srow_ladder(Sbuf, Cbuf, i, Hefab):
+            c = jax.lax.dynamic_slice(
+                Cbuf, (i, 0), (1, Cbuf.shape[1]))[0]
+            s = jax.lax.dynamic_slice(
+                Sbuf, (i, 0), (1, Sbuf.shape[1]))[0]
+            s = _ladder_add(s, c, Hefab)
+            return jax.lax.dynamic_update_slice(Sbuf, s[None], (i, 0))
+
+        def srow(Sbuf, Cbuf, i):
+            Sbuf = _srow_core(Sbuf, Cbuf, i, hb_slim, aux_core, cc.t2)
+            jax.block_until_ready(Sbuf)
+            return _srow_ladder(Sbuf, Cbuf, i, aux["Hvvvv_efab"])
+
+        self._srow = srow
+
     # ------------------------------------------------------------------
     def _init_df_sigma(self, hb, cc, no, nv):
         """Sigma closure over the DF-HBAR (storage='df'): per-vector
@@ -305,6 +419,16 @@ class cceom:
             return _sig_v(hb, Loovv, cc.t1, cc.t2, C)[:M]
 
         self._sigma = sigma
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def _srow_df(Sbuf, Cbuf, i, dfh, Lo, t1, t2):
+            c = jax.lax.dynamic_slice(
+                Cbuf, (i, 0), (1, Cbuf.shape[1]))[0]
+            s = sig(dfh, Lo, t1, t2, c)
+            return jax.lax.dynamic_update_slice(Sbuf, s[None], (i, 0))
+
+        self._srow = (lambda Sbuf, Cbuf, i:
+                      _srow_df(Sbuf, Cbuf, i, hb, Loovv, cc.t1, cc.t2))
 
     # ------------------------------------------------------------------
     def dense_matrix(self):
@@ -375,7 +499,7 @@ class cceom:
 
     def solve_eom(self, N=1, e_conv=1e-5, r_conv=1e-5, maxiter=100,
                   guess="HBAR_SS", maxM=None, chk=None, chk_every=1,
-                  resume=False):
+                  resume=False, device_subspace=None):
         """chk=<path.npz> checkpoints the Davidson subspace C (+ energies
         and iteration counter) every chk_every iterations; resume=True
         reloads it and rebuilds the sigma block S with ONE batched sigma
@@ -383,7 +507,21 @@ class cceom:
         subspace itself, and one sigma pass is exactly what an iteration
         would have spent anyway).  Survival infrastructure for the
         hour-class at-scale Davidson runs (PERF.md: 3923 s at (32,128));
-        the reference has no solver checkpointing at all."""
+        the reference has no solver checkpointing at all.
+
+        device_subspace=True keeps the Davidson subspace blocks C and S
+        resident on device (auto when the sequential at-scale sigma is
+        selected): each subspace vector is 67 MB at (32,128) and the
+        tunnel downloads at ~3-30 MB/s, so the host-side loop's two
+        transfers per sigma dominated its 131 s/iter wall."""
+        if device_subspace is None:
+            device_subspace = (getattr(self, "sigma_sequential", False)
+                               and hasattr(self, "_srow"))
+        if device_subspace:
+            return self._solve_eom_device(
+                N=N, e_conv=e_conv, r_conv=r_conv, maxiter=maxiter,
+                guess=guess, maxM=maxM, chk=chk, chk_every=chk_every,
+                resume=resume)
         import os
         t_init = time.time()
         no, nv = self.no, self.nv
@@ -529,3 +667,157 @@ class cceom:
             warnings.warn("CCEOM did NOT converge in %d iterations "
                           "(|dE|=%.2e)" % (maxiter, np.linalg.norm(E - E_old)))
         return E, C
+
+    # ------------------------------------------------------------------
+    def _solve_eom_device(self, N, e_conv, r_conv, maxiter, guess, maxM,
+                          chk, chk_every, resume):
+        """Davidson with the subspace resident on device.
+
+        Identical algorithm to the host loop above (same guesses, DGKS
+        Gram-Schmidt, root locking, collapse, stall detection) but C and
+        S live in two fixed-shape (maxM + N, dim) device buffers with
+        rows >= M zero by invariant; per-vector sigmas read/write rows in
+        place via donation; the host sees only the (M, M) Gram matrix,
+        residual norms, and eig coefficients per iteration.  Collapse
+        orthonormalizes the Ritz block by symmetric (Loewdin) inverse
+        square root of its (N, N) overlap — the tall-skinny QR never runs
+        on device (QR is unimplemented on the axon runtime).
+
+        Checkpointing downloads the live rows (M x 67 MB at (32,128),
+        ~2 s each warm) — prefer chk_every >= 5 at scale."""
+        import os
+        t_init = time.time()
+        no, nv = self.no, self.nv
+        s1_len = no * nv
+        dim = s1_len + s1_len ** 2
+
+        M = N * 2
+        if maxM is None:
+            maxM = N * 10
+        maxMp = maxM + N  # collapse fires at M >= maxM, before appends
+
+        t2 = self.ccwfn.t2
+        dtype = jnp.asarray(t2).dtype
+        Dd = jnp.asarray(self.D, dtype)
+
+        niter0 = 0
+        if resume and chk is not None and os.path.exists(chk):
+            from .utils.checkpoint import load_amps
+            d = load_amps(chk, as_jax=False)
+            C0 = np.asarray(d["C"])
+            niter0 = int(d["niter"])
+            M = C0.shape[0]
+            log.info("CCEOM(dev) resumed from %s at iteration %d (M=%d); "
+                     "rebuilding sigma block" % (chk, niter0, M))
+        else:
+            _, C1 = self.guess(M, guess)
+            C0 = np.hstack((C1.reshape(M, s1_len),
+                            np.zeros((M, dim - s1_len))))
+            C0 = np.linalg.qr(C0.T)[0].T.copy()
+
+        C = jnp.zeros((maxMp, dim), dtype)
+        C = _dev_set_rows(C, jnp.asarray(C0, dtype), 0)
+        del C0
+        S = jnp.zeros((maxMp, dim), dtype)
+        with timers.time("eom.sigma"):
+            for i in range(M):
+                S = self._srow(S, C, i)
+            jax.block_until_ready(S)
+
+        E = np.zeros(N)
+        converged = False
+        self.residual_floor = None
+        best_r = np.inf
+        stalled = 0
+        E_old = E
+        for niter in range(niter0 + 1, maxiter + 1):
+            E_old = E
+            if chk is not None and (niter - 1) % chk_every == 0:
+                from .utils.checkpoint import save_amps
+                save_amps(chk, C=np.asarray(C[:M]), E=E, niter=niter - 1)
+
+            G = np.asarray(_dev_gram(C, S))[:M, :M].astype(np.float64)
+            E, a = np.linalg.eig(G)
+            idx = np.real(E).argsort()[:N]
+            E = np.real(E[idx])
+            a = np.real(a[:, idx])
+            aT = np.zeros((N, maxMp))
+            aT[:, :M] = a.T
+            aT = jnp.asarray(aT, dtype)
+            Ed = jnp.asarray(E, dtype)
+
+            delta, rn = _dev_resid(C, S, aT, Ed, Dd)
+            rnorms = np.asarray(rn).astype(np.float64)
+
+            dE = E - E_old
+            log.info("CCEOM iter %3d: M=%3d  E0=%.10f  |dE|=%.3e  "
+                     "max|r|=%.3e  (%.1f s)"
+                     % (niter, M, E[0], np.linalg.norm(dE), rnorms.max(),
+                        time.time() - t_init))
+            if (np.abs(np.linalg.norm(dE)) <= e_conv
+                    and np.all(rnorms <= r_conv)):
+                converged = True
+                break
+
+            if rnorms.max() < 0.98 * best_r:
+                best_r = rnorms.max()
+                stalled = 0
+            else:
+                stalled += 1
+            if (stalled >= 3 and niter >= 6
+                    and np.abs(np.linalg.norm(dE)) <= e_conv):
+                converged = True
+                self.residual_floor = float(rnorms.max())
+                log.warning(
+                    "CCEOM: residual norms stalled at %.2e (> r_conv=%.1e) "
+                    "for 3 iterations with energies converged — stopping "
+                    "at the precision noise floor." % (rnorms.max(), r_conv))
+                break
+
+            if M >= maxM:
+                # collapse: Loewdin-orthonormalize the N Ritz vectors
+                W, Gw = _dev_collapse_w(C, aT)
+                w, U = np.linalg.eigh(np.asarray(Gw).astype(np.float64))
+                w = np.maximum(w, 1e-12 * max(w.max(), 1.0))
+                T = (U / np.sqrt(w)) @ U.T
+                C = _dev_collapse_apply(C, W, jnp.asarray(T, dtype))
+                S = _dev_zero(S)
+                with timers.time("eom.sigma"):
+                    for i in range(N):
+                        S = self._srow(S, C, i)
+                    jax.block_until_ready(S)
+                M = N
+                continue
+
+            active = rnorms > r_conv  # converged roots are locked
+            W, ns, d0s = _dev_gs(delta, C, jnp.asarray(active), 1e-4)
+            ns_h = np.asarray(ns).astype(np.float64)
+            d0_h = np.asarray(d0s).astype(np.float64)
+            kept = [k for k in range(N)
+                    if active[k] and ns_h[k] > 1e-4 * d0_h[k]]
+            if not kept:
+                converged = bool(np.all(rnorms <= r_conv))
+                if not converged:
+                    warnings.warn(
+                        "CCEOM: correction space exhausted with max residual "
+                        "norm %.2e > r_conv=%.1e" % (rnorms.max(), r_conv))
+                break
+            for j, k in enumerate(kept):
+                C = _dev_append(C, W, k, M + j)
+            with timers.time("eom.sigma"):
+                for j in range(len(kept)):
+                    S = self._srow(S, C, M + j)
+                jax.block_until_ready(S)
+            M += len(kept)
+
+        self.converged = converged
+        if converged:
+            log.info("\nCCEOM converged in %.3f seconds." % (time.time() - t_init))
+            log.info("\nState     E_h           eV")
+            for state in range(N):
+                log.info("  %3d  %12.10f  %12.10f"
+                      % (state, E[state], E[state] * HARTREE2EV))
+        else:
+            warnings.warn("CCEOM did NOT converge in %d iterations "
+                          "(|dE|=%.2e)" % (maxiter, np.linalg.norm(E - E_old)))
+        return E, np.asarray(C[:M])

@@ -39,7 +39,15 @@ def test_eom_ccsd_h2o_sto3g():
     eom.sigma_sequential = True
     eom.release_dense_hbar()
     with contextlib.redirect_stdout(io.StringIO()):
-        E, C = eom.solve_eom(N=3, e_conv=1e-7, guess="CIS")
+        E, C = eom.solve_eom(N=3, e_conv=1e-7, guess="CIS",
+                             device_subspace=False)
+    assert np.allclose(E, ev, atol=1e-5), (E, ev)
+
+    # the device-resident Davidson (subspace C/S on device, only M x M
+    # matrices crossing the host boundary) must find the same roots
+    with contextlib.redirect_stdout(io.StringIO()):
+        E, C = eom.solve_eom(N=3, e_conv=1e-7, guess="CIS",
+                             device_subspace=True)
     assert np.allclose(E, ev, atol=1e-5), (E, ev)
 
 

@@ -186,8 +186,15 @@ def test_df_lambda_eom_end_to_end():
     # the big-system host-sequenced per-vector sigma gives the same roots
     eom.sigma_sequential = True
     with contextlib.redirect_stdout(io.StringIO()):
-        E_seq, _ = eom.solve_eom(N=3, e_conv=1e-8, r_conv=1e-7)
+        E_seq, _ = eom.solve_eom(N=3, e_conv=1e-8, r_conv=1e-7,
+                                 device_subspace=False)
     assert np.allclose(E_seq, E_ref, atol=1e-7), (E_seq, E_ref)
+
+    # ... and so does the device-resident Davidson over the DF sigma
+    with contextlib.redirect_stdout(io.StringIO()):
+        E_dev, _ = eom.solve_eom(N=3, e_conv=1e-8, r_conv=1e-7,
+                                 device_subspace=True)
+    assert np.allclose(E_dev, E_ref, atol=1e-7), (E_dev, E_ref)
 
 
 def test_cc2_hbar_and_lambda_df(setup):

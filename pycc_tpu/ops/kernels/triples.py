@@ -1,5 +1,12 @@
 """Pallas TPU kernel for the (T) triples energy: fused T3-slab pipeline.
 
+RETIRED as a performance path (round 4): the remat-barrier +
+pair-symmetric j-chunked XLA scan (triples._t_vikings_row_sym_jc) runs
+the same (32,128) f32 evaluation in 10.8 s vs this kernel's 170.9 s.
+Kept in-tree as an exact, CI-equality-tested scaffold documenting the
+Mosaic lowering rules (see PERF.md "Pallas (T) kernel"); no further
+tuning is planned.
+
 The XLA slab path (triples._t_vikings_row) is HBM-bound: each per-(i,j)
 T3 slab (no*v^3 f32) is materialized, its permuted combinations td/T are
 materialized again, and every X-contraction re-reads them — ~2 GB of HBM

@@ -570,6 +570,8 @@ class cceom:
         # device time).  self.residual_floor records the plateau.
         self.residual_floor = None
         best_r = np.inf
+        best_E = None
+        best_dE = np.inf
         stalled = 0
         for niter in range(niter0 + 1, maxiter + 1):
             E_old = E
@@ -599,6 +601,8 @@ class cceom:
 
             if rnorms.max() < 0.98 * best_r:
                 best_r = rnorms.max()
+                best_E = E.copy()
+                best_dE = float(np.linalg.norm(dE))
                 stalled = 0
             else:
                 stalled += 1
@@ -610,6 +614,20 @@ class cceom:
                     "CCEOM: residual norms stalled at %.2e (> r_conv=%.1e) "
                     "for 3 iterations with energies converged — stopping "
                     "at the precision noise floor." % (rnorms.max(), r_conv))
+                break
+            if stalled >= 6 and niter >= 8:
+                # hard floor stop: iterating past the precision floor is
+                # actively HARMFUL — noise-level corrections leak intruder
+                # directions into the subspace and the lowest Ritz values
+                # fall toward the operator's spectral bottom (measured at
+                # (32,128) f32, 2026-08-19).  Return the best iterate.
+                self.residual_floor = float(best_r)
+                E = best_E
+                converged = best_dE <= max(e_conv, best_r)
+                log.warning(
+                    "CCEOM: residual norms stopped improving (floor %.2e "
+                    "> r_conv=%.1e); returning the best iterate "
+                    "(|dE| was %.2e there)." % (best_r, r_conv, best_dE))
                 break
 
             if M >= maxM:
@@ -728,6 +746,8 @@ class cceom:
         converged = False
         self.residual_floor = None
         best_r = np.inf
+        best_E = None
+        best_dE = np.inf
         stalled = 0
         E_old = E
         for niter in range(niter0 + 1, maxiter + 1):
@@ -761,6 +781,8 @@ class cceom:
 
             if rnorms.max() < 0.98 * best_r:
                 best_r = rnorms.max()
+                best_E = E.copy()
+                best_dE = float(np.linalg.norm(dE))
                 stalled = 0
             else:
                 stalled += 1
@@ -772,6 +794,18 @@ class cceom:
                     "CCEOM: residual norms stalled at %.2e (> r_conv=%.1e) "
                     "for 3 iterations with energies converged — stopping "
                     "at the precision noise floor." % (rnorms.max(), r_conv))
+                break
+            if stalled >= 6 and niter >= 8:
+                # hard floor stop (see the host loop): past the floor,
+                # noise corrections leak intruder directions and the
+                # Ritz values fall off the targeted roots
+                self.residual_floor = float(best_r)
+                E = best_E
+                converged = best_dE <= max(e_conv, best_r)
+                log.warning(
+                    "CCEOM: residual norms stopped improving (floor %.2e "
+                    "> r_conv=%.1e); returning the best iterate "
+                    "(|dE| was %.2e there)." % (best_r, r_conv, best_dE))
                 break
 
             if M >= maxM:

@@ -162,6 +162,61 @@ class cclambda:
         return lambda_residuals_from_F(cc.model, F, cc.H.ERI, cc.H.L,
                                        t1, t2, l1, l2, cc.no)
 
+    def solve_lambda_mixed(self, e_conv=1e-10, r_conv=1e-10, maxiter=100,
+                           sp_conv=1e-6, sp_dtype=None,
+                           refine_maxiter=None, **kw):
+        """Mixed-precision Lambda solve, same scheme as ccwfn.solve_cc_mixed:
+        rebuild the HBAR at float32, converge Lambda to its f32 noise
+        floor (cheap iterations on the TPU, where f64 is emulated), then
+        rebuild the HBAR at float64 and refine the same l1/l2 to the
+        requested tolerances.  The Lambda fixed point is dtype-independent
+        given converged t-amplitudes, so the refined pseudoenergy equals a
+        pure-f64 solve.  Completes the at-scale accuracy-recovery path
+        for the post-convergence stack (the reference solves Lambda in
+        f64 only, /root/reference/pycc/cclambda.py:64-116).
+
+        Requires a precision='DP' ccwfn (the f64 masters are the
+        refinement-stage Hamiltonian); typically called after
+        solve_cc_mixed, whose converged f64 t1/t2 both stages consume.
+        self.hbar is left at the f64 build for downstream consumers
+        (density, response, EOM)."""
+        import jax.numpy as jnp
+
+        cc = self.ccwfn
+        if cc.precision != "DP":
+            raise Exception("solve_lambda_mixed needs a precision='DP' "
+                            "ccwfn construction (the f64 masters are the "
+                            "refinement-stage Hamiltonian).")
+        if cc.local is not None:
+            raise Exception("solve_lambda_mixed supports canonical "
+                            "storage modes only.")
+        from .cchbar import cchbar
+
+        sp_dtype = sp_dtype or jnp.float32
+        cc._ensure_mixed_masters()
+        # the t-amplitudes are a fixed PARAMETER of the Lambda equations
+        # (not the iterate, as in solve_cc_mixed): _cast_stage's f64->f32
+        # downcast would permanently truncate them, so keep the exact f64
+        # references alive through the floor stage and restore them for
+        # the refinement (o^2v^2 f64 ~ 1.7 GB at (40,360) — affordable)
+        t1_64, t2_64 = cc.t1, cc.t2
+        # ---- low-precision floor stage: f32 HBAR + f32 Lambda ----
+        cc._cast_stage(sp_dtype)
+        self.hbar = cchbar(cc)
+        self.l1 = self.l1.astype(sp_dtype)
+        self.l2 = self.l2.astype(sp_dtype)
+        self.e_sp_floor = float(self.solve_lambda(sp_conv, sp_conv,
+                                                  maxiter, **kw))
+        # ---- f64 refinement from the floor multipliers ----
+        cc._cast_stage(jnp.float64)
+        cc.t1, cc.t2 = t1_64, t2_64
+        self.hbar = cchbar(cc)
+        self.l1 = self.l1.astype(jnp.float64)
+        self.l2 = self.l2.astype(jnp.float64)
+        return self.solve_lambda(e_conv, r_conv,
+                                 refine_maxiter if refine_maxiter
+                                 else maxiter, **kw)
+
     def solve_lambda(self, e_conv=1e-7, r_conv=1e-7, maxiter=100, max_diis=8,
                      start_diis=1, stall_limit=10,
                      chk=None, chk_every=10, chk_ring=False, resume=False):

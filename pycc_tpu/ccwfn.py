@@ -925,6 +925,22 @@ class ccwfn:
         return t3_density_energy(self)
 
     # ------------------------------------------------------------------
+    def _ensure_mixed_masters(self):
+        """Stash f64 host masters: the per-stage device copies are cast
+        from these, and the device never holds both precisions at once."""
+        if hasattr(self, "_mixed_masters"):
+            return
+        self._mixed_masters = dict(
+            F=np.asarray(self.H.F),
+            ERI=(np.asarray(self.H.ERI)
+                 if self.storage == "full" else None),
+            L=(np.asarray(self.H.L)
+               if self.storage == "full" else None),
+            blocks=(jax.tree_util.tree_map(np.asarray, self.blocks)
+                    if self.storage == "blocked" else None),
+            dfb=(jax.tree_util.tree_map(np.asarray, self.dfb)
+                 if self.storage == "df" else None))
+
     def _cast_stage(self, dtype):
         """Re-point every solver-facing representation (F; and, per
         storage mode, the full ERI/L tensors, the Dirac blocks, or the
@@ -956,6 +972,10 @@ class ccwfn:
         self.__dict__.pop("Dijab", None)
         self.__dict__.pop("_dfb16", None)
         self.__dict__.pop("_blocks16", None)
+        # the (T)-Lambda triples sources are dtype-derived caches too
+        # (set by cclambda.solve_lambda for model='CCSD(T)')
+        self.__dict__.pop("S1", None)
+        self.__dict__.pop("S2", None)
         self._bind_residual_fns()
         if self.storage == "df":
             self._df_residual_fn = self._make_df_residual_fn()
@@ -989,19 +1009,7 @@ class ccwfn:
             raise Exception("solve_cc_mixed needs a precision='DP' "
                             "construction (the f64 masters are the "
                             "refinement-stage Hamiltonian).")
-        # f64 host masters: the per-stage device copies are cast from
-        # these, and the device never holds both precisions at once
-        if not hasattr(self, "_mixed_masters"):
-            self._mixed_masters = dict(
-                F=np.asarray(self.H.F),
-                ERI=(np.asarray(self.H.ERI)
-                     if self.storage == "full" else None),
-                L=(np.asarray(self.H.L)
-                   if self.storage == "full" else None),
-                blocks=(jax.tree_util.tree_map(np.asarray, self.blocks)
-                        if self.storage == "blocked" else None),
-                dfb=(jax.tree_util.tree_map(np.asarray, self.dfb)
-                     if self.storage == "df" else None))
+        self._ensure_mixed_masters()
         # ---- low-precision floor stage ----
         self._cast_stage(sp_dtype)
         kw_sp = dict(kw)

@@ -61,6 +61,40 @@ def test_mixed_df_matches_pure_f64():
     assert abs(emx - E_CCSD_STO3G) < 1e-9
 
 
+def test_mixed_lambda_matches_pure_f64():
+    """solve_lambda_mixed (f32 HBAR + Lambda floor, then f64 HBAR +
+    refinement) lands on the pure-f64 Lambda pseudoenergy — incl. the
+    exact-f64-t restoration (the t-amplitudes are a parameter of the
+    Lambda equations; a round-tripped f32 cast would poison the f64
+    stage at ~1e-7)."""
+    wfn = scf("H2O", "sto-3g")
+    with _quiet():
+        cc64 = pycc_tpu.ccwfn(wfn, storage="df", df_tol=1e-12)
+        cc64.solve_cc(1e-12, 1e-12)
+        hb64 = pycc_tpu.cchbar(cc64)
+        lam64 = pycc_tpu.cclambda(cc64, hb64)
+        le64 = lam64.solve_lambda(e_conv=1e-12, r_conv=1e-12)
+
+        cc = pycc_tpu.ccwfn(wfn, storage="df", df_tol=1e-12)
+        cc.solve_cc_mixed(1e-12, 1e-12)
+        hb = pycc_tpu.cchbar(cc)
+        lam = pycc_tpu.cclambda(cc, hb)
+        lemx = lam.solve_lambda_mixed(1e-12, 1e-12)
+    assert lam.converged
+    assert abs(lemx - le64) < 1e-11, (lemx, le64)
+    assert abs(lam.e_sp_floor - le64) < 1e-4  # the floor really was f32
+
+
+def test_mixed_lambda_requires_dp():
+    wfn = scf("H2O", "sto-3g")
+    with _quiet():
+        cc = pycc_tpu.ccwfn(wfn, precision="SP")
+        cc.solve_cc(1e-7, 1e-7)
+        lam = pycc_tpu.cclambda(cc, pycc_tpu.cchbar(cc))
+    with pytest.raises(Exception, match="DP"):
+        lam.solve_lambda_mixed()
+
+
 def test_mixed_df_split_residual():
     """The at-scale composition: mixed precision THROUGH the
     host-sequenced split DF residual (both stages re-evaluate the split

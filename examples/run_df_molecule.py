@@ -41,6 +41,11 @@ def main():
                     help="f64-stage iteration cap for --mixed (each "
                          "refinement iteration pays the TPU f64-emulation "
                          "tax)")
+    ap.add_argument("--refine-max-diis", type=int, default=0,
+                    help="DIIS depth for the f64 refinement stage (default "
+                         "0: an f64 ring is max_diis o^2v^2 pairs — 13 GB "
+                         "at (40,360) depth 4 — and Jacobi from the f32 "
+                         "floor converges in a handful of steps)")
     ap.add_argument("--nblocks", type=int, default=None)
     ap.add_argument("--e-conv", type=float, default=1e-7)
     ap.add_argument("--r-conv", type=float, default=1e-6)
@@ -107,7 +112,9 @@ def main():
         ecc = cc.solve_cc_mixed(e_conv=args.e_conv, r_conv=args.r_conv,
                                 maxiter=args.maxiter, sp_conv=args.sp_conv,
                                 refine_maxiter=args.refine_maxiter,
-                                max_diis=args.max_diis)
+                                max_diis=args.max_diis,
+                                refine_kwargs={
+                                    "max_diis": args.refine_max_diis})
     else:
         ecc = cc.solve_cc(e_conv=args.e_conv, r_conv=args.r_conv,
                           maxiter=args.maxiter, max_diis=args.max_diis)

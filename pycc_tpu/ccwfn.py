@@ -54,6 +54,35 @@ def _mp2_guess_fused(dfb, F, no, eri_oovv, dtype):
     return eri_oovv(dfb).astype(dtype) / d
 
 
+def _mp2_guess_big64(dtype, no, nv):
+    """True when the one-shot f64 guess would compile-OOM (see
+    _mp2_guess_scan); the f32/bf16 one-shot form is always safe."""
+    return dtype == np.float64 and no * no * nv * nv * 8 > 4e8
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _mp2_guess_scan(dfb, F, no, dtype):
+    """Occupied-row scan form of the f64 MP2 guess for big cases.  The
+    one-shot f64-emulated `eri_oovv` dot holds ~8 widened operand copies
+    of Bov on the TPU backend — 21.4 GB at (40,360) naux=3411, a
+    compile-OOM before the mixed solve even starts.  Scanning occupied
+    rows keeps ONE Bov resident; per-step temps are (o,v,v)-sized, and
+    the denominator divide stays fused inside the row (no Dijab)."""
+    eps = jnp.diagonal(F).astype(dtype)
+    eo, ev = eps[:no], eps[no:]
+    Bov = dfb.Bov.astype(dtype)
+
+    def row(_, x):
+        Bm, em = x
+        r = jnp.einsum("Pe,Pnf->nef", Bm, Bov)
+        dm = (em + eo[:, None, None] - ev[None, :, None]
+              - ev[None, None, :])
+        return None, r / dm
+
+    _, t2 = jax.lax.scan(row, None, (jnp.moveaxis(Bov, 1, 0), eo))
+    return t2
+
+
 class ccwfn:
     """An RHF-CC wave function and energy object (TPU-native)."""
 
@@ -180,8 +209,12 @@ class ccwfn:
             # post-convergence consumers get it lazily via __getattr__.
             self._setup_df_factors(scf_wfn, dtype)
             from .models.dfccsd import _eri_oovv
-            self.t2 = _mp2_guess_fused(self.dfb, jnp.asarray(self.H.F),
-                                       self.no, _eri_oovv, dtype)
+            if _mp2_guess_big64(np.dtype(dtype), self.no, self.nv):
+                self.t2 = _mp2_guess_scan(self.dfb, jnp.asarray(self.H.F),
+                                          self.no, dtype)
+            else:
+                self.t2 = _mp2_guess_fused(self.dfb, jnp.asarray(self.H.F),
+                                           self.no, _eri_oovv, dtype)
         else:
             eps = jnp.diag(jnp.asarray(self.H.F))
             self.Dia = (eps[o, None] - eps[None, v]).astype(dtype)
@@ -357,8 +390,11 @@ class ccwfn:
         # no resident Dia/Dijab in DF mode (see __init__/__getattr__)
         self.dfb = dfq.df_blocks(B, self.no)
         self.t1 = jnp.zeros((self.no, self.nv), dtype=dtype)
-        self.t2 = _mp2_guess_fused(self.dfb, F, self.no, dfq._eri_oovv,
-                                   dtype)
+        if _mp2_guess_big64(np.dtype(dtype), self.no, self.nv):
+            self.t2 = _mp2_guess_scan(self.dfb, F, self.no, dtype)
+        else:
+            self.t2 = _mp2_guess_fused(self.dfb, F, self.no,
+                                       dfq._eri_oovv, dtype)
         self._residual_fn = _RESIDUALS.get(self.model)
         self._energy_fn = _ENERGY[self.model]
         self._host_residual_fn = None
@@ -939,7 +975,13 @@ class ccwfn:
             blocks=(jax.tree_util.tree_map(np.asarray, self.blocks)
                     if self.storage == "blocked" else None),
             dfb=(jax.tree_util.tree_map(np.asarray, self.dfb)
-                 if self.storage == "df" else None))
+                 if self.storage == "df" else None),
+            # perturbation operators: the response stack contracts these
+            # against stage-dtype amplitudes — an f64 mu would silently
+            # promote the whole "f32" stage back to f64
+            **{k: (None if getattr(self.H, k) is None
+                   else np.asarray(getattr(self.H, k)))
+               for k in ("mu", "m", "p", "Q")})
 
     def _cast_stage(self, dtype):
         """Re-point every solver-facing representation (F; and, per
@@ -953,13 +995,17 @@ class ccwfn:
         stage would waste a quarter of the chip)."""
         m = self._mixed_masters
         put = lambda x: None if x is None else jnp.asarray(x).astype(dtype)
+        # complex operators (magnetic dipole) track the stage's width
+        cdtype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
+        putp = lambda x: (None if x is None else jnp.asarray(x).astype(
+            cdtype if np.iscomplexobj(x) else dtype))
         self.H = Hamiltonian(F=put(m["F"]),
                              ERI=(put(m["ERI"]) if self.storage == "full"
                                   else self.H.ERI),
                              L=(put(m["L"]) if self.storage == "full"
                                 else self.H.L),
-                             mu=self.H.mu, m=self.H.m, p=self.H.p,
-                             Q=self.H.Q, no=self.H.no)
+                             mu=putp(m["mu"]), m=putp(m["m"]),
+                             p=putp(m["p"]), Q=putp(m["Q"]), no=self.H.no)
         if self.storage == "blocked":
             self.blocks = jax.tree_util.tree_map(put, m["blocks"])
         if self.storage == "df":
@@ -983,7 +1029,8 @@ class ccwfn:
 
     def solve_cc_mixed(self, e_conv=1e-10, r_conv=1e-10, maxiter=100,
                        sp_conv=1e-6, sp_dtype=jnp.float32,
-                       refine_maxiter=None, sp_kwargs=None, **kw):
+                       refine_maxiter=None, sp_kwargs=None,
+                       refine_kwargs=None, **kw):
         """Mixed-precision solve for ANY canonical storage mode (full /
         blocked / df, incl. integral-direct factors): pre-converge the
         amplitudes in float32 — fast on TPU, where f64 is emulated — then
@@ -999,8 +1046,13 @@ class ccwfn:
         and only the final ones pay the f64-emulation tax.
 
         sp_kwargs: extra solve_cc kwargs for the f32 stage only (e.g.
-        bf16_until); **kw goes to both stages.  Requires a DP-constructed
-        solver (the f64 masters must exist)."""
+        bf16_until); refine_kwargs: extras for the f64 stage only — at
+        scale pass max_diis=0 there: an f64 DIIS ring is max_diis
+        amplitude+residual o^2v^2 pairs (13 GB at (40,360) depth 4,
+        an HBM OOM on its own) and plain Jacobi from the f32-floor
+        amplitudes converges in a handful of steps anyway; **kw goes to
+        both stages.  Requires a DP-constructed solver (the f64 masters
+        must exist)."""
         if self.local is not None:
             raise Exception("solve_cc_mixed supports canonical storage "
                             "modes (the local filters hold their own "
@@ -1020,9 +1072,11 @@ class ccwfn:
                                               **kw_sp))
         # ---- f64 refinement from the floor amplitudes ----
         self._cast_stage(jnp.float64)
+        kw_rf = dict(kw)
+        kw_rf.update(refine_kwargs or {})
         ecc = self.solve_cc(e_conv, r_conv,
                             refine_maxiter if refine_maxiter else maxiter,
-                            **kw)
+                            **kw_rf)
         return ecc
 
     # ------------------------------------------------------------------

@@ -302,12 +302,25 @@ class ccresponse:
     def __init__(self, ccdensity, omega1=0, omega2=0):
         self.ccwfn = ccdensity.ccwfn
         self.cclambda = ccdensity.cclambda
+        self.cart = CART
+        self._df = getattr(self.ccwfn, "storage", "full") == "df"
+        self._rebuild_stage()
+
+    def _rebuild_stage(self, rebuild_hbar=False):
+        """(Re)build every piece of response state derived from the
+        ccwfn's CURRENT dtype stage: the HBAR reference, the
+        similarity-transformed perturbations (they contract the
+        operators against t1/t2), the pre-laid spin-adapted HBAR
+        combinations, and the HBAR-diagonal denominators.  Called once
+        by the constructor and again per stage by the mixed-precision
+        solvers (after ccwfn._cast_stage, with rebuild_hbar=True)."""
+        if rebuild_hbar:
+            from .cchbar import cchbar
+            self.cclambda.hbar = cchbar(self.ccwfn)
         self.H = self.ccwfn.H
         self.hbar = self.cclambda.hbar
-        self.cart = CART
 
         cc = self.ccwfn
-        self._df = getattr(cc, "storage", "full") == "df"
         self.pertbar = {}
         if self.H.mu is not None:
             for axis in range(3):
@@ -381,7 +394,8 @@ class ccresponse:
 
     # ------------------------------------------------------------------
     def solve_right(self, A, omega, e_conv=1e-12, r_conv=1e-12, maxiter=200,
-                    max_diis=7, start_diis=1, stall_limit=10):
+                    max_diis=7, start_diis=1, stall_limit=10,
+                    X1_init=None, X2_init=None):
         t0 = time.time()
         cc = self.ccwfn
         no = cc.no
@@ -392,8 +406,17 @@ class ccresponse:
         Dijab = self.Dijab + omega
         Ad = self._Adict(A)
 
-        X1 = A.Avo.T / Dia
-        X2 = A.Avvoo / Dijab
+        if X1_init is not None:
+            # warm start (the mixed-precision refinement stage resumes
+            # from the f32-floor amplitudes); widen to the stage dtype
+            # without discarding a complex structure
+            dt = jnp.result_type(jnp.asarray(X1_init).dtype,
+                                 jnp.asarray(t2).dtype)
+            X1 = jnp.asarray(X1_init).astype(dt)
+            X2 = jnp.asarray(X2_init).astype(dt)
+        else:
+            X1 = A.Avo.T / Dia
+            X2 = A.Avvoo / Dijab
         # max_diis=0 disables DIIS at trace time (no ring, no push);
         # see ccwfn.solve_cc
         use_diis = max_diis > 0
@@ -498,7 +521,8 @@ class ccresponse:
         return X1, X2, pseudo
 
     def solve_left(self, A, omega, e_conv=1e-12, r_conv=1e-12, maxiter=200,
-                   max_diis=7, start_diis=1, stall_limit=10):
+                   max_diis=7, start_diis=1, stall_limit=10,
+                   Y1_init=None, Y2_init=None):
         t0 = time.time()
         cc = self.ccwfn
         no = cc.no
@@ -509,10 +533,17 @@ class ccresponse:
         Dijab = self.Dijab + omega
         Ad = self._Adict(A)
 
-        X1g = A.Avo.T / Dia
-        X2g = A.Avvoo / Dijab
-        Y1 = 2.0 * X1g
-        Y2 = 4.0 * X2g - 2.0 * X2g.swapaxes(2, 3)
+        if Y1_init is not None:
+            # warm start (mixed-precision refinement stage)
+            dt = jnp.result_type(jnp.asarray(Y1_init).dtype,
+                                 jnp.asarray(t2).dtype)
+            Y1 = jnp.asarray(Y1_init).astype(dt)
+            Y2 = jnp.asarray(Y2_init).astype(dt)
+        else:
+            X1g = A.Avo.T / Dia
+            X2g = A.Avvoo / Dijab
+            Y1 = 2.0 * X1g
+            Y2 = 4.0 * X2g - 2.0 * X2g.swapaxes(2, 3)
 
         if self._df:
             del Dijab
@@ -633,6 +664,83 @@ class ccresponse:
         warnings.warn("solve_left did NOT converge in %d iterations "
                       "(rms=%.2e)" % (maxiter, rms))
         return Y1, Y2, pseudo
+
+    # ------------------------------------------------------------------
+    def _solve_mixed(self, side, pertkey, omega, e_conv, r_conv, maxiter,
+                     sp_conv, sp_dtype, refine_maxiter, kw):
+        """Shared mixed-precision orchestration for the perturbed-
+        amplitude solvers, same scheme as ccwfn.solve_cc_mixed /
+        cclambda.solve_lambda_mixed: rebuild HBAR + pertbar at float32,
+        converge X (or Y) to the f32 noise floor (cheap iterations on
+        the TPU, where f64 is emulated), then rebuild everything at
+        float64 and refine the same vectors — the perturbed-amplitude
+        fixed point is dtype-independent given converged t (and l), so
+        the refined pseudoresponse equals a pure-f64 solve.  Completes
+        the at-scale accuracy story for response properties (the
+        reference solves X/Y in f64 only,
+        /root/reference/pycc/ccresponse.py:336-467).
+
+        t1/t2 (and l1/l2 for the left solve) are fixed PARAMETERS of
+        the response equations: keep the exact f64 references alive
+        through the floor stage and restore them for the refinement —
+        a round-tripped f32 cast would poison the f64 stage (same
+        invariant as solve_lambda_mixed).  self.hbar and the pertbar
+        are left at the f64 build for downstream consumers
+        (linresp_asym etc.)."""
+        cc = self.ccwfn
+        if cc.precision != "DP":
+            raise Exception("mixed-precision response needs a "
+                            "precision='DP' ccwfn construction (the f64 "
+                            "masters are the refinement-stage "
+                            "Hamiltonian).")
+        if cc.local is not None:
+            raise Exception("mixed-precision response supports canonical "
+                            "storage modes only.")
+        sp_dtype = sp_dtype or jnp.float32
+        cc._ensure_mixed_masters()
+        t1_64, t2_64 = cc.t1, cc.t2
+        l1_64, l2_64 = self.cclambda.l1, self.cclambda.l2
+
+        # ---- low-precision floor stage: f32 HBAR/pertbar + f32 solve ----
+        cc._cast_stage(sp_dtype)
+        self.cclambda.l1 = l1_64.astype(sp_dtype)
+        self.cclambda.l2 = l2_64.astype(sp_dtype)
+        self._rebuild_stage(rebuild_hbar=True)
+        A = self.pertbar[pertkey]
+        solver = self.solve_right if side == "right" else self.solve_left
+        v1, v2, self.pseudo_sp_floor = solver(A, omega, sp_conv, sp_conv,
+                                              maxiter, **kw)
+
+        # ---- f64 refinement from the floor vectors ----
+        cc._cast_stage(jnp.float64)
+        cc.t1, cc.t2 = t1_64, t2_64
+        self.cclambda.l1, self.cclambda.l2 = l1_64, l2_64
+        self._rebuild_stage(rebuild_hbar=True)
+        A = self.pertbar[pertkey]
+        init = (dict(X1_init=v1, X2_init=v2) if side == "right"
+                else dict(Y1_init=v1, Y2_init=v2))
+        return solver(A, omega, e_conv, r_conv,
+                      refine_maxiter if refine_maxiter else maxiter,
+                      **init, **kw)
+
+    def solve_right_mixed(self, pertkey, omega, e_conv=1e-12, r_conv=1e-12,
+                          maxiter=200, sp_conv=1e-6, sp_dtype=None,
+                          refine_maxiter=None, **kw):
+        """Mixed-precision right-hand (X) perturbed-amplitude solve; takes
+        the pertbar KEY (e.g. 'MU_X') — the pertbar itself is a
+        stage-dtype object and is rebuilt per stage."""
+        return self._solve_mixed("right", pertkey, omega, e_conv, r_conv,
+                                 maxiter, sp_conv, sp_dtype,
+                                 refine_maxiter, kw)
+
+    def solve_left_mixed(self, pertkey, omega, e_conv=1e-12, r_conv=1e-12,
+                         maxiter=200, sp_conv=1e-6, sp_dtype=None,
+                         refine_maxiter=None, **kw):
+        """Mixed-precision left-hand (Y) perturbed-amplitude solve (see
+        solve_right_mixed)."""
+        return self._solve_mixed("left", pertkey, omega, e_conv, r_conv,
+                                 maxiter, sp_conv, sp_dtype,
+                                 refine_maxiter, kw)
 
     # ------------------------------------------------------------------
     def linresp_asym(self, pertkey_a, X1_B, X2_B, Y1_B, Y2_B):

@@ -85,6 +85,51 @@ def test_mixed_lambda_matches_pure_f64():
     assert abs(lam.e_sp_floor - le64) < 1e-4  # the floor really was f32
 
 
+def test_mixed_response_matches_pure_f64():
+    """solve_right_mixed / solve_left_mixed (f32 HBAR + pertbar floor,
+    then f64 rebuild + refinement warm-started from the floor vectors)
+    land on the pure-f64 perturbed amplitudes and pseudoresponses.
+    t1/t2 AND l1/l2 are parameters of the response equations — the
+    orchestrator must restore the exact f64 copies for the refinement.
+    The reference solves X/Y in f64 only
+    (/root/reference/pycc/ccresponse.py:336-467)."""
+    wfn = scf("H2O", "sto-3g")
+    om = 0.0656
+    with _quiet():
+        cc = pycc_tpu.ccwfn(wfn)
+        cc.solve_cc(1e-12, 1e-12)
+        lam = pycc_tpu.cclambda(cc, pycc_tpu.cchbar(cc))
+        lam.solve_lambda(e_conv=1e-12, r_conv=1e-12)
+        resp = pycc_tpu.ccresponse(pycc_tpu.ccdensity(cc, lam))
+        X1, X2, px = resp.solve_right(resp.pertbar["MU_X"], om,
+                                      e_conv=1e-12, r_conv=1e-12)
+        Y1, Y2, py = resp.solve_left(resp.pertbar["MU_X"], om,
+                                     e_conv=1e-12, r_conv=1e-12)
+        X1m, X2m, pxm = resp.solve_right_mixed("MU_X", om, e_conv=1e-12,
+                                               r_conv=1e-12, sp_conv=1e-5)
+        Y1m, Y2m, pym = resp.solve_left_mixed("MU_X", om, e_conv=1e-12,
+                                              r_conv=1e-12, sp_conv=1e-5)
+    assert abs(pxm - px) < 1e-10, (pxm, px)
+    assert abs(pym - py) < 1e-10, (pym, py)
+    assert float(np.abs(np.asarray(X1m - X1)).max()) < 1e-10
+    assert float(np.abs(np.asarray(Y1m - Y1)).max()) < 1e-10
+    # downstream consumers see the f64 rebuild
+    assert resp.pertbar["MU_X"].Avo.dtype == np.float64
+    assert cc.t1.dtype == np.float64
+
+
+def test_mixed_response_requires_dp():
+    wfn = scf("H2O", "sto-3g")
+    with _quiet():
+        cc = pycc_tpu.ccwfn(wfn, precision="SP")
+        cc.solve_cc(1e-7, 1e-7)
+        lam = pycc_tpu.cclambda(cc, pycc_tpu.cchbar(cc))
+        lam.solve_lambda(e_conv=1e-7, r_conv=1e-7)
+        resp = pycc_tpu.ccresponse(pycc_tpu.ccdensity(cc, lam))
+    with pytest.raises(Exception, match="DP"):
+        resp.solve_right_mixed("MU_X", 0.0656)
+
+
 def test_mixed_lambda_requires_dp():
     wfn = scf("H2O", "sto-3g")
     with _quiet():

@@ -686,7 +686,17 @@ class ccresponse:
         a round-tripped f32 cast would poison the f64 stage (same
         invariant as solve_lambda_mixed).  self.hbar and the pertbar
         are left at the f64 build for downstream consumers
-        (linresp_asym etc.)."""
+        (linresp_asym etc.).
+
+        Conditioning caveat: near a pole of (HBAR - omega) the linear
+        system acquires a near-null direction (sigma_min ~1e-6 was
+        measured for H2O/STO-3G at omega=0.0656); there, any two
+        iterates that satisfy the equations to working precision can
+        differ by ||r||/sigma_min (~1e-9), and a warm-started and a
+        cold-started solve pick different representatives.  This is a
+        property of the equations, not of the mixed scheme — at
+        well-conditioned frequencies the refined result matches a pure
+        f64 solve to ~1e-13 (test_027)."""
         cc = self.ccwfn
         if cc.precision != "DP":
             raise Exception("mixed-precision response needs a "

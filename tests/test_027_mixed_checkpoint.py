@@ -118,6 +118,29 @@ def test_mixed_response_matches_pure_f64():
     assert cc.t1.dtype == np.float64
 
 
+def test_mixed_response_df_matches_pure_f64():
+    """storage='df' (the at-scale mode): mixed == pure f64 at
+    well-conditioned frequencies.  Near a pole of (HBAR - omega) the
+    system is near-singular and ANY two working-precision solutions may
+    differ by ||r||/sigma_min (measured ~4e-9 at omega=0.0656 for this
+    system) — so the equality oracle uses omega values where the
+    conditioning is sound (see ccresponse._solve_mixed docstring)."""
+    wfn = scf("H2O", "sto-3g")
+    with _quiet():
+        cc = pycc_tpu.ccwfn(wfn, storage="df", df_tol=1e-12)
+        cc.solve_cc(1e-12, 1e-12)
+        lam = pycc_tpu.cclambda(cc, pycc_tpu.cchbar(cc))
+        lam.solve_lambda(e_conv=1e-12, r_conv=1e-12)
+        resp = pycc_tpu.ccresponse(pycc_tpu.ccdensity(cc, lam))
+        for om in (0.0, 0.1):
+            X1, X2, px = resp.solve_right(resp.pertbar["MU_X"], om,
+                                          e_conv=1e-12, r_conv=1e-12)
+            X1m, X2m, pxm = resp.solve_right_mixed(
+                "MU_X", om, e_conv=1e-12, r_conv=1e-12, sp_conv=1e-5)
+            assert abs(pxm - px) < 1e-10, (om, pxm, px)
+            assert float(np.abs(np.asarray(X1m - X1)).max()) < 1e-10
+
+
 def test_mixed_response_requires_dp():
     wfn = scf("H2O", "sto-3g")
     with _quiet():

@@ -37,9 +37,12 @@ run_step() {
   tail -3 "$LOG/$name.log"
 }
 
+# max_diis MUST be 0 at (40,360): a depth-4 f32 DIIS ring is 6.6 GB of
+# o^2v^2 pairs and the one-program f32 step then needs 17.9/15.75 GB
+# (measured compile-OOM).  The f64 stage auto-splits + runs ring-free.
 run_step w10_mixed 10800 python examples/run_df_molecule.py \
   df_cache/w10aug.npz --mixed --e-conv 1e-7 --r-conv 1e-6 \
-  --sp-conv 1e-6 --refine-maxiter 15 --max-diis 4 --maxiter 80
+  --sp-conv 1e-6 --refine-maxiter 15 --max-diis 0 --maxiter 80
 
 if [ -f df_cache/uracil_aug.npz ]; then
   run_step uracil_cc3_post 14400 python examples/run_df_molecule.py \

@@ -93,6 +93,28 @@ def test_df_fused_solver(h2o_sto3g):
     assert abs(e - -0.070616830152761) < 1e-10
 
 
+def test_mp2_guess_scan_equals_fused():
+    """The occupied-row scan form of the DF MP2 guess (auto-selected for
+    big f64 constructions, where the one-shot f64-emulated eri_oovv dot
+    compile-OOMs on TPU — 21.4 GB at (40,360) naux=3411) is exactly the
+    fused one-shot guess."""
+    from pycc_tpu.ccwfn import (_mp2_guess_big64, _mp2_guess_fused,
+                                _mp2_guess_scan)
+    rng = np.random.default_rng(7)
+    naux, nact, no = 24, 10, 3
+    B = jnp.asarray(rng.normal(size=(naux, nact, nact)))
+    B = 0.5 * (B + B.swapaxes(1, 2))
+    F = jnp.asarray(np.diag(np.arange(nact, dtype=float) - no + 0.5))
+    dfb = dfq.df_blocks(B, no)
+    a = _mp2_guess_fused(dfb, F, no, dfq._eri_oovv, jnp.float64)
+    b = _mp2_guess_scan(dfb, F, no, jnp.float64)
+    assert float(jnp.abs(a - b).max()) < 1e-14
+    # selection: f64-only, and only past the o^2v^2 size threshold
+    assert not _mp2_guess_big64(np.dtype(np.float64), 4, 8)
+    assert _mp2_guess_big64(np.dtype(np.float64), 40, 360)
+    assert not _mp2_guess_big64(np.dtype(np.float32), 40, 360)
+
+
 def test_df_rejects_unsupported():
     wfn = run_rhf(H2O_GEOM, "sto-3g", freeze_core=True)
     # local correlation has no factor-space path (the pair-space solver

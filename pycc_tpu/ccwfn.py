@@ -796,6 +796,11 @@ class ccwfn:
         # scale); the attributes are rebound to the fresh outputs every
         # iteration below, so they stay valid across stalls and re-solves.
         t1, t2 = self.t1, self.t2
+        # heartbeat BEFORE the first device dispatch: at scale the first
+        # energy/step compiles queue server-side for many minutes — an
+        # at-scale log that stops here is compiling, not wedged
+        log.info("solve_cc: dispatching first energy/step programs "
+                 "(compiles on a cold cache)...")
         ecc = float(jnp.real(self.cc_energy(t1, t2)))
         log.info("CC Iter %3d: CC Ecorr = %.15f  dE = % .5E  MP2" % (niter0, ecc, -ecc))
         # None is an empty pytree: with DIIS disabled the step functions

@@ -372,6 +372,21 @@ class ccwfn:
         self.ref = None
         self.eref = float(escf)
         self.nfzc = 0
+        if precision == "DP":
+            # stash the f64 host masters NOW, while B/F are host arrays:
+            # solve_cc_mixed's lazy _ensure_mixed_masters would otherwise
+            # DOWNLOAD the device factors (4.4 GB at (40,360) naux=3411,
+            # 2-20 min through the tunnel at 3.6-32 MB/s)
+            Bh = np.asarray(B, dtype=np.float64)
+            no_ = int(no)
+            self._mixed_masters = dict(
+                F=np.asarray(F, dtype=np.float64), ERI=None, L=None,
+                blocks=None,
+                dfb=dfq.DFERI(Boo=Bh[:, :no_, :no_],
+                              Bov=Bh[:, :no_, no_:],
+                              Bvv=Bh[:, no_:, no_:]),
+                mu=(None if mu is None else np.asarray(mu)),
+                m=None, p=None, Q=None)
         B = jnp.asarray(B, dtype=dtype)
         F = jnp.asarray(F, dtype=dtype)
         self.no = int(no)

@@ -623,7 +623,15 @@ class cceom:
                 # (32,128) f32, 2026-08-19).  Return the best iterate.
                 self.residual_floor = float(best_r)
                 E = best_E
-                converged = best_dE <= max(e_conv, best_r)
+                # Only call the best iterate CONVERGED when its residual
+                # plateau is explainable by the working precision: the
+                # expected norm floor of a dim-length vector with ~eps
+                # relative per-element sigma error is sqrt(dim)*eps.  A
+                # stall far above that (bad guess, intruder state) must
+                # surface as converged=False for downstream gating.
+                floor_est = np.sqrt(S.shape[1]) * np.finfo(S.dtype).eps
+                converged = (best_dE <= max(e_conv, best_r)
+                             and best_r <= max(r_conv, 30.0 * floor_est))
                 log.warning(
                     "CCEOM: residual norms stopped improving (floor %.2e "
                     "> r_conv=%.1e); returning the best iterate "
@@ -725,6 +733,16 @@ class cceom:
             C0 = np.asarray(d["C"])
             niter0 = int(d["niter"])
             M = C0.shape[0]
+            if M > maxMp:
+                # a checkpoint written by the host loop (or a run with a
+                # larger maxM) can hold more rows than this run's fixed
+                # device buffer; _dev_set_rows would fail at trace time
+                # with an opaque dynamic_update_slice error.
+                raise ValueError(
+                    "EOM checkpoint %s holds M=%d subspace vectors but "
+                    "this run's device buffer caps at maxM+N=%d; rerun "
+                    "with maxM >= %d or restart without resume."
+                    % (chk, M, maxMp, M - N))
             log.info("CCEOM(dev) resumed from %s at iteration %d (M=%d); "
                      "rebuilding sigma block" % (chk, niter0, M))
         else:
@@ -801,7 +819,11 @@ class cceom:
                 # Ritz values fall off the targeted roots
                 self.residual_floor = float(best_r)
                 E = best_E
-                converged = best_dE <= max(e_conv, best_r)
+                # see the host loop: converged only when the plateau is
+                # consistent with the working-precision noise floor
+                floor_est = np.sqrt(dim) * np.finfo(np.dtype(dtype)).eps
+                converged = (best_dE <= max(e_conv, best_r)
+                             and best_r <= max(r_conv, 30.0 * floor_est))
                 log.warning(
                     "CCEOM: residual norms stopped improving (floor %.2e "
                     "> r_conv=%.1e); returning the best iterate "

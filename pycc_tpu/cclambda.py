@@ -422,10 +422,19 @@ class cclambda:
         state = diis.init() if use_diis else None
         if chk_state is not None:
             from .ops.diis import DIISState
-            state = DIISState(
-                amps=jnp.asarray(chk_state["diis_amps"]).astype(state.amps.dtype),
-                errs=jnp.asarray(chk_state["diis_errs"]).astype(state.errs.dtype),
-                count=jnp.asarray(int(chk_state["diis_count"]), jnp.int32))
+            if chk_state["diis_amps"].shape[0] != state.amps.shape[0]:
+                # resuming with a different max_diis: don't adopt the old
+                # ring depth silently — fall back to an empty ring
+                log.warning(
+                    "Lambda resume: checkpoint DIIS ring depth %d != "
+                    "current max_diis ring depth %d; starting with an "
+                    "empty ring (amplitudes are restored)."
+                    % (chk_state["diis_amps"].shape[0], state.amps.shape[0]))
+            else:
+                state = DIISState(
+                    amps=jnp.asarray(chk_state["diis_amps"]).astype(state.amps.dtype),
+                    errs=jnp.asarray(chk_state["diis_errs"]).astype(state.errs.dtype),
+                    count=jnp.asarray(int(chk_state["diis_count"]), jnp.int32))
         best_rms = float("inf")
         stalled = 0
         for niter in range(niter0 + 1, maxiter + 1):

@@ -823,10 +823,20 @@ class ccwfn:
         state = diis.init() if use_diis else None
         if chk_state is not None:
             from .ops.diis import DIISState
-            state = DIISState(
-                amps=jnp.asarray(chk_state["diis_amps"]).astype(state.amps.dtype),
-                errs=jnp.asarray(chk_state["diis_errs"]).astype(state.errs.dtype),
-                count=jnp.asarray(int(chk_state["diis_count"]), jnp.int32))
+            if chk_state["diis_amps"].shape[0] != state.amps.shape[0]:
+                # a checkpoint written with a different max_diis would
+                # silently run at the old depth (or trip an opaque shape
+                # error in the jitted step) — start from an empty ring
+                log.warning(
+                    "CCWFN resume: checkpoint DIIS ring depth %d != "
+                    "current max_diis ring depth %d; starting with an "
+                    "empty ring (amplitudes are restored)."
+                    % (chk_state["diis_amps"].shape[0], state.amps.shape[0]))
+            else:
+                state = DIISState(
+                    amps=jnp.asarray(chk_state["diis_amps"]).astype(state.amps.dtype),
+                    errs=jnp.asarray(chk_state["diis_errs"]).astype(state.errs.dtype),
+                    count=jnp.asarray(int(chk_state["diis_count"]), jnp.int32))
         rms = float("inf")
         bf16_active = use_bf16
         best_rms = float("inf")
@@ -1046,6 +1056,11 @@ class ccwfn:
         if self.storage == "df":
             self._df_residual_fn = self._make_df_residual_fn()
             self._maybe_split_df_residual(dtype)
+        if self.mesh is not None:
+            # the casts above rebuilt storage/amplitudes as unsharded
+            # single-device arrays; re-distribute so a mesh-constructed
+            # solver keeps its SPMD layout through a mixed-precision solve
+            self._apply_mesh(self.mesh)
 
     def solve_cc_mixed(self, e_conv=1e-10, r_conv=1e-10, maxiter=100,
                        sp_conv=1e-6, sp_dtype=jnp.float32,

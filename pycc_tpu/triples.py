@@ -405,6 +405,23 @@ def _t3c_slab_ij(i, j, Wvvvo_o, Wovoo_t, t2, eps_o, eps_v):
     return jax.lax.optimization_barrier(t3 / denom)  # see _t3c_slab
 
 
+@partial(jax.jit, static_argnames="no")
+def t_scan_df_slices(F, Boo, Bov, Bvv, no):
+    """The five integral slices (plus Fov, diag F) the (T) slab scan
+    consumes, assembled from Cholesky/DF factors — module-level so the
+    multichip dryrun can trace the full factor-fed (T) program for HLO
+    collective accounting."""
+    o, v = _slices(no)
+    Wvvvo_o = contract("Pac,Pib->iabc", Bvv, Bov)
+    Wovoo_t = contract("Pij,Pka->jkia", Boo, Bov)
+    Evovv = contract("Pab,Pic->aibc", Bvv, Bov)
+    Eooov = contract("Pik,Pja->ijka", Boo, Bov)
+    Eoovv = contract("Pia,Pjb->ijab", Bov, Bov)
+    Loovv = 2.0 * Eoovv - Eoovv.swapaxes(2, 3)
+    return (Wvvvo_o, Wovoo_t, Evovv, Eooov, Loovv, F[o, v],
+            jnp.diagonal(F))
+
+
 def t_vikings_scan(cc):
     """Occupied-driven (T) with O(no v^3) working memory: one T3 slab per
     (i,j) pair, evaluated sequentially with lax.fori_loop.  Exact same
@@ -431,20 +448,10 @@ def t_vikings_scan(cc):
         if no * (t2.shape[-1] ** 3) > 2 ** 27:
             return t_vikings_scan_df_chunked(cc.dfb, cc.H.F, t1, t2, no)
 
-        @jax.jit
-        def prep_df(F, Boo, Bov, Bvv):
-            Wvvvo_o = contract("Pac,Pib->iabc", Bvv, Bov)
-            Wovoo_t = contract("Pij,Pka->jkia", Boo, Bov)
-            Evovv = contract("Pab,Pic->aibc", Bvv, Bov)
-            Eooov = contract("Pik,Pja->ijka", Boo, Bov)
-            Eoovv = contract("Pia,Pjb->ijab", Bov, Bov)
-            Loovv = 2.0 * Eoovv - Eoovv.swapaxes(2, 3)
-            return (Wvvvo_o, Wovoo_t, Evovv, Eooov, Loovv, F[o, v],
-                    jnp.diagonal(F))
-
         (Wvvvo, Wovoo, Evovv, Eooov,
-         Loovv, Fov, eps) = prep_df(jnp.asarray(cc.H.F), cc.dfb.Boo,
-                                    cc.dfb.Bov, cc.dfb.Bvv)
+         Loovv, Fov, eps) = t_scan_df_slices(jnp.asarray(cc.H.F),
+                                             cc.dfb.Boo, cc.dfb.Bov,
+                                             cc.dfb.Bvv, no=no)
     elif getattr(cc, "storage", "full") == "blocked":
         # source every slice from the six Dirac blocks: nothing nact^4
         # ever reaches the device

@@ -499,8 +499,18 @@ class cceom:
 
     def solve_eom(self, N=1, e_conv=1e-5, r_conv=1e-5, maxiter=100,
                   guess="HBAR_SS", maxM=None, chk=None, chk_every=1,
-                  resume=False, device_subspace=None):
-        """chk=<path.npz> checkpoints the Davidson subspace C (+ energies
+                  resume=False, device_subspace=None, ritz_out=False):
+        """guess: one of the named singles-space guesses ("HBAR_SS" /
+        "CIS" / "UNIT") or an (M0, dim) array of full-length start
+        vectors (orthonormalized by QR) — the seeding hook used by
+        solve_eom_mixed's f64 refinement stage.
+
+        ritz_out=True stashes the N lowest Ritz vectors of the FINAL
+        subspace in self.ritz (always done on the host path, where it is
+        one small GEMM; opt-in on the device path, where it downloads
+        N full-length rows through the tunnel).
+
+        chk=<path.npz> checkpoints the Davidson subspace C (+ energies
         and iteration counter) every chk_every iterations; resume=True
         reloads it and rebuilds the sigma block S with ONE batched sigma
         evaluation (S is not stored — at (32,128) it is as large as the
@@ -521,7 +531,7 @@ class cceom:
             return self._solve_eom_device(
                 N=N, e_conv=e_conv, r_conv=r_conv, maxiter=maxiter,
                 guess=guess, maxM=maxM, chk=chk, chk_every=chk_every,
-                resume=resume)
+                resume=resume, ritz_out=ritz_out)
         import os
         t_init = time.time()
         no, nv = self.no, self.nv
@@ -541,6 +551,14 @@ class cceom:
             niter0 = int(d["niter"])
             log.info("CCEOM resumed from %s at iteration %d (M=%d); "
                      "rebuilding sigma block" % (chk, niter0, C.shape[0]))
+        elif not isinstance(guess, str):
+            C = np.asarray(guess, dtype=np.float64)
+            if C.ndim != 2 or C.shape[1] != s1_len + s2_len:
+                raise ValueError(
+                    "array guess must be (M0, %d); got %r"
+                    % (s1_len + s2_len, C.shape))
+            M = C.shape[0]
+            C = np.linalg.qr(C.T)[0].T.copy()
         else:
             _, C1 = self.guess(M, guess)
             C = np.hstack((C1.reshape(M, s1_len), np.zeros((M, s2_len))))
@@ -683,6 +701,14 @@ class cceom:
             G = np.vstack((np.hstack((G, G_right)), new @ S.T))
 
         self.converged = converged
+        # N lowest Ritz vectors of the FINAL subspace (one small host
+        # GEMM here): solve_eom_mixed seeds its f64 refinement with them.
+        # At a hard floor stop these are the last iterate (the returned
+        # E is the tracked best) — adequate as refinement seeds.
+        wR, aR = np.linalg.eig(C @ S.T if C.shape[0] != G.shape[0] else G)
+        idxR = np.real(wR).argsort()[:N]
+        aR = np.real(aR[:, idxR])
+        self.ritz = np.ascontiguousarray(aR.T @ C)
         if converged:
             log.info("\nCCEOM converged in %.3f seconds." % (time.time() - t_init))
             log.info("\nState     E_h           eV")
@@ -694,9 +720,60 @@ class cceom:
                           "(|dE|=%.2e)" % (maxiter, np.linalg.norm(E - E_old)))
         return E, C
 
+    def solve_eom_mixed(self, N=1, e_conv=1e-7, r_conv=1e-7, maxiter=100,
+                        sp_conv=1e-5, sp_dtype=None, refine_maxiter=None,
+                        guess="HBAR_SS", maxM=None, **kw):
+        """Mixed-precision EOM-CCSD, same scheme as ccwfn.solve_cc_mixed /
+        cclambda.solve_lambda_mixed: rebuild the HBAR at float32, run the
+        Davidson to its f32 noise floor (cheap iterations on the TPU,
+        where f64 is emulated), then rebuild the HBAR at float64 and run
+        a short f64 Davidson SEEDED with the floor stage's Ritz vectors.
+        The refinement typically needs a handful of iterations (the seeds
+        are ~1e-6-accurate), pinning the at-scale root energies past the
+        ~1e-3 f32 floor-stop ambiguity.  The reference's Davidson is
+        all-f64 host numpy (/root/reference/pycc/cceom.py:140-152).
+
+        Requires a precision='DP' ccwfn (the f64 masters are the
+        refinement-stage Hamiltonian); t1/t2 are a fixed PARAMETER of the
+        EOM equations, so the exact f64 amplitudes are restored for the
+        refinement (the same invariant as solve_lambda_mixed).  Rebuilding
+        per stage re-runs cceom.__init__, so the at-scale sequential-sigma
+        / device-subspace auto-selection applies independently to each
+        stage.  self.hbar is left at the f64 build.
+
+        self.e_sp_floor records the floor-stage roots."""
+        cc = self.ccwfn
+        if cc.precision != "DP":
+            raise Exception("solve_eom_mixed needs a precision='DP' "
+                            "ccwfn construction (the f64 masters are the "
+                            "refinement-stage Hamiltonian).")
+        if getattr(cc, "local", None) is not None:
+            raise Exception("solve_eom_mixed supports canonical storage "
+                            "modes only.")
+        from .cchbar import cchbar as _build_hbar
+
+        sp_dtype = sp_dtype or jnp.float32
+        cc._ensure_mixed_masters()
+        t1_64, t2_64 = cc.t1, cc.t2
+        # ---- f32 floor stage ----
+        cc._cast_stage(sp_dtype)
+        self.__init__(_build_hbar(cc))
+        E_sp, _ = self.solve_eom(N=N, e_conv=sp_conv, r_conv=sp_conv,
+                                 maxiter=maxiter, guess=guess, maxM=maxM,
+                                 ritz_out=True, **kw)
+        self.e_sp_floor = np.array(E_sp)
+        seeds = np.asarray(self.ritz, dtype=np.float64)
+        # ---- f64 refinement from the floor Ritz vectors ----
+        cc._cast_stage(jnp.float64)
+        cc.t1, cc.t2 = t1_64, t2_64
+        self.__init__(_build_hbar(cc))
+        return self.solve_eom(N=N, e_conv=e_conv, r_conv=r_conv,
+                              maxiter=refine_maxiter or maxiter,
+                              guess=seeds, maxM=maxM, **kw)
+
     # ------------------------------------------------------------------
     def _solve_eom_device(self, N, e_conv, r_conv, maxiter, guess, maxM,
-                          chk, chk_every, resume):
+                          chk, chk_every, resume, ritz_out=False):
         """Davidson with the subspace resident on device.
 
         Identical algorithm to the host loop above (same guesses, DGKS
@@ -745,6 +822,17 @@ class cceom:
                     % (chk, M, maxMp, M - N))
             log.info("CCEOM(dev) resumed from %s at iteration %d (M=%d); "
                      "rebuilding sigma block" % (chk, niter0, M))
+        elif not isinstance(guess, str):
+            C0 = np.asarray(guess, dtype=np.float64)
+            if C0.ndim != 2 or C0.shape[1] != dim:
+                raise ValueError("array guess must be (M0, %d); got %r"
+                                 % (dim, C0.shape))
+            M = C0.shape[0]
+            if M > maxMp:
+                raise ValueError("array guess holds M=%d vectors but the "
+                                 "device buffer caps at maxM+N=%d"
+                                 % (M, maxMp))
+            C0 = np.linalg.qr(C0.T)[0].T.copy()
         else:
             _, C1 = self.guess(M, guess)
             C0 = np.hstack((C1.reshape(M, s1_len),
@@ -867,6 +955,16 @@ class cceom:
             M += len(kept)
 
         self.converged = converged
+        if ritz_out:
+            # opt-in on the device path: downloads N full-length rows
+            # (N x 67 MB at (32,128)) — solve_eom_mixed pays this once
+            Gf = np.asarray(_dev_gram(C, S))[:M, :M].astype(np.float64)
+            wR, aR = np.linalg.eig(Gf)
+            idxR = np.real(wR).argsort()[:N]
+            aTR = np.zeros((N, maxMp))
+            aTR[:, :M] = np.real(aR[:, idxR]).T
+            W, _ = _dev_collapse_w(C, jnp.asarray(aTR, dtype))
+            self.ritz = np.asarray(W)
         if converged:
             log.info("\nCCEOM converged in %.3f seconds." % (time.time() - t_init))
             log.info("\nState     E_h           eV")

@@ -277,3 +277,56 @@ def test_solve_eom_resume(tmp_path):
         E_res, _ = eom_b.solve_eom(N=2, e_conv=1e-8, r_conv=1e-6,
                                    chk=str(p), resume=True)
     assert np.allclose(E_res, E_full, atol=1e-8)
+
+
+def test_mixed_eom_matches_pure_f64():
+    """solve_eom_mixed (f32 floor Davidson -> f64 refinement seeded with
+    the floor Ritz vectors) must land on the same roots as a pure-f64
+    Davidson; the floor stage must actually have run (e_sp_floor is the
+    f32 stage's roots, correct to the f32 floor but not beyond)."""
+    wfn = scf("H2O", "sto-3g", freeze_core=False)
+    with _quiet():
+        cc = pycc_tpu.ccwfn(wfn)
+        cc.solve_cc(1e-12, 1e-12)
+        hbar = pycc_tpu.cchbar(cc)
+        eom64 = pycc_tpu.cceom(hbar)
+        E64, _ = eom64.solve_eom(N=3, e_conv=1e-9, r_conv=1e-7)
+
+        eommx = pycc_tpu.cceom(pycc_tpu.cchbar(cc))
+        Emx, _ = eommx.solve_eom_mixed(N=3, e_conv=1e-9, r_conv=1e-7)
+    assert eommx.converged
+    assert np.allclose(Emx, E64, atol=1e-8), (Emx, E64)
+    assert np.allclose(eommx.e_sp_floor, E64, atol=1e-3)
+    # the refinement actually moved past the f32 floor
+    assert np.abs(np.asarray(Emx) - np.asarray(E64)).max() < \
+        np.abs(eommx.e_sp_floor - np.asarray(E64)).max() + 1e-8
+
+
+def test_mixed_eom_device_subspace():
+    """The device-resident Davidson path must thread the array-guess
+    seeding and ritz_out stash identically (this is the combination the
+    at-scale mixed solve uses)."""
+    wfn = scf("H2O", "sto-3g", freeze_core=False)
+    with _quiet():
+        cc = pycc_tpu.ccwfn(wfn)
+        cc.solve_cc(1e-12, 1e-12)
+        hbar = pycc_tpu.cchbar(cc)
+        eom64 = pycc_tpu.cceom(hbar)
+        E64, _ = eom64.solve_eom(N=2, e_conv=1e-9, r_conv=1e-7)
+
+        eommx = pycc_tpu.cceom(pycc_tpu.cchbar(cc))
+        Emx, _ = eommx.solve_eom_mixed(N=2, e_conv=1e-9, r_conv=1e-7,
+                                       device_subspace=True)
+    assert eommx.converged
+    assert np.allclose(Emx, E64, atol=1e-8), (Emx, E64)
+
+
+def test_mixed_eom_requires_dp():
+    wfn = scf("H2O", "sto-3g", freeze_core=False)
+    with _quiet():
+        cc = pycc_tpu.ccwfn(wfn, precision="SP")
+        cc.solve_cc(1e-6, 1e-6)
+        hbar = pycc_tpu.cchbar(cc)
+        eom = pycc_tpu.cceom(hbar)
+    with pytest.raises(Exception, match="precision='DP'"):
+        eom.solve_eom_mixed(N=1)

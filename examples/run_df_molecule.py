@@ -79,6 +79,17 @@ def main():
                          "JAX_PLATFORMS=cpu is ignored under axon)")
     ap.add_argument("--omega", type=float, default=0.0656)
     ap.add_argument("--resp-conv", type=float, default=1e-5)
+    ap.add_argument("--chk", default=None,
+                    help="checkpoint base path: the solve auto-saves its "
+                         "state every --chk-every iterations (mixed runs "
+                         "write per-stage files <base>.sp/.floor/.rf.npz) "
+                         "so a killed capture relaunches with --resume "
+                         "instead of restarting")
+    ap.add_argument("--chk-every", type=int, default=20,
+                    help="iterations between checkpoints (each writes an "
+                         "o^2v^2 amplitude set through the tunnel — keep "
+                         "sparse at scale)")
+    ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
     print("args: %s" % vars(args))
     model = args.model.upper()
@@ -108,16 +119,20 @@ def main():
         B, F, no, escf=float(d["escf"]), model=args.model,
         precision=precision, df_nblocks=args.nblocks)
     t0 = time.time()
+    chk_kw = ({"chk": args.chk, "chk_every": args.chk_every,
+               "resume": args.resume} if args.chk else {})
     if args.mixed:
         ecc = cc.solve_cc_mixed(e_conv=args.e_conv, r_conv=args.r_conv,
                                 maxiter=args.maxiter, sp_conv=args.sp_conv,
                                 refine_maxiter=args.refine_maxiter,
                                 max_diis=args.max_diis,
                                 refine_kwargs={
-                                    "max_diis": args.refine_max_diis})
+                                    "max_diis": args.refine_max_diis},
+                                **chk_kw)
     else:
         ecc = cc.solve_cc(e_conv=args.e_conv, r_conv=args.r_conv,
-                          maxiter=args.maxiter, max_diis=args.max_diis)
+                          maxiter=args.maxiter, max_diis=args.max_diis,
+                          **chk_kw)
     t_solve = time.time() - t0
     row = {
         "molecule": str(d["molname"]), "basis": str(d["basis"]),

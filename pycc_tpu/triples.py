@@ -422,12 +422,14 @@ def t_scan_df_slices(F, Boo, Bov, Bvv, no):
             jnp.diagonal(F))
 
 
-def t_vikings_scan(cc):
+def t_vikings_scan(cc, slab_dtype=None, jc=None):
     """Occupied-driven (T) with O(no v^3) working memory: one T3 slab per
     (i,j) pair, evaluated sequentially with lax.fori_loop.  Exact same
     energy as t_vikings.  The jitted graph consumes only the integral
     slices it needs (not the full nact^4 ERI/L), keeping HBM pressure to
-    the slices + one slab."""
+    the slices + one slab.  slab_dtype/jc: see t_vikings_scan_core (the
+    bandwidth-roofline knobs; the k-chunked at-scale DF path ignores
+    them)."""
     no = cc.no
     t1, t2 = cc.t1, cc.t2
     o, v = _slices(no)
@@ -479,7 +481,7 @@ def t_vikings_scan(cc):
         (Wvvvo, Wovoo, Evovv, Eooov,
          Loovv, Fov, eps) = prep(cc.H.F, cc.H.ERI, cc.H.L)
     return t_vikings_scan_core(Wvvvo, Wovoo, Evovv, Eooov, Loovv, Fov, eps,
-                               t1, t2, no)
+                               t1, t2, no, slab_dtype=slab_dtype, jc=jc)
 
 
 def _slab_pair_energy(t3, i, j, Evovv, Eooov, Loovv, Fov, t1, t2w):
@@ -590,9 +592,14 @@ def _chunk_pair_energies(t3, Lext, Eext, Fov, Evovv, t1e, t2we, t2wr):
     X2 = contract("jkabc,kc->jab", td, Fov)
     X2 += contract("jkabc,dkbc->jad", T, Evovv)
     X2l = contract("jkabc,jklc->jlab", T, Eext)
-    e = 2.0 * contract("ja,ja->j", t1e, X1)
-    e += contract("jab,jab->j", t2we, X2)
-    e -= contract("jlab,jlab->j", t2wr, X2l)
+    # the X intermediates are tiny (j-window x v^2); upcast the final
+    # scalar contractions so a bf16 slab build still accumulates the
+    # energies in f32
+    up = (jnp.float32 if X1.dtype == jnp.bfloat16 else X1.dtype)
+    u = lambda x: x.astype(up)
+    e = 2.0 * contract("ja,ja->j", u(t1e), u(X1))
+    e += contract("jab,jab->j", u(t2we), u(X2))
+    e -= contract("jlab,jlab->j", u(t2wr), u(X2l))
     return e
 
 
@@ -629,8 +636,9 @@ def _t_vikings_row_sym_jc(i, Wvvvo_o, Wovoo_t, Evovv, Eooov, Loovv, Fov,
         e += jnp.sum(jnp.where(jj > i, e_ji, 0.0))
         return acc + e
 
+    acc_dt = jnp.float32 if Fov.dtype == jnp.bfloat16 else Fov.dtype
     return jax.lax.fori_loop(i // jc, no // jc, body,
-                             jnp.asarray(0.0, Fov.dtype))
+                             jnp.asarray(0.0, acc_dt))
 
 
 def t_scan_flops(no, nv, sym=True):
@@ -650,7 +658,7 @@ def t_scan_flops(no, nv, sym=True):
 
 
 def t_vikings_scan_core(Wvvvo_o, Wovoo_t, Evovv, Eooov, Loovv, Fov, eps,
-                        t1, t2, no, sym=True):
+                        t1, t2, no, sym=True, slab_dtype=None, jc=None):
     """Slice-fed (T) energy core: callable directly when the full ERI/L are
     never materialized (sliced-H storage, probes).
 
@@ -666,13 +674,33 @@ def t_vikings_scan_core(Wvvvo_o, Wovoo_t, Evovv, Eooov, Loovv, Fov, eps,
     chunks jc j-values per trip behind an optimization_barrier.  The
     barrier is the decisive piece: without it XLA REMATERIALIZES the
     twelve-dot slab assembly into every energy consumer, and the scan
-    runs ~5.6x slower (60.9 s vs 10.8 s at (32,128) f32)."""
+    runs ~5.6x slower (60.9 s vs 10.8 s at (32,128) f32).
+
+    slab_dtype=jnp.bfloat16 builds/consumes the T3 slabs in bf16 (the
+    MXU still accumulates each dot in f32; the per-pair energies and the
+    running sum are upcast to f32 before the scalar contractions).  The
+    roofline analysis (PERF.md "Triples roofline") shows the scan is
+    bound by slab-accumulator HBM traffic below v ~ 800, so halving the
+    slab bytes approaches a 2x wall cut at the cost of ~bf16-level
+    (T)-correction noise — the right trade exactly where (T) already
+    rides an SP amplitude floor.  jc overrides the j-chunk width
+    (default 2; larger chunks amortize the two full-Wvvvo reads per
+    chunk and raise MXU N-dims at slab_bytes * jc HBM cost)."""
+    if slab_dtype is not None:
+        cast = lambda x: jnp.asarray(x).astype(slab_dtype)
+        (Wvvvo_o, Wovoo_t, Evovv, Eooov, Loovv, Fov, eps, t1, t2) = (
+            cast(Wvvvo_o), cast(Wovoo_t), cast(Evovv), cast(Eooov),
+            cast(Loovv), cast(Fov), cast(eps), cast(t1), cast(t2))
     if sym:
-        jc = 2 if no % 2 == 0 else 1
+        if jc is None:
+            jc = 2 if no % 2 == 0 else 1
+        if no % jc:
+            raise ValueError("jc=%d must divide no=%d" % (jc, no))
         row = partial(_t_vikings_row_sym_jc, jc=jc)
     else:
         row = _t_vikings_row
-    e = jnp.asarray(0.0, Fov.dtype)
+    acc_dt = jnp.float32 if Fov.dtype == jnp.bfloat16 else Fov.dtype
+    e = jnp.asarray(0.0, acc_dt)
     for i in range(no):
         e = e + row(jnp.asarray(i), Wvvvo_o, Wovoo_t, Evovv,
                     Eooov, Loovv, Fov, eps, t1, t2, no=no)

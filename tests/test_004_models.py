@@ -86,3 +86,25 @@ def test_cc2_h2():
         lam = pycc_tpu.cclambda(cc, hbar)
         lcc = lam.solve_lambda(1e-12, 1e-12)
     assert abs(lcc - -0.026443139737993) < 1e-11
+
+
+def test_ccsd_t_scan_roofline_knobs():
+    """The bandwidth-roofline knobs of the slab scan (PERF.md "Triples
+    roofline"): a wider j-chunk is EXACTLY the same arithmetic (bit-level
+    reassociation only at the chunk boundary), and a bf16 slab build
+    reproduces the (T) correction to bf16 statistical noise while the
+    energies accumulate in f32."""
+    import jax.numpy as jnp
+    from pycc_tpu.triples import t_vikings_scan
+    wfn = scf("H2O", "cc-pvdz")
+    with contextlib.redirect_stdout(io.StringIO()):
+        cc = pycc_tpu.ccwfn(wfn)
+        cc.solve_cc(1e-10, 1e-10)
+    et = float(t_vikings_scan(cc))
+    # jc must divide no; H2O/cc-pVDZ fzc has no=4
+    et_jc4 = float(t_vikings_scan(cc, jc=4))
+    assert abs(et - et_jc4) < 1e-13
+    et_bf16 = float(t_vikings_scan(cc, slab_dtype=jnp.bfloat16))
+    assert abs(et_bf16 - et) < 5e-3 * abs(et), (et_bf16, et)
+    # the accumulation stayed wide: the result is not itself bf16-grainy
+    assert abs(et_bf16 - et) > 0.0

@@ -257,8 +257,10 @@ def bench_blocked(no, nv, n=10):
     return dt, flops
 
 
-def bench_triples(no, nv):
-    """(T) slab-scan wall time (one full energy evaluation), f32.
+def bench_triples(no, nv, slab_dtype=None, jc=None):
+    """(T) slab-scan wall time (one full energy evaluation), f32 by
+    default; slab_dtype/jc expose the bandwidth-roofline knobs (the scan
+    is slab-traffic-bound below v~800 — PERF.md "Triples roofline").
     flops from the analytic count (triples.t_scan_flops) — XLA's
     cost_analysis charges the fori_loop body once, so the analytic count
     is the only honest sustained-rate basis for the scan."""
@@ -288,10 +290,10 @@ def bench_triples(no, nv):
     args = synth(jax.random.PRNGKey(1))
     _sync(args[0])
     # warm (compiles the row program)
-    e = t_vikings_scan_core(*args, no)
+    e = t_vikings_scan_core(*args, no, slab_dtype=slab_dtype, jc=jc)
     assert np.isfinite(float(e))
     t0 = time.time()
-    e = t_vikings_scan_core(*args, no)
+    e = t_vikings_scan_core(*args, no, slab_dtype=slab_dtype, jc=jc)
     assert np.isfinite(float(e))
     return time.time() - t0, t_scan_flops(no, nv)
 
@@ -326,6 +328,13 @@ def _child():
                           unit="s"))
     except Exception as exc:
         print("# triples extra failed: %s" % exc, file=sys.stderr)
+    try:
+        import jax.numpy as _jnp
+        dtt, ft = bench_triples(slab_dtype=_jnp.bfloat16, jc=8, **T_CFG)
+        extra.append(_row("triples_T_scan_wall_o32_v128_bf16_jc8", dtt,
+                          ft, unit="s"))
+    except Exception as exc:
+        print("# triples bf16 extra failed: %s" % exc, file=sys.stderr)
     # scaling curves: DF-CCSD s/iter and (T) wall vs (o, v)
     from pycc_tpu.models.dfccsd import _ladder_blocks
     for no_, nv_ in DF_CURVE:

@@ -62,25 +62,31 @@ def _mp2_guess_big64(dtype, no, nv):
 
 @partial(jax.jit, static_argnums=(2, 3))
 def _mp2_guess_scan(dfb, F, no, dtype):
-    """Occupied-row scan form of the f64 MP2 guess for big cases.  The
-    one-shot f64-emulated `eri_oovv` dot holds ~8 widened operand copies
-    of Bov on the TPU backend — 21.4 GB at (40,360) naux=3411, a
-    compile-OOM before the mixed solve even starts.  Scanning occupied
-    rows keeps ONE Bov resident; per-step temps are (o,v,v)-sized, and
-    the denominator divide stays fused inside the row (no Dijab)."""
+    """At-scale DP MP2 guess: assemble the oovv block in FLOAT32 and
+    widen.  The guess only sets the solver's starting point — every
+    stage iterates to a dtype-independent fixed point — so f64-emulated
+    assembly buys nothing and cannot compile at scale: the one-shot f64
+    dot holds ~8 widened Bov operand copies (21.4 GB at (40,360)
+    naux=3411), and the occupied-row f64 scan ALSO compile-OOM'd at
+    21.42/15.75 GB (measured round 5; the emulated per-row dot still
+    widens the full resident Bov).  The f32 one-shot dot is always safe
+    and compiles in minutes, not the f64 form's ~30+; the divide runs at
+    the target dtype with the denominator broadcast fused (no resident
+    Dijab).  (Name kept for the construction-site selection predicate;
+    there is no scan any more.)"""
+    from .models.dfccsd import _eri_oovv
     eps = jnp.diagonal(F).astype(dtype)
-    eo, ev = eps[:no], eps[no:]
-    Bov = dfb.Bov.astype(dtype)
 
-    def row(_, x):
-        Bm, em = x
-        r = jnp.einsum("Pe,Pnf->nef", Bm, Bov)
-        dm = (em + eo[:, None, None] - ev[None, :, None]
-              - ev[None, None, :])
-        return None, r / dm
+    @jax.jit
+    def widen_divide(dfb32, eps):
+        eri = _eri_oovv(dfb32).astype(dtype)
+        d = (eps[:no, None, None, None] + eps[None, :no, None, None]
+             - eps[None, None, no:, None] - eps[None, None, None, no:])
+        return eri / d
 
-    _, t2 = jax.lax.scan(row, None, (jnp.moveaxis(Bov, 1, 0), eo))
-    return t2
+    dfb32 = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x).astype(jnp.float32), dfb)
+    return widen_divide(dfb32, eps)
 
 
 class ccwfn:

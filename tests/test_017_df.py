@@ -94,10 +94,12 @@ def test_df_fused_solver(h2o_sto3g):
 
 
 def test_mp2_guess_scan_equals_fused():
-    """The occupied-row scan form of the DF MP2 guess (auto-selected for
-    big f64 constructions, where the one-shot f64-emulated eri_oovv dot
-    compile-OOMs on TPU — 21.4 GB at (40,360) naux=3411) is exactly the
-    fused one-shot guess."""
+    """The at-scale DP guess (f32-assembled, widened — auto-selected for
+    big f64 constructions, where BOTH f64-emulated assembly forms
+    compile-OOM on TPU at 21.4/15.75 GB) matches the exact f64 one-shot
+    guess to f32 relative accuracy: the guess is only a starting point,
+    and both mixed stages iterate to dtype-independent fixed points
+    (test_027 pins the fixed-point equality)."""
     from pycc_tpu.ccwfn import (_mp2_guess_big64, _mp2_guess_fused,
                                 _mp2_guess_scan)
     rng = np.random.default_rng(7)
@@ -108,7 +110,9 @@ def test_mp2_guess_scan_equals_fused():
     dfb = dfq.df_blocks(B, no)
     a = _mp2_guess_fused(dfb, F, no, dfq._eri_oovv, jnp.float64)
     b = _mp2_guess_scan(dfb, F, no, jnp.float64)
-    assert float(jnp.abs(a - b).max()) < 1e-14
+    assert b.dtype == jnp.float64
+    scale = float(jnp.abs(a).max())
+    assert float(jnp.abs(a - b).max()) < 1e-6 * scale
     # selection: f64-only, and only past the o^2v^2 size threshold
     assert not _mp2_guess_big64(np.dtype(np.float64), 4, 8)
     assert _mp2_guess_big64(np.dtype(np.float64), 40, 360)

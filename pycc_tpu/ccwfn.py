@@ -557,6 +557,16 @@ class ccwfn:
             _, bL = blocked_views(self.blocks, self.no)
             return self._energy_fn(jnp.asarray(F), bL, t1, t2, self.no)
         if self.storage == "df":
+            nbytes = ((self.no * self.nv) ** 2
+                      * jnp.asarray(t2).dtype.itemsize)
+            if nbytes > 9e8:
+                # at-scale (esp. f64): never assemble the o^2v^2 oovv
+                # block — the widened-operand emulated dot compile-OOMs
+                # (21.42/15.75 GB at (40,360) f64, round 5)
+                from .models.dfccsd import cc_energy_df_qf
+                return jax.jit(cc_energy_df_qf, static_argnums=(4, 5))(
+                    jnp.asarray(F), self.dfb, t1, t2, self.no,
+                    self.model != "CCD")
             from .models.blocked import LoovvOnly
             return self._energy_fn(jnp.asarray(F),
                                    LoovvOnly(self._df_Loovv(), self.no),
@@ -620,9 +630,7 @@ class ccwfn:
         # the split-program temp budget cannot spare).
         lean_df = host_res is not None and self.storage == "df"
         if lean_df:
-            from .models.dfccsd import _eri_oovv as _df_eoovv
-            from .models.dfccsd import _tau as _df_tau
-            from .ops.contract import contract
+            from .models.dfccsd import cc_energy_df_qf
 
             @partial(jax.jit, donate_argnums=(2, 3, 4, 5, 6))
             def apply_update_df(F, dfb, t1, t2, r1, r2, state, do_extrap):
@@ -636,13 +644,11 @@ class ccwfn:
                 t2n = t2 + inc2
                 rms = jnp.sqrt(jnp.sum(jnp.abs(inc1) ** 2)
                                + jnp.sum(jnp.abs(inc2) ** 2))
-                # cc_energy with Loovv as two relabeled reads of the oovv
-                # assembly (no explicit 2E - E^swap o^2v^2 temp)
-                e = _df_eoovv(dfb)
-                tau = _df_tau(t1n, t2n)
-                ecc = 2.0 * jnp.sum(F[:no, no:].astype(t1.dtype) * t1n)
-                ecc = (ecc + 2.0 * contract("ijab,ijab->", tau, e)
-                       - contract("ijab,ijba->", tau, e))
+                # quadratic-form energy: no o^2v^2 oovv assembly — the
+                # f64-emulated assembled form compile-OOMs at scale
+                # (models/dfccsd.cc_energy_df_qf)
+                ecc = cc_energy_df_qf(F, dfb, t1n, t2n, no,
+                                      with_t1=(self.model != "CCD"))
                 if not use_diis:
                     # return the pair ONCE: duplicated jit outputs get
                     # DISTINCT buffers (an extra t2-sized copy at scale -

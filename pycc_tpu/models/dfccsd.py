@@ -618,3 +618,25 @@ def cc_energy_df(F, df, t1, t2, no):
     Loovv = 2.0 * eri_oovv - eri_oovv.swapaxes(2, 3)
     ecc = 2.0 * contract("ia,ia->", F[o, v], t1)
     return ecc + contract("ijab,ijab->", _tau(t1, t2), Loovv)
+
+
+def cc_energy_df_qf(F, df, t1, t2, no, with_t1=True):
+    """CC correlation energy from factors WITHOUT materializing the
+    o^2v^2 oovv block: E2 = sum_P vec(B_P)^T Taubar vec(B_P) with
+    Taubar = 2 tau - tau^(e<->f), evaluated as one (P,nf)x(mnef) dot
+    whose output is only (P,o,v)-sized.
+
+    This is the f64-at-scale energy: the assembled-eri form inside one
+    f64-emulated program holds ~8 widened Bov operand copies PLUS
+    several o^2v^2 f64 temps — measured 21.42/15.75 GB compile-OOM at
+    (40,360) naux=3411 (round 5, the w10 refinement stage).  Identical
+    flop count, o-v^2-factor smaller output.  with_t1=False gives the
+    CCD energy (tau = t2, no F.t1 term)."""
+    o, v = slice(0, no), slice(no, None)
+    tau = _tau(t1, t2) if with_t1 else t2
+    taubar = 2.0 * tau - tau.swapaxes(2, 3)
+    Z = contract("Pnf,mnef->Pme", df.Bov, taubar)
+    ecc = contract("Pme,Pme->", df.Bov, Z)
+    if with_t1:
+        ecc = ecc + 2.0 * contract("ia,ia->", F[o, v].astype(t1.dtype), t1)
+    return ecc

@@ -481,8 +481,23 @@ class ccwfn:
         from .models import dfccsd as dfq
         nbytes = (self.no * self.nv) ** 2 * jnp.dtype(dtype).itemsize
         if nbytes > 9e8 or getattr(self, "_force_split_df", False):
-            self._host_residual_fn = partial(
-                dfq.residuals_ccsd_df_split_host, nblocks=self._df_nblocks)
+            if jnp.dtype(dtype) == jnp.float64:
+                # the seven-program split's every r2 term is an
+                # o^2v^2-OUTPUT dot, and the f64-emulated backend widens
+                # every f64 dot output to ~8x its natural bytes (two
+                # 6.59 GB buffers per o^2v^2 output at (40,360) —
+                # measured round-5 compile OOM); the scan formulation
+                # keeps every dot output a row/block slab.  The cache
+                # dict holds the stage-constant oovv/Loovv assemblies
+                # across iterations (fresh per _cast_stage call).
+                self._df_scan_cache = {}
+                self._host_residual_fn = partial(
+                    dfq.residuals_ccsd_df_scan_host,
+                    cache=self._df_scan_cache)
+            else:
+                self._host_residual_fn = partial(
+                    dfq.residuals_ccsd_df_split_host,
+                    nblocks=self._df_nblocks)
         else:
             self._host_residual_fn = None
 

@@ -88,7 +88,17 @@ def _eri_ovoo(df):   # <mb|ij> = (mi|bj)
 # ---------------------------------------------------------------------------
 
 def _tau(t1, t2, f1=1.0, f2=1.0):
-    return f1 * t2 + f2 * contract("ia,jb->ijab", t1, t1)
+    # The t1 x t1 outer product as a BROADCAST MULTIPLY, not a dot: an
+    # einsum('ia,jb->ijab') lowers to dot_general, and the f64-emulated
+    # TPU backend materializes every f64 dot OUTPUT as a widened
+    # multi-slice f32 accumulator (~8x the natural f64 bytes — two
+    # 6.59 GB buffers for one o^2v^2 output at (40,360), the measured
+    # round-5 refinement-stage compile OOM).  Elementwise f64 ops carry
+    # no such tax, and XLA fuses the broadcast into consumers.
+    from ..ops.ctensor import CTensor
+    if isinstance(t1, CTensor):
+        return f1 * t2 + f2 * contract("ia,jb->ijab", t1, t1)
+    return f1 * t2 + f2 * (t1[:, None, :, None] * t1[None, :, None, :])
 
 
 def build_Fae_df(F, df, Loovv, t1, t2, no):
@@ -640,3 +650,302 @@ def cc_energy_df_qf(F, df, t1, t2, no, with_t1=True):
     if with_t1:
         ecc = ecc + 2.0 * contract("ia,ia->", F[o, v].astype(t1.dtype), t1)
     return ecc
+
+
+# ---------------------------------------------------------------------------
+# CCSD residual with NO o^2v^2 dot output anywhere (the f64-at-scale path)
+# ---------------------------------------------------------------------------
+#
+# The f64-emulated TPU backend materializes every f64 dot OUTPUT as a
+# widened multi-slice f32 accumulator: one o^2v^2 output at (40,360)
+# costs two 6.59 GB buffers (measured, round 5 — ~8x the natural f64
+# bytes), so the seven-program split above, whose every r2 term IS an
+# o^2v^2-output dot, cannot compile in f64 past ~(32,256).  Elementwise
+# f64 temps and big f64 dot OPERANDS carry no such tax (operands are
+# windowed/streamed).  This formulation therefore:
+#
+#   * assembles the stage-constant oovv/Loovv blocks ONCE per precision
+#     stage by a row scan (per-row dot output no*v^2, stacked into a
+#     naturally-stored o^2v^2 array) and caches them on the solver;
+#   * builds the two ring W's as j-row scans over factor slices and the
+#     cached integrals (per-trip outputs o*v^2);
+#   * evaluates every r2 term inside an i-row scan whose per-trip
+#     output is one residual row (no*v^2), with the four
+#     sum_P X[P,i,a] Y[P,j,b] terms pre-grouped into two P-factors;
+#   * runs the dressed vvvv ladder over an (a-block, b-block) grid so
+#     the per-trip W output is ablk*v*bblk*v, accumulated straight into
+#     the donated residual carry;
+#   * chunks the i-scan and the ladder grid across HOST-level calls —
+#     the axon worker kills single dispatches past ~1 min, and one f64
+#     iteration here is minutes of emulated-dot work.
+#
+# Same fixed point as residuals_ccsd_df (equality-tested); reference
+# equations /root/reference/pycc/ccwfn.py:331-622, which exist only in
+# f64 and only as far as the dense nact^4 ERI reaches
+# (/root/reference/pycc/hamiltonian.py:36-39).
+
+@partial(jax.jit, static_argnames="no")
+def _sc_integrals(df, no):
+    """Stage-constant <oo|vv> and L[oo,vv] by row-scan assembly."""
+    Bov = df.Bov
+
+    def body(_, Bm):                      # Bm: (P, v) = Bov[:, m]
+        e = contract("Pe,Pnf->nef", Bm, Bov)
+        return 0, (e, 2.0 * e - e.swapaxes(1, 2))
+
+    _, (eri, Loovv) = jax.lax.scan(body, 0, jnp.swapaxes(Bov, 0, 1))
+    return eri, Loovv
+
+
+@partial(jax.jit, static_argnames="no")
+def _sc_f(F, df, t1, t2, no):
+    """Fae/Fmi/Fme in the re-associated factor forms (same math as
+    _rs_r1's intermediates; its own program so the widened P*o*v dot
+    accumulators never coexist with _sc_r1's)."""
+    o, v = slice(0, no), slice(no, None)
+    tau_h = _tau(t1, t2, 1.0, 0.5)
+    dP = contract("Pmf,mf->P", df.Bov, t1)
+    Cam = contract("Paf,mf->Pam", df.Bvv, t1)
+    ovvv_term = (2.0 * contract("P,Pae->ae", dP, df.Bvv)
+                 - contract("Pam,Pme->ae", Cam, df.Bov))
+    Y = contract("mnaf,Pnf->Pma", tau_h, df.Bov)
+    Z = contract("mnaf,Pmf->Pna", tau_h, df.Bov)
+    Fae = (F[v, v] - 0.5 * contract("me,ma->ae", F[o, v], t1) + ovvv_term
+           - 2.0 * contract("Pma,Pme->ae", Y, df.Bov)
+           + contract("Pna,Pne->ae", Z, df.Bov))
+
+    eri_ooov = _eri_ooov(df)
+    Looov = 2.0 * eri_ooov - contract("Pme,Pni->mnie", df.Bov, df.Boo)
+    U = contract("inef,Pnf->Pie", tau_h, df.Bov)
+    V = contract("inef,Pne->Pif", tau_h, df.Bov)
+    Fmi = (F[o, o] + 0.5 * contract("ie,me->mi", t1, F[o, v])
+           + contract("ne,mnie->mi", t1, Looov)
+           + 2.0 * contract("Pie,Pme->mi", U, df.Bov)
+           - contract("Pif,Pmf->mi", V, df.Bov))
+
+    S = contract("nf,Pmf->Pnm", t1, df.Bov)
+    Fme = (F[o, v] + 2.0 * contract("P,Pme->me", dP, df.Bov)
+           - contract("Pnm,Pne->me", S, df.Bov))
+    return Fae, Fmi, Fme
+
+
+@partial(jax.jit, static_argnames="no")
+def _sc_r1(F, df, t1, t2, Fae, Fmi, Fme, no):
+    return _r_T1_df(F, df, None, None, _eri_ooov(df), t1, t2,
+                    Fae, Fme, Fmi, no)
+
+
+@partial(jax.jit, static_argnames="no")
+def _sc_gem(df, t1, no):
+    """The two P-grouped row factors: r2's four sum_P X[P,i,a] Y[P,j,b]
+    terms (oovv driver, both t1^2 folds, the ovoo and dressed-vvvo
+    terms) collapse to G.Bov - Eia.M1."""
+    K = contract("Pme,ie->Pmi", df.Bov, t1)
+    x7 = contract("Pmi,ma->Pia", K, t1)
+    Eia = contract("Pae,ie->Pia", df.Bvv, t1)
+    N1 = contract("Pmi,ma->Pia", df.Boo, t1)
+    M1 = contract("Pmj,mb->Pjb", df.Boo, t1)
+    G = 0.5 * df.Bov - x7 + Eia - N1
+    return G, Eia, M1
+
+
+@partial(jax.jit, static_argnames="no")
+def _sc_wmnij(df, eri, t1, t2, no):
+    """Wmnij (o^4 — every dot output here is small)."""
+    eri_ooov = _eri_ooov(df)
+    return build_Wmnij_df(_eri_oooo(df), eri_ooov, eri, t1, t2)
+
+
+@partial(jax.jit, static_argnames="no")
+def _sc_wej(df, eri, Loovv, t1, t2, no):
+    """Wmbej stacked j-leading: W[j, m, b, e] = Wmbej[m, b, e, j],
+    built as a j-row scan (per-trip output o*v^2)."""
+    Bov, Boo, Bvv = df.Bov, df.Boo, df.Bvv
+
+    def body(_, xs):
+        t1j, t2j, Bovj, Booj = xs
+        # <mb|ej> = (me|bj)
+        w = contract("Pme,Pb->mbe", Bov, Bovj)
+        cj = contract("Pbf,f->Pb", Bvv, t1j)
+        w += contract("Pme,Pb->mbe", Bov, cj)
+        # <nm|je> = (nj|me)
+        ooov_j = contract("Pn,Pme->nme", Booj, Bov)
+        w -= contract("nb,nme->mbe", t1, ooov_j)
+        # tau_x[j,n,f,b] = 0.5 t2[j,n,f,b] + t1[j,f] t1[n,b]
+        txj = 0.5 * t2j + t1j[None, :, None] * t1[:, None, :]
+        w -= contract("nfb,mnef->mbe", txj, eri)
+        # srow[n,f,b] = t2[n,j,f,b] = t2[j,n,b,f]  (pair-exchange symmetry)
+        w += 0.5 * contract("nfb,mnef->mbe", t2j.swapaxes(1, 2), Loovv)
+        return 0, w
+
+    xs = (t1, t2, jnp.swapaxes(Bov, 0, 1), Boo.transpose(2, 0, 1))
+    _, W = jax.lax.scan(body, 0, xs)
+    return W
+
+
+@partial(jax.jit, static_argnames="no")
+def _sc_wje(df, eri, Loovv, t1, t2, no):
+    """Wmbje stacked j-leading: W[j, m, b, e] = Wmbje[m, b, j, e].
+    The quad term's (mnfe) read uses eri's (mn)(ef) exchange symmetry:
+    eri[m,n,f,e] = eri[n,m,e,f] — a natural read, no transposed copy."""
+    Bov, Boo, Bvv = df.Bov, df.Boo, df.Bvv
+
+    def body(_, xs):
+        t1j, t2j, Booj = xs
+        # <mb|je> = (mj|be)
+        w = -contract("Pm,Pbe->mbe", Booj, Bvv)
+        dj = contract("Pmf,f->Pm", Bov, t1j)
+        w -= contract("Pm,Pbe->mbe", dj, Bvv)
+        # <mn|je> = (mj|ne)
+        ooov2_j = contract("Pm,Pne->mne", Booj, Bov)
+        w += contract("nb,mne->mbe", t1, ooov2_j)
+        txj = 0.5 * t2j + t1j[None, :, None] * t1[:, None, :]
+        w += contract("nfb,nmef->mbe", txj, eri)
+        return 0, w
+
+    xs = (t1, t2, Boo.transpose(2, 0, 1))
+    _, W = jax.lax.scan(body, 0, xs)
+    return W
+
+
+@partial(jax.jit, static_argnames="no")
+def _sc_urows(df, t1, t2, tau, FAE, FMI, Wm_t, Gt, Et, M1, Wej, Wje,
+              t1c, t2c, Wm_c, Gc, Ec, Wje_c, no):
+    """One chunk of pre-symmetrization r2 rows, as an i-scan.  The *_c
+    args are the chunk's row slices (i-leading); full-array operands
+    (t2, tau, Wej, Wje, Bov) stream through the per-row dots."""
+    Bov = df.Bov
+
+    def body(_, xs):
+        t1i, t2i, Wm_i, Gi, Ei, Wje_i = xs
+        row = contract("Pa,Pjb->jab", Gi, Bov)
+        row -= contract("Pa,Pjb->jab", Ei, M1)
+        row += contract("jae,be->jab", t2i, FAE)
+        row -= contract("mab,mj->jab", t2i, FMI)
+        row += 0.5 * contract("mnj,mnab->jab", Wm_i, tau)
+        A = 2.0 * t2i - t2i.swapaxes(1, 2)
+        row += contract("mae,jmbe->jab", A, Wej)
+        row += contract("mae,jmbe->jab", t2i, Wje)
+        row += contract("mjae,mbe->jab", t2, Wje_i)
+        return 0, row
+
+    _, rows = jax.lax.scan(body, 0, (t1c, t2c, Wm_c, Gc, Ec, Wje_c))
+    return rows
+
+
+def _sc_ladder_blocks(nv, max_elems=3 * 10 ** 7):
+    """(ablk, bblk) divisors of nv with ablk*bblk*nv^2 <= max_elems —
+    the per-trip W output stays under the widened-f64-accumulator
+    budget (~2 GB at 3e7 elements)."""
+    divs = [d for d in range(1, nv + 1) if nv % d == 0]
+    best = (1, 1)
+    for a in divs:
+        for b in divs:
+            if a * b * nv * nv <= max_elems and a * b > best[0] * best[1]:
+                best = (a, b)
+    return best
+
+
+@partial(jax.jit, static_argnames=("no", "ablk", "bblk"),
+         donate_argnums=(3,))
+def _sc_ladder(df, t1, t2, u, a0s, b0s, msk, no, ablk, bblk):
+    """One grid chunk of the dressed vvvv ladder, accumulated into the
+    donated residual carry.  Per-trip W is (ablk*v, bblk*v); BL is
+    dressed per a-block (no full Bvv-sized copy — at (56,504)
+    naux=5414 that copy alone is 5.5 GB).  msk zeroes padded trips."""
+    Bvv, Bov = df.Bvv, df.Bov
+    naux, nv = Bvv.shape[0], Bvv.shape[2]
+    tau2 = _tau(t1, t2).reshape(no * no, nv, nv)
+
+    def body(u, xs):
+        a0, b0, m = xs
+        Bvv_a = jax.lax.dynamic_slice(Bvv, (0, a0, 0), (naux, ablk, nv))
+        t1_a = jax.lax.dynamic_slice(t1, (0, a0), (no, ablk))
+        BL = 0.5 * Bvv_a - contract("ma,Pme->Pae", t1_a, Bov)
+        Bvv_b = jax.lax.dynamic_slice(Bvv, (0, b0, 0), (naux, bblk, nv))
+        W = contract("Pae,Pbf->aebf", BL, Bvv_b)
+        z = m * contract("xef,aebf->xab", tau2, W)
+        z = z.reshape(no, no, ablk, bblk)
+        cur = jax.lax.dynamic_slice(u, (0, 0, a0, b0),
+                                    (no, no, ablk, bblk))
+        return jax.lax.dynamic_update_slice(u, cur + z, (0, 0, a0, b0)), 0
+
+    u, _ = jax.lax.scan(body, u, (a0s, b0s, msk))
+    return u
+
+
+def residuals_ccsd_df_scan(F, df, t1, t2, no, cache=None, nchunks=None,
+                           grid_chunks=None):
+    """Host-sequenced DF-CCSD residuals with no o^2v^2-output dot in any
+    program: the f64-at-scale formulation (identical fixed point to
+    residuals_ccsd_df; equality-tested).  cache (a per-stage dict) holds
+    the amplitude-INDEPENDENT oovv/Loovv assemblies across iterations."""
+    import jax as _jax
+
+    nv = t1.shape[1]
+    if cache is None:
+        cache = {}
+    if "ints" not in cache:
+        cache["ints"] = _jax.block_until_ready(_sc_integrals(df, no=no))
+    eri, Loovv = cache["ints"]
+
+    Fae, Fmi, Fme = _jax.block_until_ready(_sc_f(F, df, t1, t2, no=no))
+    r1 = _sc_r1(F, df, t1, t2, Fae, Fmi, Fme, no=no)
+    G, Eia, M1 = _jax.block_until_ready(_sc_gem(df, t1, no=no))
+    Wmnij = _jax.block_until_ready(_sc_wmnij(df, eri, t1, t2, no=no))
+    Wej = _jax.block_until_ready(_sc_wej(df, eri, Loovv, t1, t2, no=no))
+    Wje = _jax.block_until_ready(_sc_wje(df, eri, Loovv, t1, t2, no=no))
+
+    # folded one-particle ladders + i-leading xs layouts
+    FAE = Fae - 0.5 * contract("mb,me->be", t1, Fme)
+    FMI = Fmi + 0.5 * contract("je,me->mj", t1, Fme)
+    tau = _tau(t1, t2)
+    Wm_t = Wmnij.transpose(2, 0, 1, 3)          # (i, m, n, j)
+    Gt = jnp.swapaxes(G, 0, 1)                  # (i, P, a)
+    Et = jnp.swapaxes(Eia, 0, 1)
+
+    if nchunks is None:
+        nchunks = 4 if no * no * nv * nv > 5e7 else 1
+    while no % nchunks:
+        nchunks -= 1
+    rows = no // nchunks
+    chunks = []
+    for c in range(nchunks):
+        s = slice(c * rows, (c + 1) * rows)
+        chunks.append(_jax.block_until_ready(_sc_urows(
+            df, t1, t2, tau, FAE, FMI, Wm_t, Gt, Et, M1, Wej, Wje,
+            t1[s], t2[s], Wm_t[s], Gt[s], Et[s], Wje[s], no=no)))
+    u = jnp.concatenate(chunks, axis=0) if nchunks > 1 else chunks[0]
+    del chunks
+    u = _jax.block_until_ready(u)
+
+    ablk, bblk = _sc_ladder_blocks(nv)
+    na, nb = nv // ablk, nv // bblk
+    import numpy as _np
+    a0_all = _np.repeat(_np.arange(na) * ablk, nb)
+    b0_all = _np.tile(_np.arange(nb) * bblk, na)
+    total = na * nb
+    if grid_chunks is None:
+        grid_chunks = 6 if no * no * nv * nv > 5e7 else 1
+    per = -(-total // grid_chunks)
+    for c in range(grid_chunks):
+        sl = slice(c * per, (c + 1) * per)
+        a0s, b0s = a0_all[sl], b0_all[sl]
+        m = _np.ones(len(a0s), dtype=_np.asarray(t2).dtype)
+        if len(a0s) < per:                       # pad the tail chunk
+            pad = per - len(a0s)
+            a0s = _np.concatenate([a0s, _np.zeros(pad, a0s.dtype)])
+            b0s = _np.concatenate([b0s, _np.zeros(pad, b0s.dtype)])
+            m = _np.concatenate([m, _np.zeros(pad, m.dtype)])
+        if not len(a0s):
+            continue
+        u = _jax.block_until_ready(_sc_ladder(
+            df, t1, t2, u, jnp.asarray(a0s), jnp.asarray(b0s),
+            jnp.asarray(m), no=no, ablk=ablk, bblk=bblk))
+    return r1, _rs_sym(u)
+
+
+def residuals_ccsd_df_scan_host(F, ERI, L, t1, t2, no, dfb=None,
+                                nblocks=None, cache=None):
+    """Adapter matching ccwfn's _host_residual_fn signature."""
+    return residuals_ccsd_df_scan(F, dfb, t1, t2, no, cache=cache)

@@ -174,6 +174,14 @@ def test_mixed_df_split_residual():
         emx = cc.solve_cc_mixed(1e-12, 1e-12)
     assert cc._host_residual_fn is not None  # the split was really active
     assert abs(emx - E_CCSD_STO3G) < 1e-9
+    # the f64 refinement stage must have routed through the scan
+    # formulation (no o^2v^2-output dot anywhere): the f64-emulated TPU
+    # backend widens every f64 dot output ~8x its natural bytes, so the
+    # seven-program split cannot compile in f64 at scale (measured
+    # round-5 OOM at (40,360)).
+    from pycc_tpu.models.dfccsd import residuals_ccsd_df_scan_host
+    assert cc._host_residual_fn.func is residuals_ccsd_df_scan_host
+    assert "ints" in cc._df_scan_cache
 
 
 def test_mixed_cc3_df():

@@ -365,10 +365,12 @@ def _rs_r1(F, df, t1, t2, no):
     return r1, Fae, Fmi, Fme
 
 
-@partial(jax.jit, static_argnames="no")
-def _rs_seed(F, df, t1, t2, Fae, Fmi, Fme, no):
+@partial(jax.jit, static_argnames=("no", "ladder_t1"))
+def _rs_seed(F, df, t1, t2, Fae, Fmi, Fme, no, ladder_t1=False):
     """r2 seed: the oovv driver, the Fae/Fmi ladders, the t1 ov^3/o^3v
-    terms."""
+    terms.  ladder_t1=True adds the dressed ladder's t1 x t1 part as
+    the rank-1 XL.Eia dot (used when the grid ladder — which contracts
+    t2 only — replaces _rs_ladder past the BL-copy HBM wall)."""
     r2 = 0.5 * _eri_oovv(df)
     r2 += contract("ijae,be->ijab", t2,
                    Fae - 0.5 * contract("mb,me->be", t1, Fme))
@@ -378,6 +380,10 @@ def _rs_seed(F, df, t1, t2, Fae, Fmi, Fme, no):
     Eia = contract("Pae,ie->Pia", df.Bvv, t1)
     r2 += contract("Pia,Pjb->ijab", Eia, df.Bov)
     r2 -= contract("ma,mbij->ijab", t1, _eri_ovoo(df))
+    if ladder_t1:
+        K = contract("Pme,ie->Pmi", df.Bov, t1)
+        x7 = contract("Pmi,ma->Pia", K, t1)
+        r2 += contract("Pia,Pjb->ijab", 0.5 * Eia - x7, Eia)
     return r2
 
 
@@ -501,6 +507,11 @@ def _rs_sym(r2):
     return r2 + r2.transpose(1, 0, 3, 2)
 
 
+# Bvv bytes above which the split residual's ladder switches to the
+# per-block-dressed grid form (tests lower it to force the grid path)
+_GRID_LADDER_BYTES = 3.5e9
+
+
 def residuals_ccsd_df_split(F, df, t1, t2, no, nblocks=None):
     """Host-sequenced DF-CCSD residuals: identical fixed point to
     residuals_ccsd_df, evaluated as seven short device programs with a
@@ -508,16 +519,28 @@ def residuals_ccsd_df_split(F, df, t1, t2, no, nblocks=None):
     jittable — call from a host-level solver loop (ccwfn.solve_cc wires
     it as the _host_residual_fn past the one-program HBM wall)."""
     import jax as _jax
+    from ..ops.ctensor import CTensor
 
+    # Past ~3.5 GB of Bvv, _rs_ladder's full dressed-BL copy (another
+    # Bvv-sized buffer, 5.5 GB at (56,504) naux=5414) cannot coexist
+    # with tau/r2/zs — switch to the grid ladder, which dresses BL
+    # per a-block, contracts t2 only (the tau t1 part folds into the
+    # seed as the rank-1 XL.Eia dot), and accumulates into the donated
+    # carry.  CTensor amplitudes (the RT re/im split) keep _rs_ladder.
+    use_grid = (not isinstance(t1, CTensor)
+                and df.Bvv.size * df.Bvv.dtype.itemsize > _GRID_LADDER_BYTES)
     if nblocks is None:
         nblocks = _ladder_blocks(t2.shape[-1], df.Bvv.shape[0])
     r1, Fae, Fmi, Fme = _rs_r1(F, df, t1, t2, no=no)
     _jax.block_until_ready(r1)
-    r2 = _rs_seed(F, df, t1, t2, Fae, Fmi, Fme, no=no)
+    r2 = _rs_seed(F, df, t1, t2, Fae, Fmi, Fme, no=no, ladder_t1=use_grid)
     _jax.block_until_ready(r2)
     r2 = _rs_oooo(df, t1, t2, r2, no=no)
     _jax.block_until_ready(r2)
-    r2 = _rs_ladder(df, t1, t2, r2, no=no, nblocks=nblocks)
+    if use_grid:
+        r2 = _run_grid_ladder(df, t1, t2, r2, no)
+    else:
+        r2 = _rs_ladder(df, t1, t2, r2, no=no, nblocks=nblocks)
     _jax.block_until_ready(r2)
     W = _rs_ring_ej_a(df, t1, t2)
     _jax.block_until_ready(W)
@@ -641,14 +664,29 @@ def cc_energy_df_qf(F, df, t1, t2, no, with_t1=True):
     several o^2v^2 f64 temps — measured 21.42/15.75 GB compile-OOM at
     (40,360) naux=3411 (round 5, the w10 refinement stage).  Identical
     flop count, o-v^2-factor smaller output.  with_t1=False gives the
-    CCD energy (tau = t2, no F.t1 term)."""
+    CCD energy (tau = t2, no F.t1 term).
+
+    NO o^2v^2 temp of any kind: tau/taubar are never materialized —
+    the t2 part is two direct dots on t2 (the swapped read relabeled
+    through t2's pair-exchange symmetry t2[m,n,f,e] = t2[n,m,e,f]), and
+    the t1 x t1 part is closed form, 2 sum_P dP^2 - sum_P tr(K K) with
+    K[P,m,i] = sum_e B[P,m,e] t1[i,e].  The f64-emulated backend widens
+    every f64 dot OUTPUT ~8x its natural bytes (the ia,jb->ijab outer
+    product inside _tau cost two 6.59 GB buffers here), and at (56,504)
+    f32 even the natural tau+taubar pair is the HBM margin."""
     o, v = slice(0, no), slice(no, None)
-    tau = _tau(t1, t2) if with_t1 else t2
-    taubar = 2.0 * tau - tau.swapaxes(2, 3)
-    Z = contract("Pnf,mnef->Pme", df.Bov, taubar)
-    ecc = contract("Pme,Pme->", df.Bov, Z)
+    Z = contract("Pnf,mnef->Pme", df.Bov, t2)
+    ecc = 2.0 * contract("Pme,Pme->", df.Bov, Z)
+    # exchange part: sum_P B_Pme t2[m,n,f,e] B_Pnf with
+    # t2[m,n,f,e] = t2[n,m,e,f] — a natural read of t2
+    Zx = contract("Pnf,nmef->Pme", df.Bov, t2)
+    ecc -= contract("Pme,Pme->", df.Bov, Zx)
     if with_t1:
-        ecc = ecc + 2.0 * contract("ia,ia->", F[o, v].astype(t1.dtype), t1)
+        dP = contract("Pme,me->P", df.Bov, t1)
+        K = contract("Pme,ie->Pmi", df.Bov, t1)
+        ecc += 2.0 * contract("P,P->", dP, dP)
+        ecc -= contract("Pmi,Pim->", K, K)
+        ecc += 2.0 * contract("ia,ia->", F[o, v].astype(t1.dtype), t1)
     return ecc
 
 
@@ -737,16 +775,21 @@ def _sc_r1(F, df, t1, t2, Fae, Fmi, Fme, no):
 
 @partial(jax.jit, static_argnames="no")
 def _sc_gem(df, t1, no):
-    """The two P-grouped row factors: r2's four sum_P X[P,i,a] Y[P,j,b]
+    """The P-grouped row factors: r2's four sum_P X[P,i,a] Y[P,j,b]
     terms (oovv driver, both t1^2 folds, the ovoo and dressed-vvvo
-    terms) collapse to G.Bov - Eia.M1."""
+    terms) collapse to G.Bov - Eia.M1, and the ladder's t1 x t1 part
+    collapses to XL.Eia with XL = 0.5 Eia - x7 (so the grid ladder
+    contracts t2 only — tau never coexists with the Bvv-heavy ladder
+    program: at (56,504) naux=5414 f32 that coexistence alone is the
+    HBM margin)."""
     K = contract("Pme,ie->Pmi", df.Bov, t1)
     x7 = contract("Pmi,ma->Pia", K, t1)
     Eia = contract("Pae,ie->Pia", df.Bvv, t1)
     N1 = contract("Pmi,ma->Pia", df.Boo, t1)
     M1 = contract("Pmj,mb->Pjb", df.Boo, t1)
     G = 0.5 * df.Bov - x7 + Eia - N1
-    return G, Eia, M1
+    XL = 0.5 * Eia - x7
+    return G, Eia, M1, XL
 
 
 @partial(jax.jit, static_argnames="no")
@@ -809,17 +852,19 @@ def _sc_wje(df, eri, Loovv, t1, t2, no):
 
 
 @partial(jax.jit, static_argnames="no")
-def _sc_urows(df, t1, t2, tau, FAE, FMI, Wm_t, Gt, Et, M1, Wej, Wje,
-              t1c, t2c, Wm_c, Gc, Ec, Wje_c, no):
+def _sc_urows(df, t1, t2, tau, FAE, FMI, Wm_t, Eia, M1, Wej, Wje,
+              t1c, t2c, Wm_c, Gc, Ec, XLc, Wje_c, no):
     """One chunk of pre-symmetrization r2 rows, as an i-scan.  The *_c
     args are the chunk's row slices (i-leading); full-array operands
-    (t2, tau, Wej, Wje, Bov) stream through the per-row dots."""
+    (t2, tau, Wej, Wje, Bov, Eia) stream through the per-row dots.
+    The XL.Eia row dot is the ladder's t1 x t1 part (see _sc_gem)."""
     Bov = df.Bov
 
     def body(_, xs):
-        t1i, t2i, Wm_i, Gi, Ei, Wje_i = xs
+        t1i, t2i, Wm_i, Gi, Ei, XLi, Wje_i = xs
         row = contract("Pa,Pjb->jab", Gi, Bov)
         row -= contract("Pa,Pjb->jab", Ei, M1)
+        row += contract("Pa,Pjb->jab", XLi, Eia)
         row += contract("jae,be->jab", t2i, FAE)
         row -= contract("mab,mj->jab", t2i, FMI)
         row += 0.5 * contract("mnj,mnab->jab", Wm_i, tau)
@@ -829,7 +874,7 @@ def _sc_urows(df, t1, t2, tau, FAE, FMI, Wm_t, Gt, Et, M1, Wej, Wje,
         row += contract("mjae,mbe->jab", t2, Wje_i)
         return 0, row
 
-    _, rows = jax.lax.scan(body, 0, (t1c, t2c, Wm_c, Gc, Ec, Wje_c))
+    _, rows = jax.lax.scan(body, 0, (t1c, t2c, Wm_c, Gc, Ec, XLc, Wje_c))
     return rows
 
 
@@ -849,13 +894,15 @@ def _sc_ladder_blocks(nv, max_elems=3 * 10 ** 7):
 @partial(jax.jit, static_argnames=("no", "ablk", "bblk"),
          donate_argnums=(3,))
 def _sc_ladder(df, t1, t2, u, a0s, b0s, msk, no, ablk, bblk):
-    """One grid chunk of the dressed vvvv ladder, accumulated into the
-    donated residual carry.  Per-trip W is (ablk*v, bblk*v); BL is
-    dressed per a-block (no full Bvv-sized copy — at (56,504)
-    naux=5414 that copy alone is 5.5 GB).  msk zeroes padded trips."""
+    """One grid chunk of the dressed vvvv ladder over t2 ONLY (the
+    tau's t1 x t1 part is the rank-1 XL.Eia row dot in _sc_urows — see
+    _sc_gem), accumulated into the donated residual carry.  Per-trip W
+    is (ablk*v, bblk*v); BL is dressed per a-block (no full Bvv-sized
+    copy — at (56,504) naux=5414 that copy alone is 5.5 GB).  msk
+    zeroes padded trips."""
     Bvv, Bov = df.Bvv, df.Bov
     naux, nv = Bvv.shape[0], Bvv.shape[2]
-    tau2 = _tau(t1, t2).reshape(no * no, nv, nv)
+    tau2 = t2.reshape(no * no, nv, nv)
 
     def body(u, xs):
         a0, b0, m = xs
@@ -891,7 +938,7 @@ def residuals_ccsd_df_scan(F, df, t1, t2, no, cache=None, nchunks=None,
 
     Fae, Fmi, Fme = _jax.block_until_ready(_sc_f(F, df, t1, t2, no=no))
     r1 = _sc_r1(F, df, t1, t2, Fae, Fmi, Fme, no=no)
-    G, Eia, M1 = _jax.block_until_ready(_sc_gem(df, t1, no=no))
+    G, Eia, M1, XL = _jax.block_until_ready(_sc_gem(df, t1, no=no))
     Wmnij = _jax.block_until_ready(_sc_wmnij(df, eri, t1, t2, no=no))
     Wej = _jax.block_until_ready(_sc_wej(df, eri, Loovv, t1, t2, no=no))
     Wje = _jax.block_until_ready(_sc_wje(df, eri, Loovv, t1, t2, no=no))
@@ -903,6 +950,7 @@ def residuals_ccsd_df_scan(F, df, t1, t2, no, cache=None, nchunks=None,
     Wm_t = Wmnij.transpose(2, 0, 1, 3)          # (i, m, n, j)
     Gt = jnp.swapaxes(G, 0, 1)                  # (i, P, a)
     Et = jnp.swapaxes(Eia, 0, 1)
+    XLt = jnp.swapaxes(XL, 0, 1)
 
     if nchunks is None:
         nchunks = 4 if no * no * nv * nv > 5e7 else 1
@@ -913,20 +961,39 @@ def residuals_ccsd_df_scan(F, df, t1, t2, no, cache=None, nchunks=None,
     for c in range(nchunks):
         s = slice(c * rows, (c + 1) * rows)
         chunks.append(_jax.block_until_ready(_sc_urows(
-            df, t1, t2, tau, FAE, FMI, Wm_t, Gt, Et, M1, Wej, Wje,
-            t1[s], t2[s], Wm_t[s], Gt[s], Et[s], Wje[s], no=no)))
+            df, t1, t2, tau, FAE, FMI, Wm_t, Eia, M1, Wej, Wje,
+            t1[s], t2[s], Wm_t[s], Gt[s], Et[s], XLt[s], Wje[s],
+            no=no)))
     u = jnp.concatenate(chunks, axis=0) if nchunks > 1 else chunks[0]
     del chunks
     u = _jax.block_until_ready(u)
 
-    ablk, bblk = _sc_ladder_blocks(nv)
-    na, nb = nv // ablk, nv // bblk
+    u = _run_grid_ladder(df, t1, t2, u, no, grid_chunks=grid_chunks)
+    return r1, _rs_sym(u)
+
+
+def _run_grid_ladder(df, t1, t2, u, no, grid_chunks=None, max_elems=None):
+    """Host driver for the (a,b)-block grid ladder over t2 (the tau t1
+    part is the rank-1 XL.Eia term — _sc_gem / _rs_seed): chunks the
+    grid across dispatches (the worker kills ~1 min programs) and pads
+    the tail chunk with masked trips so every chunk hits one compile."""
+    import jax as _jax
     import numpy as _np
+
+    nv = t2.shape[-1]
+    if max_elems is None:
+        # the f64-emulated backend widens dot outputs ~8x natural bytes;
+        # f32/bf16 outputs are natural, so bigger W blocks are fine
+        max_elems = (3 * 10 ** 7 if jnp.dtype(t2.dtype) == jnp.float64
+                     else 6 * 10 ** 7)
+    ablk, bblk = _sc_ladder_blocks(nv, max_elems)
+    na, nb = nv // ablk, nv // bblk
     a0_all = _np.repeat(_np.arange(na) * ablk, nb)
     b0_all = _np.tile(_np.arange(nb) * bblk, na)
     total = na * nb
     if grid_chunks is None:
         grid_chunks = 6 if no * no * nv * nv > 5e7 else 1
+    grid_chunks = min(grid_chunks, total)
     per = -(-total // grid_chunks)
     for c in range(grid_chunks):
         sl = slice(c * per, (c + 1) * per)
@@ -942,7 +1009,7 @@ def residuals_ccsd_df_scan(F, df, t1, t2, no, cache=None, nchunks=None,
         u = _jax.block_until_ready(_sc_ladder(
             df, t1, t2, u, jnp.asarray(a0s), jnp.asarray(b0s),
             jnp.asarray(m), no=no, ablk=ablk, bblk=bblk))
-    return r1, _rs_sym(u)
+    return u
 
 
 def residuals_ccsd_df_scan_host(F, ERI, L, t1, t2, no, dfb=None,

@@ -84,3 +84,17 @@ def test_qf_energy_equals_assembled():
     eccd_q = cc_energy_df_qf(F, df, jnp.zeros_like(t1), t2, no,
                              with_t1=False)
     assert abs(float(eccd_a) - float(eccd_q)) < 1e-13
+
+
+def test_split_grid_ladder_equals_fused(monkeypatch):
+    """Past the BL-copy HBM wall the split residual swaps _rs_ladder for
+    the grid ladder + rank-1 seed term; forced here by lowering the
+    byte threshold.  Must be exactly the fused result."""
+    from pycc_tpu.models import dfccsd
+    from pycc_tpu.models.dfccsd import residuals_ccsd_df_split
+    F, df, t1, t2, no = _rand_problem(seed=13)
+    r1a, r2a = residuals_ccsd_df(F, df, t1, t2, no)
+    monkeypatch.setattr(dfccsd, "_GRID_LADDER_BYTES", 0.0)
+    r1b, r2b = residuals_ccsd_df_split(F, df, t1, t2, no)
+    assert float(jnp.max(jnp.abs(r1a - r1b))) < 1e-13
+    assert float(jnp.max(jnp.abs(r2a - r2b))) < 1e-13

@@ -906,16 +906,19 @@ def _sc_ladder(df, t1, t2, u, a0s, b0s, msk, no, ablk, bblk):
 
     def body(u, xs):
         a0, b0, m = xs
-        Bvv_a = jax.lax.dynamic_slice(Bvv, (0, a0, 0), (naux, ablk, nv))
-        t1_a = jax.lax.dynamic_slice(t1, (0, a0), (no, ablk))
+        # index dtypes must agree under x64 (literal 0 would widen)
+        z0 = jnp.zeros((), a0.dtype)
+        Bvv_a = jax.lax.dynamic_slice(Bvv, (z0, a0, z0), (naux, ablk, nv))
+        t1_a = jax.lax.dynamic_slice(t1, (z0, a0), (no, ablk))
         BL = 0.5 * Bvv_a - contract("ma,Pme->Pae", t1_a, Bov)
-        Bvv_b = jax.lax.dynamic_slice(Bvv, (0, b0, 0), (naux, bblk, nv))
+        Bvv_b = jax.lax.dynamic_slice(Bvv, (z0, b0, z0), (naux, bblk, nv))
         W = contract("Pae,Pbf->aebf", BL, Bvv_b)
         z = m * contract("xef,aebf->xab", tau2, W)
         z = z.reshape(no, no, ablk, bblk)
-        cur = jax.lax.dynamic_slice(u, (0, 0, a0, b0),
+        cur = jax.lax.dynamic_slice(u, (z0, z0, a0, b0),
                                     (no, no, ablk, bblk))
-        return jax.lax.dynamic_update_slice(u, cur + z, (0, 0, a0, b0)), 0
+        return jax.lax.dynamic_update_slice(u, cur + z,
+                                            (z0, z0, a0, b0)), 0
 
     u, _ = jax.lax.scan(body, u, (a0s, b0s, msk))
     return u
@@ -1007,7 +1010,8 @@ def _run_grid_ladder(df, t1, t2, u, no, grid_chunks=None, max_elems=None):
         if not len(a0s):
             continue
         u = _jax.block_until_ready(_sc_ladder(
-            df, t1, t2, u, jnp.asarray(a0s), jnp.asarray(b0s),
+            df, t1, t2, u, jnp.asarray(a0s, jnp.int32),
+            jnp.asarray(b0s, jnp.int32),
             jnp.asarray(m), no=no, ablk=ablk, bblk=bblk))
     return u
 

@@ -16,6 +16,8 @@ Run: python examples/probe_f64_scan.py [no nv naux [dtype]]
 import sys
 import time
 
+sys.path.insert(0, "/root/repo")  # runnable from any cwd
+
 import jax
 import jax.numpy as jnp
 

@@ -50,7 +50,7 @@ def main():
     while no % nchunks:
         nchunks -= 1
     rows = no // nchunks
-    max_elems = 3 * 10 ** 7 if dt == jnp.float64 else 6 * 10 ** 7
+    max_elems = 12 * 10 ** 6 if dt == jnp.float64 else 6 * 10 ** 7
     ablk, bblk = q._sc_ladder_blocks(nv, max_elems)
     na, nb = nv // ablk, nv // bblk
     grid_chunks = 6 if no * no * nv * nv > 5e7 else 1
@@ -58,6 +58,9 @@ def main():
     i32 = jax.ShapeDtypeStruct((per,), jnp.dtype("int32"))
     mk = jax.ShapeDtypeStruct((per,), dt)
 
+    oP = S(no, naux, nv)        # row-sliced P factors (i, P, a)
+    K = S(naux, no, no)
+    Wst = S(no, no, nv, nv)     # j-leading W stacks
     probes = [
         ("qf_energy", jax.jit(q.cc_energy_df_qf, static_argnums=(4, 5)),
          (F, df, t1, t2, no, True)),
@@ -66,15 +69,17 @@ def main():
         ("sc_r1", q._sc_r1, (F, df, t1, t2, S(nv, nv), S(no, no),
                              S(no, nv)), dict(no=no)),
         ("sc_gem", q._sc_gem, (df, t1), dict(no=no)),
-        ("sc_wmnij", q._sc_wmnij, (df, eri, t1, t2), dict(no=no)),
-        ("sc_wej", q._sc_wej, (df, eri, eri, t1, t2), dict(no=no)),
-        ("sc_wje", q._sc_wje, (df, eri, eri, t1, t2), dict(no=no)),
-        ("sc_urows", q._sc_urows,
-         (df, t1, t2, eri, S(nv, nv), S(no, no), S(no, no, no, no),
-          ovov, ovov, eri, eri,
+        ("sc_wmnij", q._sc_wmnij, (df, eri, t1, t2, K), dict(no=no)),
+        ("sc_wej", q._sc_wej, (df, eri, t1, t2, oP), dict(no=no)),
+        ("sc_wje", q._sc_wje, (df, eri, t1, t2, K), dict(no=no)),
+        ("sc_prows", q._sc_prows,
+         (df, t1, t2, S(nv, nv), S(no, no), ovov, ovov,
           S(rows, nv), S(rows, no, nv, nv), S(rows, no, no, no),
-          S(rows, naux, nv), S(rows, naux, nv), S(rows, naux, nv),
-          S(rows, no, nv, nv)), dict(no=no)),
+          S(rows, naux, nv), S(rows, naux, nv), S(rows, naux, nv)),
+         dict(no=no)),
+        ("sc_wrows", q._sc_wrows,
+         (t2, Wst, Wst, S(rows, no, nv, nv), S(rows, no, nv, nv)),
+         dict(no=no)),
         ("sc_ladder", q._sc_ladder,
          (df, t1, t2, eri, i32, i32, mk),
          dict(no=no, ablk=ablk, bblk=bblk)),

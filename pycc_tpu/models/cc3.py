@@ -1311,18 +1311,61 @@ def cc3_lambda_extra_scan_df(F, dfb, t1, t2, l1, l2, no, real_time=False,
     return Y1, Y2 + Y2.transpose(1, 0, 3, 2)
 
 
-@partial(jax.jit, static_argnames=("no", "real_time"), donate_argnums=(1,))
+# slab elements above which the pdm row assembles t3/l3 by k-chunked
+# builds (tests lower it to force multi-chunk assembly at tiny size)
+_PDM_CHUNK_ELEMS = 3e7
+
+
+def _t3c_pair_chunk(i, j, k0, kc, Vov, Wabei_o, Wmbij_t, t2, eps_o,
+                    eps_v, real_time):
+    """T1-dressed T3[i, j] k-window (K,a,b,c), with the RT term."""
+    from ..triples import _dslice, _t3c_chunk_ij
+    t3 = _t3c_chunk_ij(i, j, k0, kc, Wabei_o, Wmbij_t, t2, eps_o, eps_v)
+    if real_time:
+        tmp = contract("ld,ad->al", Vov, t2[i, j])
+        t3p = contract("al,klcb->kabc", tmp, _dslice(t2, k0, kc))
+        eo = jax.lax.dynamic_slice(eps_o, (k0,), (kc,))
+        denom = (eps_o[i] + eps_o[j] + eo[:, None, None, None]
+                 - eps_v[None, :, None, None]
+                 - eps_v[None, None, :, None]
+                 - eps_v[None, None, None, :])
+        t3 = jax.lax.optimization_barrier(t3 - t3p / denom)
+    return t3
+
+
+@partial(jax.jit, static_argnames=("no", "kc", "real_time"),
+         donate_argnums=(1,))
 def _cc3_onepdm_row(i, carry, Wabei_o, Wmbij_t, t2, l1, l2, Fov, Wamef,
-                    Wmnie, eps, Lo, Vov, no, real_time):
-    """One leading-index row of the CC3 one-pdm triples corrections."""
+                    Wmnie, eps, Lo, Vov, no, kc, real_time):
+    """One leading-index row of the CC3 one-pdm triples corrections.
+
+    The t3/l3 pair slabs are ASSEMBLED by k-chunked builds into full
+    (no, v^3) buffers: the one-shot 12-dot + 30-dot builds pile up ~26
+    slab-size buffers and measured 20.05/15.75 GB HBM at
+    uracil/aug-cc-pVDZ (21,191) (round 5); chunked assembly caps the
+    build pile at kc*v^3 while the four consumers read the two
+    naturally-stored full slabs.  kc == no (one chunk) reproduces the
+    original single-pass build at small sizes."""
     eps_o, eps_v = eps[:no], eps[no:]
+    nv = eps_v.shape[0]
+    nk = no // kc
 
     def body(j, carry):
         Dov, Zlmdi, Doo, Dvv = carry
-        t3 = _cc3_t3_slab_pair(i, j, Vov, Wabei_o, Wmbij_t, t2, eps_o,
-                               eps_v, real_time)                # [k,a,b,c]
-        l3 = _l3_slab_ij(i, j, Lo, l1, l2, Fov, Wamef, Wmnie, eps_o,
-                         eps_v)                                 # [k,a,b,c]
+
+        def kbody(c, slabs):
+            t3f, l3f = slabs
+            k0 = c * kc
+            t3c = _t3c_pair_chunk(i, j, k0, kc, Vov, Wabei_o, Wmbij_t,
+                                  t2, eps_o, eps_v, real_time)
+            l3c = _l3_slab_ij_chunk(i, j, k0, kc, Lo, l1, l2, Fov,
+                                    Wamef, Wmnie, eps_o, eps_v)
+            t3f = jax.lax.dynamic_update_slice(t3f, t3c, (k0, 0, 0, 0))
+            l3f = jax.lax.dynamic_update_slice(l3f, l3c, (k0, 0, 0, 0))
+            return (t3f, l3f)
+
+        z = jnp.zeros((no, nv, nv, nv), t2.dtype)
+        t3, l3 = jax.lax.fori_loop(0, nk, kbody, (z, jnp.zeros_like(z)))
         Zlmdi = Zlmdi.at[i, j].add(contract("kdef,kpfe->dp", l3, t2))
         Dov = Dov.at[i].add(
             contract("kabc,kbc->a", t3 - (t3).swapaxes(1, 2), l2[j]))
@@ -1371,12 +1414,15 @@ def cc3_onepdm_rows(cc, t1, t2, l1, l2, real_time=False):
          Vov) = prep(F, ERI, L, t1, t2, no=no, real_time=real_time,
                      F_ref=jnp.asarray(cc.H.F))
     D = t1.dtype
+    from ..models.dfccsd import _div_chunk
+    kc = _div_chunk(no, max(1, int(_PDM_CHUNK_ELEMS // nv ** 3)))
     carry = (jnp.zeros((no, nv), D), jnp.zeros((no, no, nv, no), D),
              jnp.zeros((no, no), D), jnp.zeros((nv, nv), D))
     for i in range(no):
-        carry = _cc3_onepdm_row(jnp.asarray(i), carry, Wabei_o, Wmbij_t,
-                                t2, l1, l2, Fov, Wamef, Wmnie, eps, Lo,
-                                Vov, no=no, real_time=real_time)
+        carry = _cc3_onepdm_row(jnp.asarray(i), carry, Wabei_o,
+                                Wmbij_t, t2, l1, l2, Fov, Wamef, Wmnie,
+                                eps, Lo, Vov, no=no, kc=kc,
+                                real_time=real_time)
     Dov, Zlmdi, Doo, Dvv = carry
     Dov = Dov - contract("lmdp,lmda->pa", Zlmdi, t2)
 

@@ -654,234 +654,398 @@ def cc_energy_df(F, df, t1, t2, no):
 
 
 def cc_energy_df_qf(F, df, t1, t2, no, with_t1=True):
-    """CC correlation energy from factors WITHOUT materializing the
-    o^2v^2 oovv block: E2 = sum_P vec(B_P)^T Taubar vec(B_P) with
-    Taubar = 2 tau - tau^(e<->f), evaluated as one (P,nf)x(mnef) dot
-    whose output is only (P,o,v)-sized.
-
-    This is the f64-at-scale energy: the assembled-eri form inside one
-    f64-emulated program holds ~8 widened Bov operand copies PLUS
-    several o^2v^2 f64 temps — measured 21.42/15.75 GB compile-OOM at
-    (40,360) naux=3411 (round 5, the w10 refinement stage).  Identical
-    flop count, o-v^2-factor smaller output.  with_t1=False gives the
-    CCD energy (tau = t2, no F.t1 term).
-
-    NO o^2v^2 temp of any kind: tau/taubar are never materialized —
-    the t2 part is two direct dots on t2 (the swapped read relabeled
-    through t2's pair-exchange symmetry t2[m,n,f,e] = t2[n,m,e,f]), and
-    the t1 x t1 part is closed form, 2 sum_P dP^2 - sum_P tr(K K) with
-    K[P,m,i] = sum_e B[P,m,e] t1[i,e].  The f64-emulated backend widens
-    every f64 dot OUTPUT ~8x its natural bytes (the ia,jb->ijab outer
-    product inside _tau cost two 6.59 GB buffers here), and at (56,504)
-    f32 even the natural tau+taubar pair is the HBM margin."""
+    """CC correlation energy from factors as an occupied-row scan with
+    NO large dot operand or output: the f64-emulated TPU backend widens
+    every f64 dot OPERAND and OUTPUT to ~4x its natural f64 bytes
+    (measured round 5: one o^2v^2 output = two 6.59 GB buffers; Bvv as
+    a dot operand = ~14 GB), so per-trip operands here are one t2 row
+    plus Bov (the only whole-array operand, widened once, 1.6 GB).
+    Identical value to the assembled-eri energy (equality-tested);
+    with_t1=False gives the CCD energy.  Reference energy expression:
+    /root/reference/pycc/ccwfn.py:625-642 (dense, f64-only)."""
     o, v = slice(0, no), slice(no, None)
-    Z = contract("Pnf,mnef->Pme", df.Bov, t2)
-    ecc = 2.0 * contract("Pme,Pme->", df.Bov, Z)
-    # exchange part: sum_P B_Pme t2[m,n,f,e] B_Pnf with
-    # t2[m,n,f,e] = t2[n,m,e,f] — a natural read of t2
-    Zx = contract("Pnf,nmef->Pme", df.Bov, t2)
-    ecc -= contract("Pme,Pme->", df.Bov, Zx)
+    Bov = df.Bov
+
+    def body(acc, xs):
+        t2m, t1m, Bm = xs
+        taum = t2m
+        if with_t1:
+            taum = taum + t1m[None, :, None] * t1[:, None, :]
+        tbar = 2.0 * taum - taum.swapaxes(1, 2)
+        Z = contract("nef,Pnf->Pe", tbar, Bov)
+        return acc + contract("Pe,Pe->", Bm, Z), 0
+
+    ecc, _ = jax.lax.scan(body, jnp.zeros((), t2.dtype),
+                          (t2, t1, jnp.swapaxes(Bov, 0, 1)))
     if with_t1:
-        dP = contract("Pme,me->P", df.Bov, t1)
-        K = contract("Pme,ie->Pmi", df.Bov, t1)
-        ecc += 2.0 * contract("P,P->", dP, dP)
-        ecc -= contract("Pmi,Pim->", K, K)
-        ecc += 2.0 * contract("ia,ia->", F[o, v].astype(t1.dtype), t1)
+        ecc = ecc + 2.0 * contract("ia,ia->", F[o, v].astype(t1.dtype), t1)
     return ecc
 
 
 # ---------------------------------------------------------------------------
-# CCSD residual with NO o^2v^2 dot output anywhere (the f64-at-scale path)
+# CCSD residual with NO large f64 dot operand or output (f64-at-scale)
 # ---------------------------------------------------------------------------
 #
-# The f64-emulated TPU backend materializes every f64 dot OUTPUT as a
-# widened multi-slice f32 accumulator: one o^2v^2 output at (40,360)
-# costs two 6.59 GB buffers (measured, round 5 — ~8x the natural f64
-# bytes), so the seven-program split above, whose every r2 term IS an
-# o^2v^2-output dot, cannot compile in f64 past ~(32,256).  Elementwise
-# f64 temps and big f64 dot OPERANDS carry no such tax (operands are
-# windowed/streamed).  This formulation therefore:
-#
-#   * assembles the stage-constant oovv/Loovv blocks ONCE per precision
-#     stage by a row scan (per-row dot output no*v^2, stacked into a
-#     naturally-stored o^2v^2 array) and caches them on the solver;
-#   * builds the two ring W's as j-row scans over factor slices and the
-#     cached integrals (per-trip outputs o*v^2);
-#   * evaluates every r2 term inside an i-row scan whose per-trip
-#     output is one residual row (no*v^2), with the four
-#     sum_P X[P,i,a] Y[P,j,b] terms pre-grouped into two P-factors;
-#   * runs the dressed vvvv ladder over an (a-block, b-block) grid so
-#     the per-trip W output is ablk*v*bblk*v, accumulated straight into
-#     the donated residual carry;
-#   * chunks the i-scan and the ladder grid across HOST-level calls —
-#     the axon worker kills single dispatches past ~1 min, and one f64
-#     iteration here is minutes of emulated-dot work.
+# The f64-emulated TPU backend materializes every f64 dot OPERAND and
+# OUTPUT as widened multi-slice f32 buffers at ~4x the natural f64
+# bytes (measured by AOT probes, round 5: an o^2v^2 output costs two
+# 6.59 GB buffers; Bvv as a whole-array dot operand costs ~14 GB; the
+# direct scan forms probed 17-50 GB of 15.75).  Elementwise f64 ops and
+# storage stay at natural cost.  The rule here: every f64 dot touches
+# only SLABS — rows, a/b-blocks of Bvv, n/m-chunks of o^2v^2 arrays —
+# kept under ~2e7 elements, via nested lax.scans; whole o^2v^2 arrays
+# exist only as naturally-stored scan outputs / elementwise temps.
+# Host-level chunking of the row and grid programs bounds per-dispatch
+# wall (the axon worker kills ~1 min dispatches).
 #
 # Same fixed point as residuals_ccsd_df (equality-tested); reference
 # equations /root/reference/pycc/ccwfn.py:331-622, which exist only in
 # f64 and only as far as the dense nact^4 ERI reaches
 # (/root/reference/pycc/hamiltonian.py:36-39).
 
+def _div_chunk(n, max_c):
+    """Largest divisor of n that is <= max(1, max_c)."""
+    max_c = max(1, int(max_c))
+    best = 1
+    for c in range(1, n + 1):
+        if n % c == 0 and c <= max_c:
+            best = c
+    return best
+
+
+_SLAB = 2 * 10 ** 7     # max elements of any f64 dot operand slab
+
+
 @partial(jax.jit, static_argnames="no")
 def _sc_integrals(df, no):
-    """Stage-constant <oo|vv> and L[oo,vv] by row-scan assembly."""
+    """Stage-constant <oo|vv> by row-scan assembly (naturally stored;
+    consumed only in chunked slabs)."""
     Bov = df.Bov
 
-    def body(_, Bm):                      # Bm: (P, v) = Bov[:, m]
-        e = contract("Pe,Pnf->nef", Bm, Bov)
-        return 0, (e, 2.0 * e - e.swapaxes(1, 2))
+    def body(_, Bm):
+        return 0, contract("Pe,Pnf->nef", Bm, Bov)
 
-    _, (eri, Loovv) = jax.lax.scan(body, 0, jnp.swapaxes(Bov, 0, 1))
-    return eri, Loovv
+    _, eri = jax.lax.scan(body, 0, jnp.swapaxes(Bov, 0, 1))
+    return eri
 
 
 @partial(jax.jit, static_argnames="no")
 def _sc_f(F, df, t1, t2, no):
-    """Fae/Fmi/Fme in the re-associated factor forms (same math as
-    _rs_r1's intermediates; its own program so the widened P*o*v dot
-    accumulators never coexist with _sc_r1's)."""
+    """Fae/Fmi/Fme: the tau_h contractions as one occupied-row scan
+    (Y==U and V emitted as rows, Z accumulated as a carry), the Bvv
+    pieces as an a-block scan."""
     o, v = slice(0, no), slice(no, None)
-    tau_h = _tau(t1, t2, 1.0, 0.5)
-    dP = contract("Pmf,mf->P", df.Bov, t1)
-    Cam = contract("Paf,mf->Pam", df.Bvv, t1)
-    ovvv_term = (2.0 * contract("P,Pae->ae", dP, df.Bvv)
-                 - contract("Pam,Pme->ae", Cam, df.Bov))
-    Y = contract("mnaf,Pnf->Pma", tau_h, df.Bov)
-    Z = contract("mnaf,Pmf->Pna", tau_h, df.Bov)
+    Bov, Boo, Bvv = df.Bov, df.Boo, df.Bvv
+    naux, nv = Bvv.shape[0], Bvv.shape[2]
+    dP = contract("Pmf,mf->P", Bov, t1)
+
+    def orow(Z, xs):
+        t2m, t1m, Bm = xs
+        th = t2m + 0.5 * t1m[None, :, None] * t1[:, None, :]
+        Ym = contract("naf,Pnf->Pa", th, Bov)      # == U row
+        Vm = contract("nef,Pne->Pf", th, Bov)
+        Z = Z + contract("naf,Pf->Pna", th, Bm)
+        return Z, (Ym, Vm)
+
+    Z0 = jnp.zeros((naux, no, nv), t2.dtype)
+    Z, (Y, V) = jax.lax.scan(orow, Z0,
+                             (t2, t1, jnp.swapaxes(Bov, 0, 1)))
+
+    ach = _div_chunk(nv, _SLAB // (naux * nv))
+    a0s = jnp.arange(nv // ach, dtype=jnp.int32) * ach
+
+    def ablock(_, a0):
+        z0 = jnp.zeros((), a0.dtype)
+        Bb = jax.lax.dynamic_slice(Bvv, (z0, a0, z0), (naux, ach, nv))
+        Cb = contract("Paf,mf->Pam", Bb, t1)
+        term = (2.0 * contract("P,Pae->ae", dP, Bb)
+                - contract("Pam,Pme->ae", Cb, Bov))
+        return 0, term
+
+    _, ovb = jax.lax.scan(ablock, 0, a0s)
+    ovvv_term = ovb.reshape(nv, nv)
+
     Fae = (F[v, v] - 0.5 * contract("me,ma->ae", F[o, v], t1) + ovvv_term
-           - 2.0 * contract("Pma,Pme->ae", Y, df.Bov)
-           + contract("Pna,Pne->ae", Z, df.Bov))
+           - 2.0 * contract("mPa,Pme->ae", Y, Bov)
+           + contract("Pna,Pne->ae", Z, Bov))
 
     eri_ooov = _eri_ooov(df)
-    Looov = 2.0 * eri_ooov - contract("Pme,Pni->mnie", df.Bov, df.Boo)
-    U = contract("inef,Pnf->Pie", tau_h, df.Bov)
-    V = contract("inef,Pne->Pif", tau_h, df.Bov)
+    Looov = 2.0 * eri_ooov - contract("Pme,Pni->mnie", Bov, Boo)
     Fmi = (F[o, o] + 0.5 * contract("ie,me->mi", t1, F[o, v])
            + contract("ne,mnie->mi", t1, Looov)
-           + 2.0 * contract("Pie,Pme->mi", U, df.Bov)
-           - contract("Pif,Pmf->mi", V, df.Bov))
+           + 2.0 * contract("iPe,Pme->mi", Y, Bov)
+           - contract("iPf,Pmf->mi", V, Bov))
 
-    S = contract("nf,Pmf->Pnm", t1, df.Bov)
-    Fme = (F[o, v] + 2.0 * contract("P,Pme->me", dP, df.Bov)
-           - contract("Pnm,Pne->me", S, df.Bov))
+    S = contract("nf,Pmf->Pnm", t1, Bov)
+    Fme = (F[o, v] + 2.0 * contract("P,Pme->me", dP, Bov)
+           - contract("Pnm,Pne->me", S, Bov))
     return Fae, Fmi, Fme
 
 
 @partial(jax.jit, static_argnames="no")
 def _sc_r1(F, df, t1, t2, Fae, Fmi, Fme, no):
-    return _r_T1_df(F, df, None, None, _eri_ooov(df), t1, t2,
-                    Fae, Fme, Fmi, no)
+    """r1: the t2-contracted terms as an occupied-row scan (t2s and the
+    Loovo reads relabeled through pair-exchange symmetry to natural row
+    reads), the Bvv pieces a-blocked."""
+    o, v = slice(0, no), slice(no, None)
+    Bov, Boo, Bvv = df.Bov, df.Boo, df.Bvv
+    naux, nv = Bvv.shape[0], Bvv.shape[2]
+    dP = contract("Pnf,nf->P", Bov, t1)
+    eri_ooov = _eri_ooov(df)
+    eo_t = jnp.swapaxes(eri_ooov, 0, 1)
+
+    def orow(carry, xs):
+        Vif, acc = carry
+        t2m, em, etm, Bm, Fme_m = xs
+        t2s_m = 2.0 * t2m - t2m.swapaxes(1, 2)
+        Vif = Vif + contract("Pe,ief->Pif", Bm, t2s_m)
+        # t2s.Fme: t2[i,m,a,e] = t2[m,i,e,a], t2[i,m,e,a] = t2[m,i,a,e]
+        a = 2.0 * contract("iea,e->ia", t2m, Fme_m)
+        a -= contract("iae,e->ia", t2m, Fme_m)
+        # -Loovo: -(2 <mn|ie> - <nm|ie>) . t2[m,n,a,e]
+        a -= 2.0 * contract("nae,nie->ia", t2m, em)
+        a += contract("nae,nie->ia", t2m, etm)
+        return (Vif, acc + a), 0
+
+    Vif0 = jnp.zeros((naux, no, nv), t2.dtype)
+    acc0 = jnp.zeros((no, nv), t2.dtype)
+    (Vif, acc), _ = jax.lax.scan(
+        orow, (Vif0, acc0),
+        (t2, eri_ooov, eo_t, jnp.swapaxes(Bov, 0, 1), Fme))
+
+    ach = _div_chunk(nv, _SLAB // (naux * nv))
+    a0s = jnp.arange(nv // ach, dtype=jnp.int32) * ach
+
+    def ablock(_, a0):
+        z0 = jnp.zeros((), a0.dtype)
+        Bb = jax.lax.dynamic_slice(Bvv, (z0, a0, z0), (naux, ach, nv))
+        ov = contract("Pif,Paf->ia", Vif, Bb)
+        Cb = contract("Paf,nf->Pan", Bb, t1)
+        lv = contract("Pan,Pni->ia", Cb, Boo)
+        return 0, (ov, lv)
+
+    _, (ovb, lvb) = jax.lax.scan(ablock, 0, a0s)
+    ovvv_term = ovb.transpose(1, 0, 2).reshape(no, nv)
+    can_term = lvb.transpose(1, 0, 2).reshape(no, nv)
+    return (F[o, v]
+            + contract("ie,ae->ia", t1, Fae)
+            - contract("ma,mi->ia", t1, Fmi)
+            + acc
+            + 2.0 * contract("P,Pia->ia", dP, Bov) - can_term
+            + ovvv_term)
 
 
 @partial(jax.jit, static_argnames="no")
 def _sc_gem(df, t1, no):
-    """The P-grouped row factors: r2's four sum_P X[P,i,a] Y[P,j,b]
-    terms (oovv driver, both t1^2 folds, the ovoo and dressed-vvvo
-    terms) collapse to G.Bov - Eia.M1, and the ladder's t1 x t1 part
-    collapses to XL.Eia with XL = 0.5 Eia - x7 (so the grid ladder
-    contracts t2 only — tau never coexists with the Bvv-heavy ladder
-    program: at (56,504) naux=5414 f32 that coexistence alone is the
-    HBM margin)."""
-    K = contract("Pme,ie->Pmi", df.Bov, t1)
-    x7 = contract("Pmi,ma->Pia", K, t1)
-    Eia = contract("Pae,ie->Pia", df.Bvv, t1)
-    N1 = contract("Pmi,ma->Pia", df.Boo, t1)
-    M1 = contract("Pmj,mb->Pjb", df.Boo, t1)
-    G = 0.5 * df.Bov - x7 + Eia - N1
-    XL = 0.5 * Eia - x7
-    return G, Eia, M1, XL
-
-
-@partial(jax.jit, static_argnames="no")
-def _sc_wmnij(df, eri, t1, t2, no):
-    """Wmnij (o^4 — every dot output here is small)."""
-    eri_ooov = _eri_ooov(df)
-    return build_Wmnij_df(_eri_oooo(df), eri_ooov, eri, t1, t2)
-
-
-@partial(jax.jit, static_argnames="no")
-def _sc_wej(df, eri, Loovv, t1, t2, no):
-    """Wmbej stacked j-leading: W[j, m, b, e] = Wmbej[m, b, e, j],
-    built as a j-row scan (per-trip output o*v^2)."""
+    """The P-grouped row factors (G.Bov - Eia.M1 + XL.Eia cover the
+    oovv driver, both t1^2 folds, the ovoo/dressed-vvvo terms, and the
+    ladder's t1 x t1 part) with the Eia build a-blocked, plus K (the
+    Bov.t1 fold reused by Wmnij's t1^2 part and Wmbje's Dmj)."""
     Bov, Boo, Bvv = df.Bov, df.Boo, df.Bvv
+    naux, nv = Bvv.shape[0], Bvv.shape[2]
+    K = contract("Pme,ie->Pmi", Bov, t1)
+    x7 = contract("Pmi,ma->Pia", K, t1)
+    N1 = contract("Pmi,ma->Pia", Boo, t1)
+    M1 = contract("Pmj,mb->Pjb", Boo, t1)
+
+    ach = _div_chunk(nv, _SLAB // (naux * nv))
+    a0s = jnp.arange(nv // ach, dtype=jnp.int32) * ach
+
+    def ablock(_, a0):
+        z0 = jnp.zeros((), a0.dtype)
+        Bb = jax.lax.dynamic_slice(Bvv, (z0, a0, z0), (naux, ach, nv))
+        return 0, contract("Pae,ie->Pia", Bb, t1)
+
+    _, Eb = jax.lax.scan(ablock, 0, a0s)
+    Eia = Eb.transpose(1, 2, 0, 3).reshape(naux, no, nv)
+    G = 0.5 * Bov - x7 + Eia - N1
+    XL = 0.5 * Eia - x7
+    return G, Eia, M1, XL, K
+
+
+@partial(jax.jit, static_argnames="no")
+def _sc_wmnij(df, eri, t1, t2, K, no):
+    """Wmnij (o^4): the tau quad as t2 part (a contraction-dim-chunked
+    (o^2, v^2) matmul over slabs) + t1^2 part (K.K, factor-collapsed)."""
+    nv = t2.shape[-1]
+    eri_ooov = _eri_ooov(df)
+    W = (_eri_oooo(df)
+         + contract("je,mnie->mnij", t1, eri_ooov)
+         + contract("ie,nmje->mnij", t1, eri_ooov)
+         + contract("Pmi,Pnj->mnij", K, K))
+    t22 = t2.reshape(no * no, nv * nv)
+    e22 = eri.reshape(no * no, nv * nv)
+    kc = _div_chunk(nv * nv, _SLAB // (no * no))
+    k0s = jnp.arange((nv * nv) // kc, dtype=jnp.int32) * kc
+
+    def kblock(Wq, k0):
+        z0 = jnp.zeros((), k0.dtype)
+        ta = jax.lax.dynamic_slice(t22, (z0, k0), (no * no, kc))
+        eb = jax.lax.dynamic_slice(e22, (z0, k0), (no * no, kc))
+        return Wq + contract("xk,yk->xy", ta, eb), 0
+
+    Wq0 = jnp.zeros((no * no, no * no), t2.dtype)
+    Wq, _ = jax.lax.scan(kblock, Wq0, k0s)
+    return W + Wq.reshape(no, no, no, no).transpose(2, 3, 0, 1)
+
+
+@partial(jax.jit, static_argnames="no")
+def _sc_wej(df, eri, t1, t2, Et, no):
+    """Wmbej stacked j-leading, as a j-row scan with the two quad
+    contractions n-chunked over eri slabs.  The ovvv dressing's Cbj is
+    Eia transposed (Et rows), so Bvv never enters this program; the
+    Loovv read is eliminated via eri's (mn)(ef) exchange symmetry."""
+    Bov, Boo = df.Bov, df.Boo
+    naux, nv = Bov.shape[0], Bov.shape[2]
+    nch = _div_chunk(no, _SLAB // (no * nv * nv))
+    n0s = jnp.arange(no // nch, dtype=jnp.int32) * nch
 
     def body(_, xs):
-        t1j, t2j, Bovj, Booj = xs
-        # <mb|ej> = (me|bj)
-        w = contract("Pme,Pb->mbe", Bov, Bovj)
-        cj = contract("Pbf,f->Pb", Bvv, t1j)
-        w += contract("Pme,Pb->mbe", Bov, cj)
-        # <nm|je> = (nj|me)
+        t1j, t2j, Bovj, Booj, Ej = xs
+        w = contract("Pme,Pb->mbe", Bov, Bovj + Ej)
         ooov_j = contract("Pn,Pme->nme", Booj, Bov)
         w -= contract("nb,nme->mbe", t1, ooov_j)
-        # tau_x[j,n,f,b] = 0.5 t2[j,n,f,b] + t1[j,f] t1[n,b]
         txj = 0.5 * t2j + t1j[None, :, None] * t1[:, None, :]
-        w -= contract("nfb,mnef->mbe", txj, eri)
-        # srow[n,f,b] = t2[n,j,f,b] = t2[j,n,b,f]  (pair-exchange symmetry)
-        w += 0.5 * contract("nfb,mnef->mbe", t2j.swapaxes(1, 2), Loovv)
+        srow = t2j.swapaxes(1, 2)
+        A = srow - txj
+
+        def nblock(acc, n0):
+            z0 = jnp.zeros((), n0.dtype)
+            e1 = jax.lax.dynamic_slice(eri, (z0, n0, z0, z0),
+                                       (no, nch, nv, nv))
+            e2 = jax.lax.dynamic_slice(eri, (n0, z0, z0, z0),
+                                       (nch, no, nv, nv))
+            Ab = jax.lax.dynamic_slice(A, (n0, z0, z0), (nch, nv, nv))
+            sb = jax.lax.dynamic_slice(srow, (n0, z0, z0), (nch, nv, nv))
+            acc += contract("nfb,mnef->mbe", Ab, e1)
+            acc -= 0.5 * contract("nfb,nmef->mbe", sb, e2)
+            return acc, 0
+
+        w, _ = jax.lax.scan(nblock, w, n0s)
         return 0, w
 
-    xs = (t1, t2, jnp.swapaxes(Bov, 0, 1), Boo.transpose(2, 0, 1))
+    xs = (t1, t2, jnp.swapaxes(Bov, 0, 1), Boo.transpose(2, 0, 1), Et)
     _, W = jax.lax.scan(body, 0, xs)
     return W
 
 
 @partial(jax.jit, static_argnames="no")
-def _sc_wje(df, eri, Loovv, t1, t2, no):
-    """Wmbje stacked j-leading: W[j, m, b, e] = Wmbje[m, b, j, e].
-    The quad term's (mnfe) read uses eri's (mn)(ef) exchange symmetry:
-    eri[m,n,f,e] = eri[n,m,e,f] — a natural read, no transposed copy."""
+def _sc_wje(df, eri, t1, t2, K, no):
+    """Wmbje stacked j-leading: the (mj|be) + Dmj.Bvv assembly fused
+    into one b-blocked dot per j (Dmj is K), the quad n-chunked with
+    the (mnfe) read relabeled through eri's exchange symmetry."""
     Bov, Boo, Bvv = df.Bov, df.Boo, df.Bvv
+    naux, nv = Bvv.shape[0], Bvv.shape[2]
+    bch = _div_chunk(nv, _SLAB // (naux * nv))
+    b0s = jnp.arange(nv // bch, dtype=jnp.int32) * bch
+    nch = _div_chunk(no, _SLAB // (no * nv * nv))
+    n0s = jnp.arange(no // nch, dtype=jnp.int32) * nch
 
     def body(_, xs):
-        t1j, t2j, Booj = xs
-        # <mb|je> = (mj|be)
-        w = -contract("Pm,Pbe->mbe", Booj, Bvv)
-        dj = contract("Pmf,f->Pm", Bov, t1j)
-        w -= contract("Pm,Pbe->mbe", dj, Bvv)
-        # <mn|je> = (mj|ne)
+        t1j, t2j, Booj, Kj = xs
+        D = Booj + Kj
+
+        def bblock(_, b0):
+            z0 = jnp.zeros((), b0.dtype)
+            Bb = jax.lax.dynamic_slice(Bvv, (z0, b0, z0), (naux, bch, nv))
+            return 0, -contract("Pm,Pbe->mbe", D, Bb)
+
+        _, wb = jax.lax.scan(bblock, 0, b0s)
+        w = wb.transpose(1, 0, 2, 3).reshape(no, nv, nv)
         ooov2_j = contract("Pm,Pne->mne", Booj, Bov)
         w += contract("nb,mne->mbe", t1, ooov2_j)
         txj = 0.5 * t2j + t1j[None, :, None] * t1[:, None, :]
-        w += contract("nfb,nmef->mbe", txj, eri)
+
+        def nblock(acc, n0):
+            z0 = jnp.zeros((), n0.dtype)
+            tb = jax.lax.dynamic_slice(txj, (n0, z0, z0), (nch, nv, nv))
+            eb = jax.lax.dynamic_slice(eri, (n0, z0, z0, z0),
+                                       (nch, no, nv, nv))
+            return acc + contract("nfb,nmef->mbe", tb, eb), 0
+
+        w, _ = jax.lax.scan(nblock, w, n0s)
         return 0, w
 
-    xs = (t1, t2, Boo.transpose(2, 0, 1))
+    xs = (t1, t2, Boo.transpose(2, 0, 1), K.transpose(2, 0, 1))
     _, W = jax.lax.scan(body, 0, xs)
     return W
 
 
 @partial(jax.jit, static_argnames="no")
-def _sc_urows(df, t1, t2, tau, FAE, FMI, Wm_t, Eia, M1, Wej, Wje,
-              t1c, t2c, Wm_c, Gc, Ec, XLc, Wje_c, no):
-    """One chunk of pre-symmetrization r2 rows, as an i-scan.  The *_c
-    args are the chunk's row slices (i-leading); full-array operands
-    (t2, tau, Wej, Wje, Bov, Eia) stream through the per-row dots.
-    The XL.Eia row dot is the ladder's t1 x t1 part (see _sc_gem)."""
+def _sc_prows(df, t1, t2, FAE, FMI, Eia, M1,
+              t1c, t2c, Wm_c, Gc, Ec, XLc, no):
+    """One chunk of residual rows: the three P-grouped dots, the
+    one-particle ladders, and the Wmnij consume (t2 part m-chunked,
+    t1^2 part collapsed to two tiny dots)."""
     Bov = df.Bov
+    nv = t2.shape[-1]
+    nch = _div_chunk(no, _SLAB // (no * nv * nv))
+    m0s = jnp.arange(no // nch, dtype=jnp.int32) * nch
 
     def body(_, xs):
-        t1i, t2i, Wm_i, Gi, Ei, XLi, Wje_i = xs
+        t1i, t2i, Wm_i, Gi, Ei, XLi = xs
         row = contract("Pa,Pjb->jab", Gi, Bov)
         row -= contract("Pa,Pjb->jab", Ei, M1)
         row += contract("Pa,Pjb->jab", XLi, Eia)
         row += contract("jae,be->jab", t2i, FAE)
         row -= contract("mab,mj->jab", t2i, FMI)
-        row += 0.5 * contract("mnj,mnab->jab", Wm_i, tau)
-        A = 2.0 * t2i - t2i.swapaxes(1, 2)
-        row += contract("mae,jmbe->jab", A, Wej)
-        row += contract("mae,jmbe->jab", t2i, Wje)
-        row += contract("mjae,mbe->jab", t2, Wje_i)
+        inner = contract("mnj,ma->anj", Wm_i, t1)
+        row += 0.5 * contract("anj,nb->jab", inner, t1)
+
+        def mblock(acc, m0):
+            z0 = jnp.zeros((), m0.dtype)
+            Wb = jax.lax.dynamic_slice(Wm_i, (m0, z0, z0), (nch, no, no))
+            tb = jax.lax.dynamic_slice(t2, (m0, z0, z0, z0),
+                                       (nch, no, nv, nv))
+            return acc + 0.5 * contract("mnj,mnab->jab", Wb, tb), 0
+
+        row, _ = jax.lax.scan(mblock, row, m0s)
         return 0, row
 
-    _, rows = jax.lax.scan(body, 0, (t1c, t2c, Wm_c, Gc, Ec, XLc, Wje_c))
+    _, rows = jax.lax.scan(body, 0, (t1c, t2c, Wm_c, Gc, Ec, XLc))
+    return rows
+
+
+@partial(jax.jit, static_argnames="no")
+def _sc_wrows(t2, Wej, Wje, t2c, Wje_c, no):
+    """One chunk of residual rows: the three ring consumes, m-chunked
+    over the W stacks and t2."""
+    nv = t2.shape[-1]
+    nch = _div_chunk(no, _SLAB // (no * nv * nv))
+    m0s = jnp.arange(no // nch, dtype=jnp.int32) * nch
+
+    def body(_, xs):
+        t2i, Wje_i = xs
+        A = 2.0 * t2i - t2i.swapaxes(1, 2)
+
+        def mblock(acc, m0):
+            z0 = jnp.zeros((), m0.dtype)
+            Ab = jax.lax.dynamic_slice(A, (m0, z0, z0), (nch, nv, nv))
+            tib = jax.lax.dynamic_slice(t2i, (m0, z0, z0), (nch, nv, nv))
+            We_b = jax.lax.dynamic_slice(Wej, (z0, m0, z0, z0),
+                                         (no, nch, nv, nv))
+            Wj_b = jax.lax.dynamic_slice(Wje, (z0, m0, z0, z0),
+                                         (no, nch, nv, nv))
+            t2b = jax.lax.dynamic_slice(t2, (m0, z0, z0, z0),
+                                        (nch, no, nv, nv))
+            Wi_b = jax.lax.dynamic_slice(Wje_i, (m0, z0, z0),
+                                         (nch, nv, nv))
+            acc += contract("mae,jmbe->jab", Ab, We_b)
+            acc += contract("mae,jmbe->jab", tib, Wj_b)
+            acc += contract("mjae,mbe->jab", t2b, Wi_b)
+            return acc, 0
+
+        row0 = jnp.zeros((t2.shape[0], nv, nv), t2.dtype)
+        row, _ = jax.lax.scan(mblock, row0, m0s)
+        return 0, row
+
+    _, rows = jax.lax.scan(body, 0, (t2c, Wje_c))
     return rows
 
 
 def _sc_ladder_blocks(nv, max_elems=3 * 10 ** 7):
     """(ablk, bblk) divisors of nv with ablk*bblk*nv^2 <= max_elems —
-    the per-trip W output stays under the widened-f64-accumulator
-    budget (~2 GB at 3e7 elements)."""
+    the per-trip W slab stays inside the widened-f64 budget."""
     divs = [d for d in range(1, nv + 1) if nv % d == 0]
     best = (1, 1)
     for a in divs:
@@ -894,27 +1058,33 @@ def _sc_ladder_blocks(nv, max_elems=3 * 10 ** 7):
 @partial(jax.jit, static_argnames=("no", "ablk", "bblk"),
          donate_argnums=(3,))
 def _sc_ladder(df, t1, t2, u, a0s, b0s, msk, no, ablk, bblk):
-    """One grid chunk of the dressed vvvv ladder over t2 ONLY (the
-    tau's t1 x t1 part is the rank-1 XL.Eia row dot in _sc_urows — see
-    _sc_gem), accumulated into the donated residual carry.  Per-trip W
-    is (ablk*v, bblk*v); BL is dressed per a-block (no full Bvv-sized
-    copy — at (56,504) naux=5414 that copy alone is 5.5 GB).  msk
+    """One grid chunk of the dressed vvvv ladder over t2 ONLY (the tau
+    t1 part is the rank-1 XL.Eia row dot), accumulated into the donated
+    residual carry.  BL is dressed per a-block (no full Bvv-sized
+    copy), the consume is x-chunked over pair slabs of t2, and msk
     zeroes padded trips."""
     Bvv, Bov = df.Bvv, df.Bov
     naux, nv = Bvv.shape[0], Bvv.shape[2]
-    tau2 = t2.reshape(no * no, nv, nv)
+    t22 = t2.reshape(no * no, nv, nv)
+    nx = no * no
+    xch = _div_chunk(nx, _SLAB // (nv * nv))
+    x0s = jnp.arange(nx // xch, dtype=jnp.int32) * xch
 
     def body(u, xs):
         a0, b0, m = xs
-        # index dtypes must agree under x64 (literal 0 would widen)
         z0 = jnp.zeros((), a0.dtype)
         Bvv_a = jax.lax.dynamic_slice(Bvv, (z0, a0, z0), (naux, ablk, nv))
         t1_a = jax.lax.dynamic_slice(t1, (z0, a0), (no, ablk))
         BL = 0.5 * Bvv_a - contract("ma,Pme->Pae", t1_a, Bov)
         Bvv_b = jax.lax.dynamic_slice(Bvv, (z0, b0, z0), (naux, bblk, nv))
         W = contract("Pae,Pbf->aebf", BL, Bvv_b)
-        z = m * contract("xef,aebf->xab", tau2, W)
-        z = z.reshape(no, no, ablk, bblk)
+
+        def xblock(_, x0):
+            tb = jax.lax.dynamic_slice(t22, (x0, z0, z0), (xch, nv, nv))
+            return 0, contract("xef,aebf->xab", tb, W)
+
+        _, zs = jax.lax.scan(xblock, 0, x0s)
+        z = m * zs.reshape(no, no, ablk, bblk)
         cur = jax.lax.dynamic_slice(u, (z0, z0, a0, b0),
                                     (no, no, ablk, bblk))
         return jax.lax.dynamic_update_slice(u, cur + z,
@@ -926,10 +1096,11 @@ def _sc_ladder(df, t1, t2, u, a0s, b0s, msk, no, ablk, bblk):
 
 def residuals_ccsd_df_scan(F, df, t1, t2, no, cache=None, nchunks=None,
                            grid_chunks=None):
-    """Host-sequenced DF-CCSD residuals with no o^2v^2-output dot in any
-    program: the f64-at-scale formulation (identical fixed point to
-    residuals_ccsd_df; equality-tested).  cache (a per-stage dict) holds
-    the amplitude-INDEPENDENT oovv/Loovv assemblies across iterations."""
+    """Host-sequenced DF-CCSD residuals under the slab rule (no f64 dot
+    operand/output above ~2e7 elements): the f64-at-scale formulation
+    (identical fixed point to residuals_ccsd_df; equality-tested).
+    cache (a per-stage dict) holds the amplitude-INDEPENDENT oovv
+    assembly across iterations."""
     import jax as _jax
 
     nv = t1.shape[1]
@@ -937,22 +1108,20 @@ def residuals_ccsd_df_scan(F, df, t1, t2, no, cache=None, nchunks=None,
         cache = {}
     if "ints" not in cache:
         cache["ints"] = _jax.block_until_ready(_sc_integrals(df, no=no))
-    eri, Loovv = cache["ints"]
+    eri = cache["ints"]
 
     Fae, Fmi, Fme = _jax.block_until_ready(_sc_f(F, df, t1, t2, no=no))
     r1 = _sc_r1(F, df, t1, t2, Fae, Fmi, Fme, no=no)
-    G, Eia, M1, XL = _jax.block_until_ready(_sc_gem(df, t1, no=no))
-    Wmnij = _jax.block_until_ready(_sc_wmnij(df, eri, t1, t2, no=no))
-    Wej = _jax.block_until_ready(_sc_wej(df, eri, Loovv, t1, t2, no=no))
-    Wje = _jax.block_until_ready(_sc_wje(df, eri, Loovv, t1, t2, no=no))
+    G, Eia, M1, XL, K = _jax.block_until_ready(_sc_gem(df, t1, no=no))
+    Et = jnp.swapaxes(Eia, 0, 1)
+    Wmnij = _jax.block_until_ready(_sc_wmnij(df, eri, t1, t2, K, no=no))
+    Wej = _jax.block_until_ready(_sc_wej(df, eri, t1, t2, Et, no=no))
+    Wje = _jax.block_until_ready(_sc_wje(df, eri, t1, t2, K, no=no))
 
-    # folded one-particle ladders + i-leading xs layouts
     FAE = Fae - 0.5 * contract("mb,me->be", t1, Fme)
     FMI = Fmi + 0.5 * contract("je,me->mj", t1, Fme)
-    tau = _tau(t1, t2)
     Wm_t = Wmnij.transpose(2, 0, 1, 3)          # (i, m, n, j)
     Gt = jnp.swapaxes(G, 0, 1)                  # (i, P, a)
-    Et = jnp.swapaxes(Eia, 0, 1)
     XLt = jnp.swapaxes(XL, 0, 1)
 
     if nchunks is None:
@@ -963,10 +1132,13 @@ def residuals_ccsd_df_scan(F, df, t1, t2, no, cache=None, nchunks=None,
     chunks = []
     for c in range(nchunks):
         s = slice(c * rows, (c + 1) * rows)
-        chunks.append(_jax.block_until_ready(_sc_urows(
-            df, t1, t2, tau, FAE, FMI, Wm_t, Eia, M1, Wej, Wje,
-            t1[s], t2[s], Wm_t[s], Gt[s], Et[s], XLt[s], Wje[s],
-            no=no)))
+        pr = _jax.block_until_ready(_sc_prows(
+            df, t1, t2, FAE, FMI, Eia, M1,
+            t1[s], t2[s], Wm_t[s], Gt[s], Et[s], XLt[s], no=no))
+        wr = _jax.block_until_ready(_sc_wrows(
+            t2, Wej, Wje, t2[s], Wje[s], no=no))
+        chunks.append(_jax.block_until_ready(pr + wr))
+        del pr, wr
     u = jnp.concatenate(chunks, axis=0) if nchunks > 1 else chunks[0]
     del chunks
     u = _jax.block_until_ready(u)
@@ -977,17 +1149,16 @@ def residuals_ccsd_df_scan(F, df, t1, t2, no, cache=None, nchunks=None,
 
 def _run_grid_ladder(df, t1, t2, u, no, grid_chunks=None, max_elems=None):
     """Host driver for the (a,b)-block grid ladder over t2 (the tau t1
-    part is the rank-1 XL.Eia term — _sc_gem / _rs_seed): chunks the
-    grid across dispatches (the worker kills ~1 min programs) and pads
-    the tail chunk with masked trips so every chunk hits one compile."""
+    part is the rank-1 XL.Eia term): chunks the grid across dispatches
+    (the worker kills ~1 min programs) and pads the tail chunk with
+    masked trips so every chunk hits one compile."""
     import jax as _jax
     import numpy as _np
 
     nv = t2.shape[-1]
     if max_elems is None:
-        # the f64-emulated backend widens dot outputs ~8x natural bytes;
-        # f32/bf16 outputs are natural, so bigger W blocks are fine
-        max_elems = (3 * 10 ** 7 if jnp.dtype(t2.dtype) == jnp.float64
+        # widened f64 dot slabs: keep W small; f32/bf16 are natural
+        max_elems = (12 * 10 ** 6 if jnp.dtype(t2.dtype) == jnp.float64
                      else 6 * 10 ** 7)
     ablk, bblk = _sc_ladder_blocks(nv, max_elems)
     na, nb = nv // ablk, nv // bblk

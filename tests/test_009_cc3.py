@@ -232,3 +232,31 @@ def test_rtcc3_host_stepped_local_filter_matches_fused():
 
     rt_ri, _ = build(True, True)
     assert np.abs(rt_ri.f(0.03, y0) - f_ref).max() < 1e-12
+
+
+def test_cc3_onepdm_rows_chunked_matches_full(monkeypatch):
+    """The k-chunk-ASSEMBLED pdm row (the uracil/aug-cc-pVDZ path,
+    where the one-shot slab builds measured 20.05/15.75 GB) equals the
+    one-chunk build and the full-tensor pdm; multi-chunk assembly is
+    forced here by zeroing the slab-elements threshold."""
+    from pycc_tpu.models import cc3 as m
+    from pycc_tpu.models.cc3 import cc3_onepdm, cc3_onepdm_rows
+    from pycc_tpu.utils import mp2_guess, synthetic_hamiltonian
+    H = synthetic_hamiltonian(4, 10, seed=9)
+    t1, t2, _ = mp2_guess(H)
+    t1 = t1 + 0.01
+    l1 = 2.0 * t1
+    l2 = 2.0 * (2.0 * t2 - t2.swapaxes(2, 3))
+
+    class CC:
+        pass
+    cc = CC()
+    cc.no, cc.nv, cc.nact, cc.H, cc.model = 4, 10, 14, H, "CC3"
+    p1, p2 = cc3_onepdm(cc, t1, t2, l1, l2)
+    r1, r2 = cc3_onepdm_rows(cc, t1, t2, l1, l2)
+    assert float(abs(p1 - r1).max()) < 1e-13
+    assert float(abs(p2 - r2).max()) < 1e-13
+    monkeypatch.setattr(m, "_PDM_CHUNK_ELEMS", 0.0)
+    c1, c2 = cc3_onepdm_rows(cc, t1, t2, l1, l2)
+    assert float(abs(p1 - c1).max()) < 1e-13
+    assert float(abs(p2 - c2).max()) < 1e-13

@@ -51,7 +51,7 @@ def main():
         nchunks -= 1
     rows = no // nchunks
     max_elems = 12 * 10 ** 6 if dt == jnp.float64 else 6 * 10 ** 7
-    ablk, bblk = q._sc_ladder_blocks(nv, max_elems)
+    ablk, bblk = q._sc_ladder_blocks(nv, max_elems, naux=naux)
     na, nb = nv // ablk, nv // bblk
     grid_chunks = 6 if no * no * nv * nv > 5e7 else 1
     per = -(-(na * nb) // min(grid_chunks, na * nb))
@@ -65,27 +65,35 @@ def main():
         ("qf_energy", jax.jit(q.cc_energy_df_qf, static_argnums=(4, 5)),
          (F, df, t1, t2, no, True)),
         ("sc_integrals", q._sc_integrals, (df,), dict(no=no)),
-        ("sc_f", q._sc_f, (F, df, t1, t2), dict(no=no)),
+        ("sc_f_rows", q._sc_f_rows, (F, df, t1, t2), dict(no=no)),
+        ("sc_f_vv", q._sc_f_vv, (df, t1), dict(no=no)),
         ("sc_r1", q._sc_r1, (F, df, t1, t2, S(nv, nv), S(no, no),
                              S(no, nv)), dict(no=no)),
         ("sc_gem", q._sc_gem, (df, t1), dict(no=no)),
         ("sc_wmnij", q._sc_wmnij, (df, eri, t1, t2, K), dict(no=no)),
         ("sc_wej", q._sc_wej, (df, eri, t1, t2, oP), dict(no=no)),
-        ("sc_wje", q._sc_wje, (df, eri, t1, t2, K), dict(no=no)),
-        ("sc_prows", q._sc_prows,
-         (df, t1, t2, S(nv, nv), S(no, no), ovov, ovov,
+        ("sc_wje_asm", q._sc_wje_asm, (df, t1, K), dict(no=no)),
+        ("sc_wje_quad", q._sc_wje_quad, (df, eri, t1, t2, Wst),
+         dict(no=no)),
+        ("sc_prows_a", q._sc_prows_a,
+         (df, t1, t2, S(nv, nv), S(no, no),
           S(rows, nv), S(rows, no, nv, nv), S(rows, no, no, no),
-          S(rows, naux, nv), S(rows, naux, nv), S(rows, naux, nv)),
+          S(rows, naux, nv)), dict(no=no)),
+        ("sc_prows_b", q._sc_prows_b,
+         (ovov, ovov, S(rows, naux, nv), S(rows, naux, nv)),
          dict(no=no)),
-        ("sc_wrows", q._sc_wrows,
-         (t2, Wst, Wst, S(rows, no, nv, nv), S(rows, no, nv, nv)),
+        ("sc_wrows_ej", q._sc_wrows_ej, (t2, Wst, S(rows, no, nv, nv)),
          dict(no=no)),
+        ("sc_wrows_je", q._sc_wrows_je,
+         (t2, Wst, S(rows, no, nv, nv), S(rows, no, nv, nv)),
+         dict(no=no)),
+        ("u_add_rows", q._u_add_rows,
+         (eri, S(rows, no, nv, nv), jax.ShapeDtypeStruct((), jnp.dtype("int32"))), {}),
         ("sc_ladder", q._sc_ladder,
          (df, t1, t2, eri, i32, i32, mk),
          dict(no=no, ablk=ablk, bblk=bblk)),
         ("rs_sym", q._rs_sym, (eri,)),
     ]
-
     for item in probes:
         name, fn, args = item[0], item[1], item[2]
         kw = item[3] if len(item) > 3 else {}

@@ -713,7 +713,7 @@ def _div_chunk(n, max_c):
     return best
 
 
-_SLAB = 2 * 10 ** 7     # max elements of any f64 dot operand slab
+_SLAB = 10 ** 7         # max elements of any f64 dot operand slab
 
 
 @partial(jax.jit, static_argnames="no")
@@ -730,13 +730,14 @@ def _sc_integrals(df, no):
 
 
 @partial(jax.jit, static_argnames="no")
-def _sc_f(F, df, t1, t2, no):
-    """Fae/Fmi/Fme: the tau_h contractions as one occupied-row scan
-    (Y==U and V emitted as rows, Z accumulated as a carry), the Bvv
-    pieces as an a-block scan."""
+def _sc_f_rows(F, df, t1, t2, no):
+    """Fae/Fmi/Fme minus the Bvv pieces: the tau_h contractions as one
+    occupied-row scan (Y==U and V emitted as rows, Z accumulated as a
+    carry).  Bvv never enters (it is 3.5-5.5 GB resident regardless, so
+    every program that can avoid touching it as a dot operand must)."""
     o, v = slice(0, no), slice(no, None)
-    Bov, Boo, Bvv = df.Bov, df.Boo, df.Bvv
-    naux, nv = Bvv.shape[0], Bvv.shape[2]
+    Bov, Boo = df.Bov, df.Boo
+    naux, nv = Bov.shape[0], Bov.shape[2]
     dP = contract("Pmf,mf->P", Bov, t1)
 
     def orow(Z, xs):
@@ -751,6 +752,29 @@ def _sc_f(F, df, t1, t2, no):
     Z, (Y, V) = jax.lax.scan(orow, Z0,
                              (t2, t1, jnp.swapaxes(Bov, 0, 1)))
 
+    Fae_p = (F[v, v] - 0.5 * contract("me,ma->ae", F[o, v], t1)
+             - 2.0 * contract("mPa,Pme->ae", Y, Bov)
+             + contract("Pna,Pne->ae", Z, Bov))
+
+    eri_ooov = _eri_ooov(df)
+    Looov = 2.0 * eri_ooov - contract("Pme,Pni->mnie", Bov, Boo)
+    Fmi = (F[o, o] + 0.5 * contract("ie,me->mi", t1, F[o, v])
+           + contract("ne,mnie->mi", t1, Looov)
+           + 2.0 * contract("iPe,Pme->mi", Y, Bov)
+           - contract("iPf,Pmf->mi", V, Bov))
+
+    S = contract("nf,Pmf->Pnm", t1, Bov)
+    Fme = (F[o, v] + 2.0 * contract("P,Pme->me", dP, Bov)
+           - contract("Pnm,Pne->me", S, Bov))
+    return Fae_p, Fmi, Fme
+
+
+@partial(jax.jit, static_argnames="no")
+def _sc_f_vv(df, t1, no):
+    """Fae's ovvv piece, a-blocked over Bvv slices."""
+    Bov, Bvv = df.Bov, df.Bvv
+    naux, nv = Bvv.shape[0], Bvv.shape[2]
+    dP = contract("Pmf,mf->P", Bov, t1)
     ach = _div_chunk(nv, _SLAB // (naux * nv))
     a0s = jnp.arange(nv // ach, dtype=jnp.int32) * ach
 
@@ -763,23 +787,7 @@ def _sc_f(F, df, t1, t2, no):
         return 0, term
 
     _, ovb = jax.lax.scan(ablock, 0, a0s)
-    ovvv_term = ovb.reshape(nv, nv)
-
-    Fae = (F[v, v] - 0.5 * contract("me,ma->ae", F[o, v], t1) + ovvv_term
-           - 2.0 * contract("mPa,Pme->ae", Y, Bov)
-           + contract("Pna,Pne->ae", Z, Bov))
-
-    eri_ooov = _eri_ooov(df)
-    Looov = 2.0 * eri_ooov - contract("Pme,Pni->mnie", Bov, Boo)
-    Fmi = (F[o, o] + 0.5 * contract("ie,me->mi", t1, F[o, v])
-           + contract("ne,mnie->mi", t1, Looov)
-           + 2.0 * contract("iPe,Pme->mi", Y, Bov)
-           - contract("iPf,Pmf->mi", V, Bov))
-
-    S = contract("nf,Pmf->Pnm", t1, Bov)
-    Fme = (F[o, v] + 2.0 * contract("P,Pme->me", dP, Bov)
-           - contract("Pnm,Pne->me", S, Bov))
-    return Fae, Fmi, Fme
+    return ovb.reshape(nv, nv)
 
 
 @partial(jax.jit, static_argnames="no")
@@ -930,30 +938,50 @@ def _sc_wej(df, eri, t1, t2, Et, no):
 
 
 @partial(jax.jit, static_argnames="no")
-def _sc_wje(df, eri, t1, t2, K, no):
-    """Wmbje stacked j-leading: the (mj|be) + Dmj.Bvv assembly fused
-    into one b-blocked dot per j (Dmj is K), the quad n-chunked with
-    the (mnfe) read relabeled through eri's exchange symmetry."""
-    Bov, Boo, Bvv = df.Bov, df.Boo, df.Bvv
+def _sc_wje_asm(df, t1, K, no):
+    """Wmbje assembly piece, j-leading: -[(mj|be) + Dmj.Bvv] fused into
+    one b-blocked dot per j (Dmj is K), accumulated by update-slice (no
+    stacked-ys transpose copy)."""
+    Boo, Bvv = df.Boo, df.Bvv
     naux, nv = Bvv.shape[0], Bvv.shape[2]
     bch = _div_chunk(nv, _SLAB // (naux * nv))
     b0s = jnp.arange(nv // bch, dtype=jnp.int32) * bch
-    nch = _div_chunk(no, _SLAB // (no * nv * nv))
-    n0s = jnp.arange(no // nch, dtype=jnp.int32) * nch
 
     def body(_, xs):
-        t1j, t2j, Booj, Kj = xs
+        Booj, Kj = xs
         D = Booj + Kj
 
-        def bblock(_, b0):
+        def bblock(w, b0):
             z0 = jnp.zeros((), b0.dtype)
-            Bb = jax.lax.dynamic_slice(Bvv, (z0, b0, z0), (naux, bch, nv))
-            return 0, -contract("Pm,Pbe->mbe", D, Bb)
+            Bb = jax.lax.dynamic_slice(Bvv, (z0, b0, z0),
+                                       (naux, bch, nv))
+            wb = -contract("Pm,Pbe->mbe", D, Bb)
+            return jax.lax.dynamic_update_slice(w, wb, (z0, b0, z0)), 0
 
-        _, wb = jax.lax.scan(bblock, 0, b0s)
-        w = wb.transpose(1, 0, 2, 3).reshape(no, nv, nv)
+        w0 = jnp.zeros((no, nv, nv), t1.dtype)
+        w, _ = jax.lax.scan(bblock, w0, b0s)
+        return 0, w
+
+    _, W = jax.lax.scan(body, 0, (Boo.transpose(2, 0, 1),
+                                  K.transpose(2, 0, 1)))
+    return W
+
+
+@partial(jax.jit, static_argnames="no", donate_argnums=(4,))
+def _sc_wje_quad(df, eri, t1, t2, W, no):
+    """Wmbje ooov + quad pieces added into the DONATED assembly stack,
+    the (mnfe) read relabeled through eri's exchange symmetry and
+    n-chunked over eri slabs."""
+    Bov, Boo = df.Bov, df.Boo
+    nv = Bov.shape[2]
+    nch = _div_chunk(no, _SLAB // (no * nv * nv))
+    n0s = jnp.arange(no // nch, dtype=jnp.int32) * nch
+    j0s = jnp.arange(no, dtype=jnp.int32)
+
+    def body(W, xs):
+        j, t1j, t2j, Booj = xs
         ooov2_j = contract("Pm,Pne->mne", Booj, Bov)
-        w += contract("nb,mne->mbe", t1, ooov2_j)
+        w = contract("nb,mne->mbe", t1, ooov2_j)
         txj = 0.5 * t2j + t1j[None, :, None] * t1[:, None, :]
 
         def nblock(acc, n0):
@@ -964,29 +992,29 @@ def _sc_wje(df, eri, t1, t2, K, no):
             return acc + contract("nfb,nmef->mbe", tb, eb), 0
 
         w, _ = jax.lax.scan(nblock, w, n0s)
-        return 0, w
+        z0 = jnp.zeros((), j.dtype)
+        cur = jax.lax.dynamic_slice(W, (j, z0, z0, z0),
+                                    (1, no, nv, nv))
+        return jax.lax.dynamic_update_slice(
+            W, cur + w[None], (j, z0, z0, z0)), 0
 
-    xs = (t1, t2, Boo.transpose(2, 0, 1), K.transpose(2, 0, 1))
-    _, W = jax.lax.scan(body, 0, xs)
+    W, _ = jax.lax.scan(body, W, (j0s, t1, t2, Boo.transpose(2, 0, 1)))
     return W
 
 
 @partial(jax.jit, static_argnames="no")
-def _sc_prows(df, t1, t2, FAE, FMI, Eia, M1,
-              t1c, t2c, Wm_c, Gc, Ec, XLc, no):
-    """One chunk of residual rows: the three P-grouped dots, the
-    one-particle ladders, and the Wmnij consume (t2 part m-chunked,
-    t1^2 part collapsed to two tiny dots)."""
+def _sc_prows_a(df, t1, t2, FAE, FMI, t1c, t2c, Wm_c, Gc, no):
+    """Residual-row chunk, part a: the G.Bov P-dot, the one-particle
+    ladders, and the Wmnij consume (t2 part m-chunked, t1^2 part
+    collapsed) — only Bov is a wide operand here."""
     Bov = df.Bov
     nv = t2.shape[-1]
     nch = _div_chunk(no, _SLAB // (no * nv * nv))
     m0s = jnp.arange(no // nch, dtype=jnp.int32) * nch
 
     def body(_, xs):
-        t1i, t2i, Wm_i, Gi, Ei, XLi = xs
+        t1i, t2i, Wm_i, Gi = xs
         row = contract("Pa,Pjb->jab", Gi, Bov)
-        row -= contract("Pa,Pjb->jab", Ei, M1)
-        row += contract("Pa,Pjb->jab", XLi, Eia)
         row += contract("jae,be->jab", t2i, FAE)
         row -= contract("mab,mj->jab", t2i, FMI)
         inner = contract("mnj,ma->anj", Wm_i, t1)
@@ -1002,35 +1030,69 @@ def _sc_prows(df, t1, t2, FAE, FMI, Eia, M1,
         row, _ = jax.lax.scan(mblock, row, m0s)
         return 0, row
 
-    _, rows = jax.lax.scan(body, 0, (t1c, t2c, Wm_c, Gc, Ec, XLc))
+    _, rows = jax.lax.scan(body, 0, (t1c, t2c, Wm_c, Gc))
     return rows
 
 
 @partial(jax.jit, static_argnames="no")
-def _sc_wrows(t2, Wej, Wje, t2c, Wje_c, no):
-    """One chunk of residual rows: the three ring consumes, m-chunked
-    over the W stacks and t2."""
+def _sc_prows_b(Eia, M1, Ec, XLc, no):
+    """Residual-row chunk, part b: the -Eia.M1 and XL.Eia P-dots (their
+    two widened whole-array operands get their own program)."""
+    def body(_, xs):
+        Ei, XLi = xs
+        row = -contract("Pa,Pjb->jab", Ei, M1)
+        row += contract("Pa,Pjb->jab", XLi, Eia)
+        return 0, row
+
+    _, rows = jax.lax.scan(body, 0, (Ec, XLc))
+    return rows
+
+
+@partial(jax.jit, static_argnames="no")
+def _sc_wrows_ej(t2, Wej, t2c, no):
+    """Residual-row chunk: the Wmbej ring consume, m-chunked.  Its own
+    pass so only ONE ring W stack is ever resident."""
+    nv = t2.shape[-1]
+    nch = _div_chunk(no, _SLAB // (no * nv * nv))
+    m0s = jnp.arange(no // nch, dtype=jnp.int32) * nch
+
+    def body(_, t2i):
+        A = 2.0 * t2i - t2i.swapaxes(1, 2)
+
+        def mblock(acc, m0):
+            z0 = jnp.zeros((), m0.dtype)
+            Ab = jax.lax.dynamic_slice(A, (m0, z0, z0), (nch, nv, nv))
+            We_b = jax.lax.dynamic_slice(Wej, (z0, m0, z0, z0),
+                                         (no, nch, nv, nv))
+            return acc + contract("mae,jmbe->jab", Ab, We_b), 0
+
+        row0 = jnp.zeros((t2.shape[0], nv, nv), t2.dtype)
+        row, _ = jax.lax.scan(mblock, row0, m0s)
+        return 0, row
+
+    _, rows = jax.lax.scan(body, 0, t2c)
+    return rows
+
+
+@partial(jax.jit, static_argnames="no")
+def _sc_wrows_je(t2, Wje, t2c, Wje_c, no):
+    """Residual-row chunk: the two Wmbje ring consumes, m-chunked."""
     nv = t2.shape[-1]
     nch = _div_chunk(no, _SLAB // (no * nv * nv))
     m0s = jnp.arange(no // nch, dtype=jnp.int32) * nch
 
     def body(_, xs):
         t2i, Wje_i = xs
-        A = 2.0 * t2i - t2i.swapaxes(1, 2)
 
         def mblock(acc, m0):
             z0 = jnp.zeros((), m0.dtype)
-            Ab = jax.lax.dynamic_slice(A, (m0, z0, z0), (nch, nv, nv))
             tib = jax.lax.dynamic_slice(t2i, (m0, z0, z0), (nch, nv, nv))
-            We_b = jax.lax.dynamic_slice(Wej, (z0, m0, z0, z0),
-                                         (no, nch, nv, nv))
             Wj_b = jax.lax.dynamic_slice(Wje, (z0, m0, z0, z0),
                                          (no, nch, nv, nv))
             t2b = jax.lax.dynamic_slice(t2, (m0, z0, z0, z0),
                                         (nch, no, nv, nv))
             Wi_b = jax.lax.dynamic_slice(Wje_i, (m0, z0, z0),
                                          (nch, nv, nv))
-            acc += contract("mae,jmbe->jab", Ab, We_b)
             acc += contract("mae,jmbe->jab", tib, Wj_b)
             acc += contract("mjae,mbe->jab", t2b, Wi_b)
             return acc, 0
@@ -1043,10 +1105,13 @@ def _sc_wrows(t2, Wej, Wje, t2c, Wje_c, no):
     return rows
 
 
-def _sc_ladder_blocks(nv, max_elems=3 * 10 ** 7):
-    """(ablk, bblk) divisors of nv with ablk*bblk*nv^2 <= max_elems —
-    the per-trip W slab stays inside the widened-f64 budget."""
-    divs = [d for d in range(1, nv + 1) if nv % d == 0]
+def _sc_ladder_blocks(nv, max_elems=3 * 10 ** 7, naux=None):
+    """(ablk, bblk) divisors of nv with ablk*bblk*nv^2 <= max_elems and
+    (when naux is given) each Bvv slice naux*blk*nv <= _SLAB — both the
+    per-trip W slab and the sliced Bvv operands stay inside the
+    widened-f64 budget."""
+    cap = nv if naux is None else max(1, _SLAB // (naux * nv))
+    divs = [d for d in range(1, nv + 1) if nv % d == 0 and d <= cap]
     best = (1, 1)
     for a in divs:
         for b in divs:
@@ -1097,26 +1162,31 @@ def _sc_ladder(df, t1, t2, u, a0s, b0s, msk, no, ablk, bblk):
 def residuals_ccsd_df_scan(F, df, t1, t2, no, cache=None, nchunks=None,
                            grid_chunks=None):
     """Host-sequenced DF-CCSD residuals under the slab rule (no f64 dot
-    operand/output above ~2e7 elements): the f64-at-scale formulation
-    (identical fixed point to residuals_ccsd_df; equality-tested).
-    cache (a per-stage dict) holds the amplitude-INDEPENDENT oovv
-    assembly across iterations."""
+    operand/output above ~1e7 elements) with LIVENESS-SCHEDULED
+    sequencing: the stage-constant oovv assembly is rebuilt (a ~1 s
+    naux.o^2v^2 matmul scan) exactly where needed and freed in between,
+    and only ONE ring W stack is ever resident — with factors + t1/t2 +
+    the residual permanently resident, every extra o^2v^2 coexistence
+    is the HBM margin at both (40,360) f64 and (56,504) f32.  Identical
+    fixed point to residuals_ccsd_df (equality-tested).  cache is
+    accepted for API compatibility and ignored."""
     import jax as _jax
 
     nv = t1.shape[1]
-    if cache is None:
-        cache = {}
-    if "ints" not in cache:
-        cache["ints"] = _jax.block_until_ready(_sc_integrals(df, no=no))
-    eri = cache["ints"]
 
-    Fae, Fmi, Fme = _jax.block_until_ready(_sc_f(F, df, t1, t2, no=no))
-    r1 = _sc_r1(F, df, t1, t2, Fae, Fmi, Fme, no=no)
+    # --- one-particle pieces (no W, no eri) ---
+    Fae_p, Fmi, Fme = _jax.block_until_ready(
+        _sc_f_rows(F, df, t1, t2, no=no))
+    Fae = Fae_p + _sc_f_vv(df, t1, no=no)
+    r1 = _jax.block_until_ready(
+        _sc_r1(F, df, t1, t2, Fae, Fmi, Fme, no=no))
     G, Eia, M1, XL, K = _jax.block_until_ready(_sc_gem(df, t1, no=no))
     Et = jnp.swapaxes(Eia, 0, 1)
+
+    # --- Wmnij needs the oovv assembly; freed right after ---
+    eri = _jax.block_until_ready(_sc_integrals(df, no=no))
     Wmnij = _jax.block_until_ready(_sc_wmnij(df, eri, t1, t2, K, no=no))
-    Wej = _jax.block_until_ready(_sc_wej(df, eri, t1, t2, Et, no=no))
-    Wje = _jax.block_until_ready(_sc_wje(df, eri, t1, t2, K, no=no))
+    del eri
 
     FAE = Fae - 0.5 * contract("mb,me->be", t1, Fme)
     FMI = Fmi + 0.5 * contract("je,me->mj", t1, Fme)
@@ -1129,22 +1199,59 @@ def residuals_ccsd_df_scan(F, df, t1, t2, no, cache=None, nchunks=None,
     while no % nchunks:
         nchunks -= 1
     rows = no // nchunks
+
+    # --- u from the P-group/one-particle/Wmnij rows ---
     chunks = []
     for c in range(nchunks):
-        s = slice(c * rows, (c + 1) * rows)
-        pr = _jax.block_until_ready(_sc_prows(
-            df, t1, t2, FAE, FMI, Eia, M1,
-            t1[s], t2[s], Wm_t[s], Gt[s], Et[s], XLt[s], no=no))
-        wr = _jax.block_until_ready(_sc_wrows(
-            t2, Wej, Wje, t2[s], Wje[s], no=no))
-        chunks.append(_jax.block_until_ready(pr + wr))
-        del pr, wr
+        sl = slice(c * rows, (c + 1) * rows)
+        pr = _jax.block_until_ready(_sc_prows_a(
+            df, t1, t2, FAE, FMI, t1[sl], t2[sl], Wm_t[sl], Gt[sl],
+            no=no))
+        pb = _jax.block_until_ready(_sc_prows_b(
+            Eia, M1, Et[sl], XLt[sl], no=no))
+        chunks.append(_jax.block_until_ready(pr + pb))
+        del pr, pb
     u = jnp.concatenate(chunks, axis=0) if nchunks > 1 else chunks[0]
     del chunks
     u = _jax.block_until_ready(u)
 
+    # --- ring ej: build (needs eri), free eri, consume, free W ---
+    eri = _jax.block_until_ready(_sc_integrals(df, no=no))
+    Wej = _jax.block_until_ready(_sc_wej(df, eri, t1, t2, Et, no=no))
+    del eri
+    for c in range(nchunks):
+        sl = slice(c * rows, (c + 1) * rows)
+        wr = _jax.block_until_ready(_sc_wrows_ej(t2, Wej, t2[sl], no=no))
+        u = _jax.block_until_ready(
+            _u_add_rows(u, wr, jnp.asarray(c * rows, jnp.int32)))
+        del wr
+    del Wej
+
+    # --- ring je: assemble, add quad (needs eri), free eri, consume ---
+    Wje = _jax.block_until_ready(_sc_wje_asm(df, t1, K, no=no))
+    eri = _jax.block_until_ready(_sc_integrals(df, no=no))
+    Wje = _jax.block_until_ready(
+        _sc_wje_quad(df, eri, t1, t2, Wje, no=no))
+    del eri
+    for c in range(nchunks):
+        sl = slice(c * rows, (c + 1) * rows)
+        wr = _jax.block_until_ready(
+            _sc_wrows_je(t2, Wje, t2[sl], Wje[sl], no=no))
+        u = _jax.block_until_ready(
+            _u_add_rows(u, wr, jnp.asarray(c * rows, jnp.int32)))
+        del wr
+    del Wje
+
     u = _run_grid_ladder(df, t1, t2, u, no, grid_chunks=grid_chunks)
     return r1, _rs_sym(u)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _u_add_rows(u, rows, i0):
+    """In-place (donated) row-offset accumulation into the residual."""
+    z0 = jnp.zeros((), i0.dtype)
+    cur = jax.lax.dynamic_slice(u, (i0, z0, z0, z0), rows.shape)
+    return jax.lax.dynamic_update_slice(u, cur + rows, (i0, z0, z0, z0))
 
 
 def _run_grid_ladder(df, t1, t2, u, no, grid_chunks=None, max_elems=None):
@@ -1160,7 +1267,7 @@ def _run_grid_ladder(df, t1, t2, u, no, grid_chunks=None, max_elems=None):
         # widened f64 dot slabs: keep W small; f32/bf16 are natural
         max_elems = (12 * 10 ** 6 if jnp.dtype(t2.dtype) == jnp.float64
                      else 6 * 10 ** 7)
-    ablk, bblk = _sc_ladder_blocks(nv, max_elems)
+    ablk, bblk = _sc_ladder_blocks(nv, max_elems, naux=df.Bvv.shape[0])
     na, nb = nv // ablk, nv // bblk
     a0_all = _np.repeat(_np.arange(na) * ablk, nb)
     b0_all = _np.tile(_np.arange(nb) * bblk, na)

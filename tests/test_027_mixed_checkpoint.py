@@ -181,7 +181,6 @@ def test_mixed_df_split_residual():
     # round-5 OOM at (40,360)).
     from pycc_tpu.models.dfccsd import residuals_ccsd_df_scan_host
     assert cc._host_residual_fn.func is residuals_ccsd_df_scan_host
-    assert "ints" in cc._df_scan_cache
 
 
 def test_mixed_cc3_df():

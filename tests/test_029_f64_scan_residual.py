@@ -59,14 +59,13 @@ def test_scan_residual_chunked_equals_fused():
     assert float(jnp.max(jnp.abs(r2a - r2b))) < 1e-13
 
 
-def test_scan_residual_cache_reuse():
-    """The amplitude-independent oovv/Loovv assemblies are cached across
-    iterations; a second call with DIFFERENT amplitudes but the same
-    cache must still agree with the fused form."""
+def test_scan_residual_repeat_calls():
+    """Repeated calls (the solver loop pattern; the oovv assembly is
+    rebuilt and freed inside each call — liveness scheduling) stay
+    exactly equal to the fused form at changing amplitudes."""
     F, df, t1, t2, no = _rand_problem(seed=3)
     cache = {}
     residuals_ccsd_df_scan(F, df, t1, t2, no, cache=cache)
-    assert "ints" in cache
     t1b, t2b = 0.7 * t1, 1.3 * t2
     r1a, r2a = residuals_ccsd_df(F, df, t1b, t2b, no)
     r1b, r2b = residuals_ccsd_df_scan(F, df, t1b, t2b, no, cache=cache)

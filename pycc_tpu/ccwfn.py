@@ -480,20 +480,23 @@ class ccwfn:
             return
         from .models import dfccsd as dfq
         nbytes = (self.no * self.nv) ** 2 * jnp.dtype(dtype).itemsize
+        bvv_big = (self.storage == "df" and self.dfb is not None
+                   and self.dfb.Bvv.size * self.dfb.Bvv.dtype.itemsize
+                   > dfq._GRID_LADDER_BYTES)
         if nbytes > 9e8 or getattr(self, "_force_split_df", False):
-            if jnp.dtype(dtype) == jnp.float64:
-                # the seven-program split's every r2 term is an
-                # o^2v^2-OUTPUT dot, and the f64-emulated backend widens
-                # every f64 dot output to ~8x its natural bytes (two
-                # 6.59 GB buffers per o^2v^2 output at (40,360) —
-                # measured round-5 compile OOM); the scan formulation
-                # keeps every dot output a row/block slab.  The cache
-                # dict holds the stage-constant oovv/Loovv assemblies
-                # across iterations (fresh per _cast_stage call).
-                self._df_scan_cache = {}
+            if jnp.dtype(dtype) == jnp.float64 or bvv_big:
+                # f64: the emulated backend widens every f64 dot
+                # OPERAND and OUTPUT ~4x natural bytes (an o^2v^2
+                # output = two 6.59 GB buffers; Bvv as operand ~14 GB
+                # — round-5 AOT probes), so the seven-program split,
+                # whose every r2 term is an o^2v^2-output dot, cannot
+                # compile at scale.  Big Bvv (w14-class, > ~3.5 GB
+                # even in f32): factors + t1/t2 + r2 leave no room for
+                # any extra o^2v^2 coexistence, which the split's
+                # programs all need.  The scan formulation keeps every
+                # dot on slabs and at most one ring W resident.
                 self._host_residual_fn = partial(
-                    dfq.residuals_ccsd_df_scan_host,
-                    cache=self._df_scan_cache)
+                    dfq.residuals_ccsd_df_scan_host)
             else:
                 self._host_residual_fn = partial(
                     dfq.residuals_ccsd_df_split_host,

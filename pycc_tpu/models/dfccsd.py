@@ -898,111 +898,6 @@ def _sc_wmnij(df, eri, t1, t2, K, no):
 
 
 @partial(jax.jit, static_argnames="no")
-def _sc_wej(df, eri, t1, t2, Et, no):
-    """Wmbej stacked j-leading, as a j-row scan with the two quad
-    contractions n-chunked over eri slabs.  The ovvv dressing's Cbj is
-    Eia transposed (Et rows), so Bvv never enters this program; the
-    Loovv read is eliminated via eri's (mn)(ef) exchange symmetry."""
-    Bov, Boo = df.Bov, df.Boo
-    naux, nv = Bov.shape[0], Bov.shape[2]
-    nch = _div_chunk(no, _SLAB // (no * nv * nv))
-    n0s = jnp.arange(no // nch, dtype=jnp.int32) * nch
-
-    def body(_, xs):
-        t1j, t2j, Bovj, Booj, Ej = xs
-        w = contract("Pme,Pb->mbe", Bov, Bovj + Ej)
-        ooov_j = contract("Pn,Pme->nme", Booj, Bov)
-        w -= contract("nb,nme->mbe", t1, ooov_j)
-        txj = 0.5 * t2j + t1j[None, :, None] * t1[:, None, :]
-        srow = t2j.swapaxes(1, 2)
-        A = srow - txj
-
-        def nblock(acc, n0):
-            z0 = jnp.zeros((), n0.dtype)
-            e1 = jax.lax.dynamic_slice(eri, (z0, n0, z0, z0),
-                                       (no, nch, nv, nv))
-            e2 = jax.lax.dynamic_slice(eri, (n0, z0, z0, z0),
-                                       (nch, no, nv, nv))
-            Ab = jax.lax.dynamic_slice(A, (n0, z0, z0), (nch, nv, nv))
-            sb = jax.lax.dynamic_slice(srow, (n0, z0, z0), (nch, nv, nv))
-            acc += contract("nfb,mnef->mbe", Ab, e1)
-            acc -= 0.5 * contract("nfb,nmef->mbe", sb, e2)
-            return acc, 0
-
-        w, _ = jax.lax.scan(nblock, w, n0s)
-        return 0, w
-
-    xs = (t1, t2, jnp.swapaxes(Bov, 0, 1), Boo.transpose(2, 0, 1), Et)
-    _, W = jax.lax.scan(body, 0, xs)
-    return W
-
-
-@partial(jax.jit, static_argnames="no")
-def _sc_wje_asm(df, t1, K, no):
-    """Wmbje assembly piece, j-leading: -[(mj|be) + Dmj.Bvv] fused into
-    one b-blocked dot per j (Dmj is K), accumulated by update-slice (no
-    stacked-ys transpose copy)."""
-    Boo, Bvv = df.Boo, df.Bvv
-    naux, nv = Bvv.shape[0], Bvv.shape[2]
-    bch = _div_chunk(nv, _SLAB // (naux * nv))
-    b0s = jnp.arange(nv // bch, dtype=jnp.int32) * bch
-
-    def body(_, xs):
-        Booj, Kj = xs
-        D = Booj + Kj
-
-        def bblock(w, b0):
-            z0 = jnp.zeros((), b0.dtype)
-            Bb = jax.lax.dynamic_slice(Bvv, (z0, b0, z0),
-                                       (naux, bch, nv))
-            wb = -contract("Pm,Pbe->mbe", D, Bb)
-            return jax.lax.dynamic_update_slice(w, wb, (z0, b0, z0)), 0
-
-        w0 = jnp.zeros((no, nv, nv), t1.dtype)
-        w, _ = jax.lax.scan(bblock, w0, b0s)
-        return 0, w
-
-    _, W = jax.lax.scan(body, 0, (Boo.transpose(2, 0, 1),
-                                  K.transpose(2, 0, 1)))
-    return W
-
-
-@partial(jax.jit, static_argnames="no", donate_argnums=(4,))
-def _sc_wje_quad(df, eri, t1, t2, W, no):
-    """Wmbje ooov + quad pieces added into the DONATED assembly stack,
-    the (mnfe) read relabeled through eri's exchange symmetry and
-    n-chunked over eri slabs."""
-    Bov, Boo = df.Bov, df.Boo
-    nv = Bov.shape[2]
-    nch = _div_chunk(no, _SLAB // (no * nv * nv))
-    n0s = jnp.arange(no // nch, dtype=jnp.int32) * nch
-    j0s = jnp.arange(no, dtype=jnp.int32)
-
-    def body(W, xs):
-        j, t1j, t2j, Booj = xs
-        ooov2_j = contract("Pm,Pne->mne", Booj, Bov)
-        w = contract("nb,mne->mbe", t1, ooov2_j)
-        txj = 0.5 * t2j + t1j[None, :, None] * t1[:, None, :]
-
-        def nblock(acc, n0):
-            z0 = jnp.zeros((), n0.dtype)
-            tb = jax.lax.dynamic_slice(txj, (n0, z0, z0), (nch, nv, nv))
-            eb = jax.lax.dynamic_slice(eri, (n0, z0, z0, z0),
-                                       (nch, no, nv, nv))
-            return acc + contract("nfb,nmef->mbe", tb, eb), 0
-
-        w, _ = jax.lax.scan(nblock, w, n0s)
-        z0 = jnp.zeros((), j.dtype)
-        cur = jax.lax.dynamic_slice(W, (j, z0, z0, z0),
-                                    (1, no, nv, nv))
-        return jax.lax.dynamic_update_slice(
-            W, cur + w[None], (j, z0, z0, z0)), 0
-
-    W, _ = jax.lax.scan(body, W, (j0s, t1, t2, Boo.transpose(2, 0, 1)))
-    return W
-
-
-@partial(jax.jit, static_argnames="no")
 def _sc_prows_a(df, t1, t2, FAE, FMI, t1c, t2c, Wm_c, Gc, no):
     """Residual-row chunk, part a: the G.Bov P-dot, the one-particle
     ladders, and the Wmnij consume (t2 part m-chunked, t1^2 part
@@ -1048,61 +943,117 @@ def _sc_prows_b(Eia, M1, Ec, XLc, no):
     return rows
 
 
-@partial(jax.jit, static_argnames="no")
-def _sc_wrows_ej(t2, Wej, t2c, no):
-    """Residual-row chunk: the Wmbej ring consume, m-chunked.  Its own
-    pass so only ONE ring W stack is ever resident."""
-    nv = t2.shape[-1]
-    nch = _div_chunk(no, _SLAB // (no * nv * nv))
-    m0s = jnp.arange(no // nch, dtype=jnp.int32) * nch
+@partial(jax.jit, static_argnames=("no", "mc"), donate_argnums=(5,))
+def _sc_ring_ej_mc(df, t1, t2, Et, m0, u, no, mc):
+    """One m-chunk of the Wmbej ring, BUILD + CONSUME fused: the
+    (j, mc, b, e) W slab is assembled from an on-the-fly eri m-window
+    and factor slices, consumed immediately into the DONATED residual
+    carry, and never exists whole — with factors + t1/t2 + u resident,
+    a full o^2v^2 ring stack cannot coexist at (56,504) even in f32.
+    The ovvv dressing's Cbj is Eia transposed (Et rows); the Loovv read
+    is eliminated via eri's (mn)(ef) exchange symmetry."""
+    Bov, Boo = df.Bov, df.Boo
+    naux, nv = Bov.shape[0], Bov.shape[2]
+    z0 = jnp.zeros((), m0.dtype)
 
-    def body(_, t2i):
-        A = 2.0 * t2i - t2i.swapaxes(1, 2)
+    # eri m-window (mc, no, v, v): one row of Bov per m
+    def erow(_, Bm):
+        return 0, contract("Pe,Pnf->nef", Bm, Bov)
 
-        def mblock(acc, m0):
-            z0 = jnp.zeros((), m0.dtype)
-            Ab = jax.lax.dynamic_slice(A, (m0, z0, z0), (nch, nv, nv))
-            We_b = jax.lax.dynamic_slice(Wej, (z0, m0, z0, z0),
-                                         (no, nch, nv, nv))
-            return acc + contract("mae,jmbe->jab", Ab, We_b), 0
+    Bov_mc = jax.lax.dynamic_slice(Bov, (z0, m0, z0), (naux, mc, nv))
+    _, eri_mc = jax.lax.scan(erow, 0, jnp.swapaxes(Bov_mc, 0, 1))
 
-        row0 = jnp.zeros((t2.shape[0], nv, nv), t2.dtype)
-        row, _ = jax.lax.scan(mblock, row0, m0s)
-        return 0, row
+    # W slab (j, mc, b, e) by j-scan
+    def wrow(_, xs):
+        t1j, t2j, Bovj, Booj, Ej = xs
+        w = contract("Pme,Pb->mbe", Bov_mc, Bovj + Ej)
+        ooov_j = contract("Pn,Pme->nme", Booj, Bov_mc)
+        w -= contract("nb,nme->mbe", t1, ooov_j)
+        txj = 0.5 * t2j + t1j[None, :, None] * t1[:, None, :]
+        srow = t2j.swapaxes(1, 2)
+        w += contract("nfb,mnef->mbe", srow - txj, eri_mc)
+        # -0.5 sum srow[n,f,b] eri[n,m,e,f]; eri[n,m,e,f] = eri[m,n,f,e]
+        w -= 0.5 * contract("nfb,mnfe->mbe", srow, eri_mc)
+        return 0, w
 
-    _, rows = jax.lax.scan(body, 0, t2c)
-    return rows
+    xs = (t1, t2, jnp.swapaxes(Bov, 0, 1), Boo.transpose(2, 0, 1), Et)
+    _, W = jax.lax.scan(wrow, 0, xs)
+
+    # consume into u rows: (2 t2 - t2sw)[i, m-window, a, e] . W
+    def crow(u, c):
+        t2i = jax.lax.dynamic_index_in_dim(t2, c, keepdims=False)
+        Am = jax.lax.dynamic_slice(t2i, (m0, z0, z0), (mc, nv, nv))
+        Asw = jax.lax.dynamic_slice(t2i.swapaxes(1, 2), (m0, z0, z0),
+                                    (mc, nv, nv))
+        row = contract("mae,jmbe->jab", 2.0 * Am - Asw, W)
+        cur = jax.lax.dynamic_slice(u, (c, z0, z0, z0),
+                                    (1, no, nv, nv))
+        return jax.lax.dynamic_update_slice(u, cur + row[None],
+                                            (c, z0, z0, z0)), 0
+
+    u, _ = jax.lax.scan(crow, u, jnp.arange(no, dtype=m0.dtype))
+    return u
 
 
-@partial(jax.jit, static_argnames="no")
-def _sc_wrows_je(t2, Wje, t2c, Wje_c, no):
-    """Residual-row chunk: the two Wmbje ring consumes, m-chunked."""
-    nv = t2.shape[-1]
-    nch = _div_chunk(no, _SLAB // (no * nv * nv))
-    m0s = jnp.arange(no // nch, dtype=jnp.int32) * nch
+@partial(jax.jit, static_argnames=("no", "mc"), donate_argnums=(5,))
+def _sc_ring_je_mc(df, t1, t2, K, m0, u, no, mc):
+    """One m-chunk of the Wmbje ring, build + consume fused (see
+    _sc_ring_ej_mc): the -[(mj|be) + Dmj.Bvv] assembly is b-blocked
+    over Bvv slices (Dmj is K), the quad (mnfe) read relabeled through
+    eri's exchange symmetry, and BOTH je consumes (imae.Wmbje and the
+    mjae.Wmbie cross term) accumulate into the donated carry."""
+    Bov, Boo, Bvv = df.Bov, df.Boo, df.Bvv
+    naux, nv = Bvv.shape[0], Bvv.shape[2]
+    z0 = jnp.zeros((), m0.dtype)
+    bch = _div_chunk(nv, _SLAB // (naux * nv))
+    b0s = jnp.arange(nv // bch, dtype=jnp.int32) * bch
+    Bov_mc = jax.lax.dynamic_slice(Bov, (z0, m0, z0), (naux, mc, nv))
+    K_mc = jax.lax.dynamic_slice(K, (z0, m0, z0), (naux, mc, no))
+    Boo_mc = jax.lax.dynamic_slice(Boo, (z0, m0, z0), (naux, mc, no))
 
-    def body(_, xs):
-        t2i, Wje_i = xs
+    def erow(_, Bm):
+        return 0, contract("Pe,Pnf->nef", Bm, Bov)
 
-        def mblock(acc, m0):
-            z0 = jnp.zeros((), m0.dtype)
-            tib = jax.lax.dynamic_slice(t2i, (m0, z0, z0), (nch, nv, nv))
-            Wj_b = jax.lax.dynamic_slice(Wje, (z0, m0, z0, z0),
-                                         (no, nch, nv, nv))
-            t2b = jax.lax.dynamic_slice(t2, (m0, z0, z0, z0),
-                                        (nch, no, nv, nv))
-            Wi_b = jax.lax.dynamic_slice(Wje_i, (m0, z0, z0),
-                                         (nch, nv, nv))
-            acc += contract("mae,jmbe->jab", tib, Wj_b)
-            acc += contract("mjae,mbe->jab", t2b, Wi_b)
-            return acc, 0
+    _, eri_mc = jax.lax.scan(erow, 0, jnp.swapaxes(Bov_mc, 0, 1))
 
-        row0 = jnp.zeros((t2.shape[0], nv, nv), t2.dtype)
-        row, _ = jax.lax.scan(mblock, row0, m0s)
-        return 0, row
+    def wrow(_, xs):
+        t1j, t2j, Dj, Booj = xs      # Dj, Booj: (P, mc) at this j
 
-    _, rows = jax.lax.scan(body, 0, (t2c, Wje_c))
-    return rows
+        def bblock(w, b0):
+            Bb = jax.lax.dynamic_slice(Bvv, (z0, b0, z0),
+                                       (naux, bch, nv))
+            wb = -contract("Pm,Pbe->mbe", Dj, Bb)
+            return jax.lax.dynamic_update_slice(w, wb, (z0, b0, z0)), 0
+
+        w0 = jnp.zeros((mc, nv, nv), t1.dtype)
+        w, _ = jax.lax.scan(bblock, w0, b0s)
+        # <mn|je> = (mj|ne): per-j o^2 v assembly over the m-window
+        ooov2_j = contract("Pm,Pne->mne", Booj, Bov)
+        w += contract("nb,mne->mbe", t1, ooov2_j)
+        txj = 0.5 * t2j + t1j[None, :, None] * t1[:, None, :]
+        w += contract("nfb,mnfe->mbe", txj, eri_mc)
+        return 0, w
+
+    D_t = (Boo_mc + K_mc).transpose(2, 0, 1)       # (j, P, mc)
+    Boo_t = Boo_mc.transpose(2, 0, 1)
+    _, W = jax.lax.scan(wrow, 0, (t1, t2, D_t, Boo_t))  # (j, mc, b, e)
+
+    def crow(u, c):
+        t2i = jax.lax.dynamic_index_in_dim(t2, c, keepdims=False)
+        tm = jax.lax.dynamic_slice(t2i, (m0, z0, z0), (mc, nv, nv))
+        row = contract("mae,jmbe->jab", tm, W)
+        # cross term: sum_me t2[m,j,a,e] W[i,m,b,e], m in the window
+        t2b = jax.lax.dynamic_slice(t2, (m0, z0, z0, z0),
+                                    (mc, no, nv, nv))
+        Wi = jax.lax.dynamic_index_in_dim(W, c, keepdims=False)
+        row += contract("mjae,mbe->jab", t2b, Wi)
+        cur = jax.lax.dynamic_slice(u, (c, z0, z0, z0),
+                                    (1, no, nv, nv))
+        return jax.lax.dynamic_update_slice(u, cur + row[None],
+                                            (c, z0, z0, z0)), 0
+
+    u, _ = jax.lax.scan(crow, u, jnp.arange(no, dtype=m0.dtype))
+    return u
 
 
 def _sc_ladder_blocks(nv, max_elems=3 * 10 ** 7, naux=None):
@@ -1215,32 +1166,14 @@ def residuals_ccsd_df_scan(F, df, t1, t2, no, cache=None, nchunks=None,
     del chunks
     u = _jax.block_until_ready(u)
 
-    # --- ring ej: build (needs eri), free eri, consume, free W ---
-    eri = _jax.block_until_ready(_sc_integrals(df, no=no))
-    Wej = _jax.block_until_ready(_sc_wej(df, eri, t1, t2, Et, no=no))
-    del eri
-    for c in range(nchunks):
-        sl = slice(c * rows, (c + 1) * rows)
-        wr = _jax.block_until_ready(_sc_wrows_ej(t2, Wej, t2[sl], no=no))
-        u = _jax.block_until_ready(
-            _u_add_rows(u, wr, jnp.asarray(c * rows, jnp.int32)))
-        del wr
-    del Wej
-
-    # --- ring je: assemble, add quad (needs eri), free eri, consume ---
-    Wje = _jax.block_until_ready(_sc_wje_asm(df, t1, K, no=no))
-    eri = _jax.block_until_ready(_sc_integrals(df, no=no))
-    Wje = _jax.block_until_ready(
-        _sc_wje_quad(df, eri, t1, t2, Wje, no=no))
-    del eri
-    for c in range(nchunks):
-        sl = slice(c * rows, (c + 1) * rows)
-        wr = _jax.block_until_ready(
-            _sc_wrows_je(t2, Wje, t2[sl], Wje[sl], no=no))
-        u = _jax.block_until_ready(
-            _u_add_rows(u, wr, jnp.asarray(c * rows, jnp.int32)))
-        del wr
-    del Wje
+    # --- rings: fused m-chunk build+consume into the donated carry ---
+    mc = _div_chunk(no, _SLAB // (no * nv * nv))
+    for m0 in range(0, no, mc):
+        u = _jax.block_until_ready(_sc_ring_ej_mc(
+            df, t1, t2, Et, jnp.asarray(m0, jnp.int32), u, no=no, mc=mc))
+    for m0 in range(0, no, mc):
+        u = _jax.block_until_ready(_sc_ring_je_mc(
+            df, t1, t2, K, jnp.asarray(m0, jnp.int32), u, no=no, mc=mc))
 
     u = _run_grid_ladder(df, t1, t2, u, no, grid_chunks=grid_chunks)
     return r1, _rs_sym(u)

@@ -71,10 +71,14 @@ def main():
                              S(no, nv)), dict(no=no)),
         ("sc_gem", q._sc_gem, (df, t1), dict(no=no)),
         ("sc_wmnij", q._sc_wmnij, (df, eri, t1, t2, K), dict(no=no)),
-        ("sc_wej", q._sc_wej, (df, eri, t1, t2, oP), dict(no=no)),
-        ("sc_wje_asm", q._sc_wje_asm, (df, t1, K), dict(no=no)),
-        ("sc_wje_quad", q._sc_wje_quad, (df, eri, t1, t2, Wst),
-         dict(no=no)),
+        ("ring_ej_mc", q._sc_ring_ej_mc,
+         (df, t1, t2, oP, jax.ShapeDtypeStruct((), jnp.dtype("int32")),
+          eri), dict(no=no, mc=q._div_chunk(
+              no, q._SLAB // (no * nv * nv)))),
+        ("ring_je_mc", q._sc_ring_je_mc,
+         (df, t1, t2, K, jax.ShapeDtypeStruct((), jnp.dtype("int32")),
+          eri), dict(no=no, mc=q._div_chunk(
+              no, q._SLAB // (no * nv * nv)))),
         ("sc_prows_a", q._sc_prows_a,
          (df, t1, t2, S(nv, nv), S(no, no),
           S(rows, nv), S(rows, no, nv, nv), S(rows, no, no, no),
@@ -82,13 +86,6 @@ def main():
         ("sc_prows_b", q._sc_prows_b,
          (ovov, ovov, S(rows, naux, nv), S(rows, naux, nv)),
          dict(no=no)),
-        ("sc_wrows_ej", q._sc_wrows_ej, (t2, Wst, S(rows, no, nv, nv)),
-         dict(no=no)),
-        ("sc_wrows_je", q._sc_wrows_je,
-         (t2, Wst, S(rows, no, nv, nv), S(rows, no, nv, nv)),
-         dict(no=no)),
-        ("u_add_rows", q._u_add_rows,
-         (eri, S(rows, no, nv, nv), jax.ShapeDtypeStruct((), jnp.dtype("int32"))), {}),
         ("sc_ladder", q._sc_ladder,
          (df, t1, t2, eri, i32, i32, mk),
          dict(no=no, ablk=ablk, bblk=bblk)),

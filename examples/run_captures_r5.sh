@@ -61,11 +61,14 @@ uracil)
     --r-conv 1e-5 --maxiter 25 --post
   ;;
 w14)
-  # (H2O)_14 574 bf DF-CCSD SP — the ~600-bf real molecule.  naux is
-  # unrecompressed (~5500); nblocks keeps the ladder block under HBM.
+  # (H2O)_14 574 bf DF-CCSD SP — the ~600-bf real molecule.  Factors
+  # rank-capped to naux=4200 (examples/recompress_npz.py: at naux=5414
+  # the f32 factor blocks alone leave no HBM for any residual
+  # formulation); the solver auto-selects the slab-scan residual past
+  # the Bvv byte threshold.
   run_step w14_ccsd 10800 python examples/run_df_molecule.py \
-    df_cache/w14aug.npz --precision SP --e-conv 1e-6 --r-conv 1e-5 \
-    --max-diis 0 --nblocks 252 --maxiter 60 \
+    df_cache/w14aug_rc.npz --precision SP --e-conv 1e-6 --r-conv 1e-5 \
+    --max-diis 0 --maxiter 60 \
     --chk "$LOG/w14.chk" --chk-every 20
   ;;
 *)

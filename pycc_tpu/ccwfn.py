@@ -649,6 +649,12 @@ class ccwfn:
         lean_df = host_res is not None and self.storage == "df"
         if lean_df:
             from .models.dfccsd import cc_energy_df_qf
+            # At f64 scale, keep the energy OUT of the update program:
+            # its row-scan (a separate cached compile via cc_energy) is
+            # probed to fit, while inlining it here adds the widened
+            # per-trip buffers on top of four donated o^2v^2 pairs.
+            energy_out = (jnp.dtype(self.t2.dtype) == jnp.float64
+                          and (self.no * self.nv) ** 2 * 8 > 9e8)
 
             @partial(jax.jit, donate_argnums=(2, 3, 4, 5, 6))
             def apply_update_df(F, dfb, t1, t2, r1, r2, state, do_extrap):
@@ -665,8 +671,11 @@ class ccwfn:
                 # quadratic-form energy: no o^2v^2 oovv assembly — the
                 # f64-emulated assembled form compile-OOMs at scale
                 # (models/dfccsd.cc_energy_df_qf)
-                ecc = cc_energy_df_qf(F, dfb, t1n, t2n, no,
-                                      with_t1=(self.model != "CCD"))
+                if energy_out:
+                    ecc = jnp.zeros((), t1n.dtype)
+                else:
+                    ecc = cc_energy_df_qf(F, dfb, t1n, t2n, no,
+                                          with_t1=(self.model != "CCD"))
                 if not use_diis:
                     # return the pair ONCE: duplicated jit outputs get
                     # DISTINCT buffers (an extra t2-sized copy at scale -
@@ -914,6 +923,11 @@ class ccwfn:
                             Fj, self.dfb, t1, t2, r1, r2, state,
                             jnp.asarray(do_ext))
                         t1, t2 = t1n, t2n
+                    if energy_out:
+                        # separate cached row-scan energy program (the
+                        # inlined form would OOM the update's compile
+                        # at f64 scale)
+                        ecc_j = self.cc_energy(t1n, t2n, F=Fj)
                 elif blocked:
                     r1, r2 = host_res(Fj, None, None, t1, t2, no,
                                       blocks=self.blocks)

@@ -74,11 +74,17 @@ def main():
         ("ring_ej_mc", q._sc_ring_ej_mc,
          (df, t1, t2, oP, jax.ShapeDtypeStruct((), jnp.dtype("int32")),
           eri), dict(no=no, mc=q._div_chunk(
-              no, q._SLAB // (no * nv * nv)))),
+              no, (5 * q._SLAB // 2) // (no * nv * nv)))),
+        ("ring_je_asm", q._sc_ring_je_asm,
+         (df, t1, K, jax.ShapeDtypeStruct((), jnp.dtype("int32"))),
+         dict(no=no, mc=q._div_chunk(
+              no, (5 * q._SLAB // 2) // (no * nv * nv)))),
         ("ring_je_mc", q._sc_ring_je_mc,
-         (df, t1, t2, K, jax.ShapeDtypeStruct((), jnp.dtype("int32")),
-          eri), dict(no=no, mc=q._div_chunk(
-              no, q._SLAB // (no * nv * nv)))),
+         (df, t1, t2, jax.ShapeDtypeStruct((), jnp.dtype("int32")),
+          S(no, q._div_chunk(no, (5 * q._SLAB // 2) // (no * nv * nv)),
+            nv, nv), eri),
+         dict(no=no, mc=q._div_chunk(
+              no, (5 * q._SLAB // 2) // (no * nv * nv)))),
         ("sc_prows_a", q._sc_prows_a,
          (df, t1, t2, S(nv, nv), S(no, no),
           S(rows, nv), S(rows, no, nv, nv), S(rows, no, no, no),

@@ -995,30 +995,21 @@ def _sc_ring_ej_mc(df, t1, t2, Et, m0, u, no, mc):
     return u
 
 
-@partial(jax.jit, static_argnames=("no", "mc"), donate_argnums=(5,))
-def _sc_ring_je_mc(df, t1, t2, K, m0, u, no, mc):
-    """One m-chunk of the Wmbje ring, build + consume fused (see
-    _sc_ring_ej_mc): the -[(mj|be) + Dmj.Bvv] assembly is b-blocked
-    over Bvv slices (Dmj is K), the quad (mnfe) read relabeled through
-    eri's exchange symmetry, and BOTH je consumes (imae.Wmbje and the
-    mjae.Wmbie cross term) accumulate into the donated carry."""
-    Bov, Boo, Bvv = df.Bov, df.Boo, df.Bvv
+@partial(jax.jit, static_argnames=("no", "mc"))
+def _sc_ring_je_asm(df, t1, K, m0, no, mc):
+    """The -[(mj|be) + Dmj.Bvv] assembly piece of one Wmbje m-window,
+    b-blocked over Bvv slices — its own program so Bvv (3.5-5.5 GB,
+    always resident) is never an operand of the quad/consume program."""
+    Boo, Bvv = df.Boo, df.Bvv
     naux, nv = Bvv.shape[0], Bvv.shape[2]
     z0 = jnp.zeros((), m0.dtype)
     bch = _div_chunk(nv, _SLAB // (naux * nv))
     b0s = jnp.arange(nv // bch, dtype=jnp.int32) * bch
-    Bov_mc = jax.lax.dynamic_slice(Bov, (z0, m0, z0), (naux, mc, nv))
     K_mc = jax.lax.dynamic_slice(K, (z0, m0, z0), (naux, mc, no))
     Boo_mc = jax.lax.dynamic_slice(Boo, (z0, m0, z0), (naux, mc, no))
+    D_t = (Boo_mc + K_mc).transpose(2, 0, 1)       # (j, P, mc)
 
-    def erow(_, Bm):
-        return 0, contract("Pe,Pnf->nef", Bm, Bov)
-
-    _, eri_mc = jax.lax.scan(erow, 0, jnp.swapaxes(Bov_mc, 0, 1))
-
-    def wrow(_, xs):
-        t1j, t2j, Dj, Booj = xs      # Dj, Booj: (P, mc) at this j
-
+    def wrow(_, Dj):
         def bblock(w, b0):
             Bb = jax.lax.dynamic_slice(Bvv, (z0, b0, z0),
                                        (naux, bch, nv))
@@ -1027,16 +1018,44 @@ def _sc_ring_je_mc(df, t1, t2, K, m0, u, no, mc):
 
         w0 = jnp.zeros((mc, nv, nv), t1.dtype)
         w, _ = jax.lax.scan(bblock, w0, b0s)
-        # <mn|je> = (mj|ne): per-j o^2 v assembly over the m-window
-        ooov2_j = contract("Pm,Pne->mne", Booj, Bov)
-        w += contract("nb,mne->mbe", t1, ooov2_j)
-        txj = 0.5 * t2j + t1j[None, :, None] * t1[:, None, :]
-        w += contract("nfb,mnfe->mbe", txj, eri_mc)
         return 0, w
 
-    D_t = (Boo_mc + K_mc).transpose(2, 0, 1)       # (j, P, mc)
+    _, W = jax.lax.scan(wrow, 0, D_t)              # (j, mc, b, e)
+    return W
+
+
+@partial(jax.jit, static_argnames=("no", "mc"), donate_argnums=(4, 5))
+def _sc_ring_je_mc(df, t1, t2, m0, W, u, no, mc):
+    """Quad/ooov completion + consume of one Wmbje m-window: adds the
+    <mn|je> and tau_x quad pieces to the DONATED assembly slab (the
+    (mnfe) read relabeled through eri's exchange symmetry over an
+    on-the-fly eri window), then folds BOTH je consumes (imae.Wmbje and
+    the mjae.Wmbie cross term) into the donated residual carry."""
+    Bov, Boo = df.Bov, df.Boo
+    naux, nv = Bov.shape[0], Bov.shape[2]
+    z0 = jnp.zeros((), m0.dtype)
+    Bov_mc = jax.lax.dynamic_slice(Bov, (z0, m0, z0), (naux, mc, nv))
+    Boo_mc = jax.lax.dynamic_slice(Boo, (z0, m0, z0), (naux, mc, no))
+
+    def erow(_, Bm):
+        return 0, contract("Pe,Pnf->nef", Bm, Bov)
+
+    _, eri_mc = jax.lax.scan(erow, 0, jnp.swapaxes(Bov_mc, 0, 1))
     Boo_t = Boo_mc.transpose(2, 0, 1)
-    _, W = jax.lax.scan(wrow, 0, (t1, t2, D_t, Boo_t))  # (j, mc, b, e)
+
+    def wrow(W, xs):
+        j, t1j, t2j, Booj = xs
+        ooov2_j = contract("Pm,Pne->mne", Booj, Bov_mc)
+        w = contract("nb,mne->mbe", t1, ooov2_j)
+        txj = 0.5 * t2j + t1j[None, :, None] * t1[:, None, :]
+        w += contract("nfb,mnfe->mbe", txj, eri_mc)
+        cur = jax.lax.dynamic_slice(W, (j, z0, z0, z0),
+                                    (1, mc, nv, nv))
+        return jax.lax.dynamic_update_slice(W, cur + w[None],
+                                            (j, z0, z0, z0)), 0
+
+    js = jnp.arange(no, dtype=m0.dtype)
+    W, _ = jax.lax.scan(wrow, W, (js, t1, t2, Boo_t))
 
     def crow(u, c):
         t2i = jax.lax.dynamic_index_in_dim(t2, c, keepdims=False)
@@ -1052,7 +1071,7 @@ def _sc_ring_je_mc(df, t1, t2, K, m0, u, no, mc):
         return jax.lax.dynamic_update_slice(u, cur + row[None],
                                             (c, z0, z0, z0)), 0
 
-    u, _ = jax.lax.scan(crow, u, jnp.arange(no, dtype=m0.dtype))
+    u, _ = jax.lax.scan(crow, u, js)
     return u
 
 
@@ -1167,13 +1186,17 @@ def residuals_ccsd_df_scan(F, df, t1, t2, no, cache=None, nchunks=None,
     u = _jax.block_until_ready(u)
 
     # --- rings: fused m-chunk build+consume into the donated carry ---
-    mc = _div_chunk(no, _SLAB // (no * nv * nv))
+    mc = _div_chunk(no, (5 * _SLAB // 2) // (no * nv * nv))
     for m0 in range(0, no, mc):
         u = _jax.block_until_ready(_sc_ring_ej_mc(
             df, t1, t2, Et, jnp.asarray(m0, jnp.int32), u, no=no, mc=mc))
     for m0 in range(0, no, mc):
+        m0j = jnp.asarray(m0, jnp.int32)
+        W = _jax.block_until_ready(_sc_ring_je_asm(
+            df, t1, K, m0j, no=no, mc=mc))
         u = _jax.block_until_ready(_sc_ring_je_mc(
-            df, t1, t2, K, jnp.asarray(m0, jnp.int32), u, no=no, mc=mc))
+            df, t1, t2, m0j, W, u, no=no, mc=mc))
+        del W
 
     u = _run_grid_ladder(df, t1, t2, u, no, grid_chunks=grid_chunks)
     return r1, _rs_sym(u)

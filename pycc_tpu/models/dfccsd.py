@@ -1045,7 +1045,8 @@ def _sc_ring_je_mc(df, t1, t2, m0, W, u, no, mc):
 
     def wrow(W, xs):
         j, t1j, t2j, Booj = xs
-        ooov2_j = contract("Pm,Pne->mne", Booj, Bov_mc)
+        # <mn|je> = (mj|ne): m in the window (Booj), n over ALL occ
+        ooov2_j = contract("Pm,Pne->mne", Booj, Bov)
         w = contract("nb,mne->mbe", t1, ooov2_j)
         txj = 0.5 * t2j + t1j[None, :, None] * t1[:, None, :]
         w += contract("nfb,mnfe->mbe", txj, eri_mc)

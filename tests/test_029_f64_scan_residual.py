@@ -97,3 +97,17 @@ def test_split_grid_ladder_equals_fused(monkeypatch):
     r1b, r2b = residuals_ccsd_df_split(F, df, t1, t2, no)
     assert float(jnp.max(jnp.abs(r1a - r1b))) < 1e-13
     assert float(jnp.max(jnp.abs(r2a - r2b))) < 1e-13
+
+
+def test_scan_residual_multiwindow_equals_fused(monkeypatch):
+    """Force multi-window ring chunks (mc < no) and multi-chunk slabs at
+    tiny size — at the default budgets a tiny problem runs mc == no and
+    window-slicing bugs are invisible (one escaped to the w10 probes
+    this way)."""
+    from pycc_tpu.models import dfccsd as m
+    F, df, t1, t2, no = _rand_problem(seed=21)
+    r1a, r2a = residuals_ccsd_df(F, df, t1, t2, no)
+    monkeypatch.setattr(m, "_SLAB", 64)
+    r1b, r2b = residuals_ccsd_df_scan(F, df, t1, t2, no)
+    assert float(jnp.max(jnp.abs(r1a - r1b))) < 1e-13
+    assert float(jnp.max(jnp.abs(r2a - r2b))) < 1e-13

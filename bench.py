@@ -50,7 +50,7 @@ T_CFG = dict(no=32, nv=128)
 # vs (o, v)).  naux = 3*nact throughout; nblocks from the same HBM rule
 # production uses.
 DF_CURVE = [(16, 128), (32, 128), (32, 256)]  # + DF_CFG's (32, 512)
-T_CURVE = [(16, 128), (32, 192)]              # + T_CFG's (32, 128)
+T_CURVE = [(16, 128), (32, 192), (32, 256)]   # + T_CFG's (32, 128)
 # real-molecule factors prepared by examples/prepare_df_molecule.py
 # ((H2O)_10 aug-cc-pVDZ, 410 bf): the row is emitted only when cached
 REAL_NPZ = "/root/repo/df_cache/w10aug.npz"
@@ -335,6 +335,15 @@ def _child():
                           ft, unit="s"))
     except Exception as exc:
         print("# triples bf16 extra failed: %s" % exc, file=sys.stderr)
+    try:
+        import jax.numpy as _jnp
+        dtt, ft = bench_triples(no=32, nv=256, slab_dtype=_jnp.bfloat16,
+                                jc=8)
+        extra.append(_row("triples_T_scan_wall_o32_v256_bf16_jc8", dtt,
+                          ft, unit="s"))
+    except Exception as exc:
+        print("# triples bf16 v256 extra failed: %s" % exc,
+              file=sys.stderr)
     # scaling curves: DF-CCSD s/iter and (T) wall vs (o, v)
     from pycc_tpu.models.dfccsd import _ladder_blocks
     for no_, nv_ in DF_CURVE:

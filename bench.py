@@ -50,7 +50,11 @@ T_CFG = dict(no=32, nv=128)
 # vs (o, v)).  naux = 3*nact throughout; nblocks from the same HBM rule
 # production uses.
 DF_CURVE = [(16, 128), (32, 128), (32, 256)]  # + DF_CFG's (32, 512)
-T_CURVE = [(16, 128), (32, 192), (32, 256)]   # + T_CFG's (32, 128)
+# (T) f32 curve: the unchunked jc-scan tops out at v=128 for o=32 —
+# measured compile-OOM 16.55/15.75 GB at (32,192) f32 even at jc=1
+# (~17 slab-sized buffers resident); past that the bf16-slab rows below
+# and the k-chunked DF scan (production path, PERF.md) carry the curve.
+T_CURVE = [(16, 128)]                          # + T_CFG's (32, 128)
 # real-molecule factors prepared by examples/prepare_df_molecule.py
 # ((H2O)_10 aug-cc-pVDZ, 410 bf): the row is emitted only when cached
 REAL_NPZ = "/root/repo/df_cache/w10aug.npz"
@@ -336,13 +340,18 @@ def _child():
     except Exception as exc:
         print("# triples bf16 extra failed: %s" % exc, file=sys.stderr)
     try:
+        # v-scaling row for the roofline study.  (32,256) does NOT fit
+        # the unchunked scan in any dtype/jc (bf16 jc8 measured
+        # 90.25/15.75 GB; ~17 slab-sized buffers stay resident), and
+        # (32,192) bf16 jc2 runtime-OOMs — jc=1 is the fitting config
+        # (measured 28.0 s, 15.3 TFLOP/s, implied ~316 GB/s slab rate).
         import jax.numpy as _jnp
-        dtt, ft = bench_triples(no=32, nv=256, slab_dtype=_jnp.bfloat16,
-                                jc=8)
-        extra.append(_row("triples_T_scan_wall_o32_v256_bf16_jc8", dtt,
+        dtt, ft = bench_triples(no=32, nv=192, slab_dtype=_jnp.bfloat16,
+                                jc=1)
+        extra.append(_row("triples_T_scan_wall_o32_v192_bf16_jc1", dtt,
                           ft, unit="s"))
     except Exception as exc:
-        print("# triples bf16 v256 extra failed: %s" % exc,
+        print("# triples bf16 v192 extra failed: %s" % exc,
               file=sys.stderr)
     # scaling curves: DF-CCSD s/iter and (T) wall vs (o, v)
     from pycc_tpu.models.dfccsd import _ladder_blocks
